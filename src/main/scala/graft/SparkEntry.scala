@@ -8,11 +8,15 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _)
+    "q1_agg" -> (Relational.q1Agg _),
+    "wc_wordcount" -> (TextQueries.wordCount _),
+    "wc_inverted_index" -> (TextQueries.invertedIndex _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql
+    "q1_agg" -> Relational.q1AggSql,
+    "wc_wordcount" -> TextQueries.wordCountSql,
+    "wc_inverted_index" -> TextQueries.invertedIndexSql
   )
 }
