@@ -9,6 +9,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.q1Agg _),
+    "q2_join" -> (Relational.q2Join _),
+    "q3_topk" -> (Relational.q3TopK _),
+    "q4_window" -> (Relational.q4Window _),
+    "q5_semijoin" -> (Relational.q5SemiJoin _),
+    "q6_antijoin" -> (Relational.q6AntiJoin _),
+    "q7_setops" -> (Relational.q7SetOps _),
+    "q8_rollup" -> (Relational.q8Rollup _),
+    "q9_scalar" -> (Relational.q9Scalar _),
+    "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
+    "q11_having" -> (Relational.q11Having _),
+    "q12_subquery" -> (Relational.q12Subquery _),
+    "q13_case_agg" -> (Relational.q13CaseAgg _),
     "wc_wordcount" -> (TextQueries.wordCount _),
     "wc_inverted_index" -> (TextQueries.invertedIndex _)
   )
@@ -16,6 +28,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1AggSql,
+    "q2_join" -> Relational.q2JoinSql,
+    "q3_topk" -> Relational.q3TopKSql,
+    "q4_window" -> Relational.q4WindowSql,
+    "q5_semijoin" -> Relational.q5SemiJoinSql,
+    "q6_antijoin" -> Relational.q6AntiJoinSql,
+    "q7_setops" -> Relational.q7SetOpsSql,
+    "q8_rollup" -> Relational.q8RollupSql,
+    "q9_scalar" -> Relational.q9ScalarSql,
+    "q10_distinct_agg" -> Relational.q10DistinctAggSql,
+    "q11_having" -> Relational.q11HavingSql,
+    "q12_subquery" -> Relational.q12SubquerySql,
+    "q13_case_agg" -> Relational.q13CaseAggSql,
     "wc_wordcount" -> TextQueries.wordCountSql,
     "wc_inverted_index" -> TextQueries.invertedIndexSql
   )

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Relational query inventory over the TPC-H-ish tables.
@@ -45,4 +46,287 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2_join — star join: fact table joined to the full dimension chain.
+    * Every dimension side is `broadcast()` — region/nation/customer are
+    * tiny relative to lineitem at any scale factor, so the only shuffle in
+    * the plan is the final group-by (and AQE may even fold that). At 100 TB
+    * the lineitem scan dominates; no fact-fact shuffle exists here.
+    */
+  def q2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val n  = Tables.nation(spark, sfDir)
+    val r  = Tables.region(spark, sfDir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q2JoinSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** q3_topk — global top-10 customers by revenue. Order-by-limit compiles
+    * to TakeOrderedAndProject: each partition keeps a 10-row heap, only
+    * 10×partitions rows reach the driver — no global sort at any scale.
+    * Tie-break on c_custkey keeps the row set deterministic for the oracle.
+    */
+  def q3TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val q3TopKSql: String =
+    """SELECT c_custkey, c_name, revenue, n_orders
+      |FROM (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |) o JOIN customer ON o_custkey = c_custkey
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** q4_window — ranking + analytic frames: top-3 orders per customer with
+    * running revenue and previous order gap. One shuffle on o_custkey serves
+    * all three window functions (same partitioning spec).
+    */
+  def q4Window(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("prev_price",
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("running_spend"), col("prev_price"))
+  }
+
+  val q4WindowSql: String =
+    """SELECT o_custkey, o_orderkey, rn, price, running_spend, prev_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER w AS INT) AS rn,
+      |    round(o_totalprice, 2) AS price,
+      |    round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+      |    round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) t WHERE rn <= 3""".stripMargin
+
+  /** q5_semijoin — EXISTS: customers holding at least one urgent open order.
+    * left_semi never widens rows, and the semi side is aggregated to keys
+    * before the join at the physical level.
+    */
+  def q5SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q5SemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')""".stripMargin
+
+  /** q6_antijoin — NOT EXISTS: customers who never placed an urgent order. */
+  def q6AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+  }
+
+  val q6AntiJoinSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** q7_setops — INTERSECT / EXCEPT / UNION with set semantics, tagged and
+    * unioned into one result so the driver checks all three at once.
+    */
+  def q7SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custN = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val suppN = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val both    = custN.intersect(suppN).withColumn("tag", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+    val suppOnly = suppN.except(custN).withColumn("tag", lit("supp_only"))
+    both.unionAll(custOnly).unionAll(suppOnly)
+      .select(col("tag"), col("nationkey"))
+  }
+
+  val q7SetOpsSql: String =
+    """SELECT 'both' AS tag, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only', nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'supp_only', nationkey FROM (
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  EXCEPT SELECT c_nationkey FROM customer)""".stripMargin
+
+  /** q8_rollup — hierarchical aggregation. Grouping-null keys are folded to
+    * 'ALL' so the oracle hash never depends on engine null-sort order.
+    */
+  def q8Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+  }
+
+  val q8RollupSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q9_scalar — scalar-function suite (string/date/math), all codegen'd
+    * built-ins evaluated in one WholeStageCodegen span over the scan.
+    */
+  def q9Scalar(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_totalprice") > 1000.0)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+        length(col("o_orderstatus")).as("status_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        round(abs(col("o_totalprice") - 5000.0), 2).as("dist_5k"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("price_bucket"),
+        (col("o_orderkey") % 7).as("key_mod"))
+  }
+
+  val q9ScalarSql: String =
+    """SELECT o_orderkey,
+      |  upper(substr(o_orderpriority, 1, 3)) AS prio3,
+      |  CAST(length(o_orderstatus) AS INT) AS status_len,
+      |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  round(abs(o_totalprice - 5000.0), 2) AS dist_5k,
+      |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_bucket,
+      |  o_orderkey % 7 AS key_mod
+      |FROM orders WHERE o_totalprice > 1000.0""".stripMargin
+
+  /** q10_distinct_agg — multiple distinct aggregates in one pass (expand +
+    * two-phase aggregate under the hood).
+    */
+  def q10DistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  val q10DistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q11_having — post-aggregation filter (parts sold in volume). */
+  def q11Having(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 5)
+  }
+
+  val q11HavingSql: String =
+    """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 5""".stripMargin
+
+  /** q12_subquery — scalar subquery: parts priced above the global average.
+    * The 1-row aggregate is cross-broadcast, not recomputed per row.
+    */
+  def q12Subquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("avg_price"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        round(col("p_retailprice"), 2).as("price"))
+  }
+
+  val q12SubquerySql: String =
+    """SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS price
+      |FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""".stripMargin
+
+  /** q13_case_agg — conditional aggregation (TPC-H Q14 shape): promo revenue
+    * share by month. case/when stays inside the partial aggregate.
+    */
+  def q13CaseAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p  = Tables.part(spark, sfDir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+  }
+
+  val q13CaseAggSql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+      |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2""".stripMargin
 }

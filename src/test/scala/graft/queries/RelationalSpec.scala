@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkSuite, SparkEntry}
+
+/** Sanity invariants per query at sf0.001. The strong correctness check is
+  * the driver's DuckDB differential (oracleSql) — these specs guard the
+  * invariants a hash compare can't state (e.g. semi+anti partition the
+  * table) and keep `sbt test` meaningful offline.
+  */
+class RelationalSpec extends SparkSuite {
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has matching column names") {
+    // The driver compare sorts columns by name; a query whose DataFrame
+    // columns diverge from its SQL aliases hash-mismatches even when the
+    // values agree. Guard the Spark side against accidental renames.
+    val expected = Map(
+      "q1_agg" -> Set("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_disc", "count_order"),
+      "q3_topk" -> Set("c_custkey", "c_name", "revenue", "n_orders"),
+      "q7_setops" -> Set("tag", "nationkey"),
+      "q8_rollup" -> Set("status", "priority", "total", "n"))
+    expected.foreach { case (name, cols) =>
+      val got = SparkEntry.queries(name)(spark, sf).columns.toSet
+      assert(got == cols, s"$name columns $got != $cols")
+    }
+  }
+
+  test("semi and anti joins partition customer on the urgent-order predicate") {
+    val total = graft.Tables.customer(spark, sf).count()
+    val semiUrgent = Relational.q5SemiJoin(spark, sf).count() // urgent AND open
+    val anti = Relational.q6AntiJoin(spark, sf).count()       // no urgent at all
+    assert(semiUrgent <= total - anti, "semi(urgent&open) must fit inside has-urgent")
+    assert(anti < total)
+  }
+
+  test("rollup grand total equals ungrouped sum") {
+    import org.apache.spark.sql.functions._
+    val roll = Relational.q8Rollup(spark, sf)
+      .filter(col("status") === "ALL" && col("priority") === "ALL")
+      .select("n").collect().head.getLong(0)
+    val direct = graft.Tables.orders(spark, sf).count()
+    assert(roll == direct)
+  }
+
+  test("topk is ordered descending and bounded") {
+    val rows = Relational.q3TopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+}
