@@ -22,7 +22,18 @@ object SparkEntry {
     "q12_subquery" -> (Relational.q12Subquery _),
     "q13_case_agg" -> (Relational.q13CaseAgg _),
     "wc_wordcount" -> (TextQueries.wordCount _),
-    "wc_inverted_index" -> (TextQueries.invertedIndex _)
+    "wc_inverted_index" -> (TextQueries.invertedIndex _),
+    "ta_tokens" -> (TextAnalysis.tokens _),
+    "ta_quality" -> (TextAnalysis.quality _),
+    "ta_langid" -> (TextAnalysis.langId _),
+    "ta_fingerprint" -> (TextAnalysis.fingerprint _),
+    "dd_exact" -> (Dedup.exact _),
+    "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dd_minhash" -> (Dedup.minhash _),
+    "dd_simhash" -> (Dedup.simhash _),
+    "dd_embed_cosine" -> (Dedup.embedCosine _),
+    "ann_topk" -> (Similarity.annTopK _),
+    "ann_ivf" -> (Similarity.annIvf _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,6 +52,18 @@ object SparkEntry {
     "q12_subquery" -> Relational.q12SubquerySql,
     "q13_case_agg" -> Relational.q13CaseAggSql,
     "wc_wordcount" -> TextQueries.wordCountSql,
-    "wc_inverted_index" -> TextQueries.invertedIndexSql
+    "wc_inverted_index" -> TextQueries.invertedIndexSql,
+    "ta_tokens" -> TextAnalysis.tokensSql,
+    "ta_quality" -> TextAnalysis.qualitySql,
+    "ta_langid" -> TextAnalysis.langIdSql,
+    "ta_fingerprint" -> TextAnalysis.fingerprintSql,
+    "dd_exact" -> Dedup.exactSql,
+    "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dd_minhash" -> Dedup.minhashSql,
+    // dd_simhash: bit-fold not SQL-expressible — driver rows-only check
+    "dd_embed_cosine" -> Dedup.embedCosineSql,
+    "ann_topk" -> Similarity.annTopKSql
+    // ann_ivf: approximate — driver rows-only check; recall asserted in
+    // SimilaritySpec against ann_topk
   )
 }

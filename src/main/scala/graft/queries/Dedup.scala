@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` — the core of any pretraining
+  * corpus pipeline. Four escalating strategies:
+  *
+  *   dd_exact          — hash-groupBy on a normalization fingerprint (O(n))
+  *   dd_ngram_jaccard  — exact all-pairs word-3-gram Jaccard (quadratic in
+  *                       shingle-sharing docs; the correctness oracle)
+  *   dd_minhash        — MinHash + LSH banding: candidates from band-bucket
+  *                       joins, then exact verification. The 100 TB path:
+  *                       cost is O(n · perms) + join on band keys, never
+  *                       all-pairs.
+  *   dd_simhash        — 64-bit SimHash + pigeonhole chunk join for
+  *                       hamming ≤ 3 near-dups.
+  *
+  * All hashing derives from xxhash64 (Spark-native, codegen'd) with fixed
+  * seeds, so results are deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  private def normalized: Column = regexp_replace(lower(col("text")), "[^a-z]", "")
+
+  /** dd_exact — group by content fingerprint; canonical = min doc_id. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(normalized).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp,
+      |  min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc. Whitespace tokenization matches
+    * the oracle's regexp_split_to_array(text, '\s+').
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** dd_ngram_jaccard — exact near-dup pairs at Jaccard ≥ 0.8. Quadratic in
+    * docs sharing a shingle; kept as the semantic oracle. dd_minhash is the
+    * scale path with identical output on this threshold.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(shingles(spark, sfDir), 0.8)
+
+  val ngramJaccardSql: String =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** 64 permutations in 16 bands × 4 rows. P(miss) at J=0.8 is
+    * (1-0.8^4)^16 ≈ 2e-4; candidates are exact-verified, so output equals
+    * dd_ngram_jaccard whenever recall holds (asserted in DedupSpec).
+    */
+  private val NumPerms = 64
+  private val BandRows = 4
+  private val MinhashPrime = 4294967311L // smallest prime > 2^32
+  /** Deterministic (a,b) permutation constants — fixed seed, a odd. */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((math.abs(rnd.nextInt()).toLong * 2 + 1,
+      math.abs(rnd.nextInt()).toLong))
+  }
+
+  /** dd_minhash — LSH-banded near-dup detection, exact-verified. */
+  def minhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
+    val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
+    val hashed = sh.select(col("doc_id"), h)
+    val minhashAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"mh_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
+    // Band key: hash of the band's 4 signature values.
+    val bands = (0 until NumPerms / BandRows).map { bnd =>
+      val cols = (0 until BandRows).map(r => col(s"mh_${bnd * BandRows + r}"))
+      struct(lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candA = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val candB = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val candidates = candA.join(candB, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Exact verification restricted to candidate docs only.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    jaccardPairs(shCand, 0.8).join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** Oracle: identical to dd_ngram_jaccard — LSH recall at J≥0.8 with 16
+    * bands is 1 - 2e-4 and candidates are exact-verified (see DedupSpec).
+    */
+  val minhashSql: String = ngramJaccardSql
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** dd_simhash — 64-bit SimHash over the token multiset; near-dup pairs at
+    * hamming distance ≤ 3 found by pigeonhole: 4 chunks of 16 bits, any pair
+    * within hamming 3 must agree exactly on ≥ 1 chunk, so a join on
+    * (chunk_idx, chunk_val) finds all of them without an all-pairs scan.
+    * No SQL oracle (bit-level fold not expressible cleanly) — rows-only
+    * check by the driver; DedupSpec asserts consistency with dd_exact and
+    * the planted J=1.0 pairs.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s_$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    val chunks = (0 until 4).map { cIdx =>
+      struct(lit(cIdx).as("ci"),
+        shiftrightunsigned(col("simhash"), cIdx * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+    }
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val a = keyed.select(col("ci"), col("cv"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = keyed.select(col("ci"), col("cv"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  // --- Embedding near-dup ---------------------------------------------------
+
+  /** Cosine similarity of two float-vector columns, computed in double in
+    * index order (matches DuckDB's list_cosine_similarity over DOUBLE[]).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Dot product of two double-array columns (index-order summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** dd_embed_cosine — near-dup pairs by embedding cosine ≥ 0.45. All-pairs
+    * here (the oracle-checkable form); the bucketed scale path is
+    * Similarity.annIvf. Norms are computed ONCE per vector before the join
+    * (norm+dot per pair would triple the flops across N²/2 pairs); the
+    * division by norms is exact-double so results still bit-match the
+    * naive cosine and the DuckDB oracle.
+    */
+  def embedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0),
+        (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cs", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cs") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
+  }
+
+  val embedCosineSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) AS cs
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+}

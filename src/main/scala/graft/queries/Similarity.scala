@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float] column). Two paths:
+  *
+  *   ann_topk — brute-force cosine top-k: broadcast the (small) query set
+  *              against the full corpus. Exact; the recall baseline. Scales
+  *              as O(|Q|·N) with no shuffle beyond the final per-query top-k
+  *              (window over q_id — each query's candidates land on one
+  *              partition, |Q| partitions in flight).
+  *   ann_ivf  — inverted-file index: corpus is bucketed by nearest coarse
+  *              centroid, queries probe the 3 nearest cells. Cost drops to
+  *              O(N·C) assignment (one pass, broadcast centroids) +
+  *              O(|Q|·N·nprobe/C) search. The 100 TB path: cells become
+  *              partition keys, so a query touches nprobe partitions only.
+  *
+  * All vector math is higher-order-function columns (zip_with/aggregate) —
+  * doubles summed in index order, no UDFs.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NProbe = 3
+
+  /** Deterministic query set: every 50th vector. */
+  private def queries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** ann_topk — exact brute-force top-5 cosine neighbors per query. */
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = queries(e)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs_raw").desc, col("vec_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cs_raw", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cs_raw"), 6).as("cs"))
+  }
+
+  val annTopKSql: String =
+    s"""SELECT q_id, neighbor_id, rank, cs FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(e.embedding AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id % 50 = 0) t
+       |WHERE rank <= $K""".stripMargin
+
+  /** ann_ivf — IVF-style ANN. Coarse centroids are corpus vectors sampled
+    * deterministically (every 47th), so centroid count scales with the
+    * corpus. Approximate → no SQL oracle (driver rows-only); SimilaritySpec
+    * asserts recall@5 against ann_topk.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 47 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // Assignment pass: nearest centroid per corpus vector (broadcast C).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccs").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccs", Dedup.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+    // Query probing: nprobe nearest cells per query.
+    val q = queries(e)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcs").desc, col("cent_id"))
+    val probed = q.join(broadcast(cents))
+      .withColumn("qcs", Dedup.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+    // Search within probed cells only.
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs_raw").desc, col("vec_id"))
+    broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs_raw", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cs_raw"), 6).as("cs"))
+  }
+}

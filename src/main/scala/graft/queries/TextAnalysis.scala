@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over `documents`.
+  *
+  * All four are pure column expressions (higher-order functions, no UDFs),
+  * so they stay inside WholeStageCodegen and scale linearly with the scan:
+  * no shuffle at all — per-document metrics are embarrassingly parallel.
+  */
+object TextAnalysis {
+
+  /** ta_tokens — whitespace token count + BPE-ish subword-unit count.
+    * The BPE-ish regex splits letter runs, digit runs, and single
+    * punctuation marks — the pre-tokenization step of byte-pair encoders.
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
+
+  val tokensSql: String =
+    raw"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin
+
+  /** ta_quality — length/alpha/stopword heuristics blended into one score,
+    * the standard cheap pre-filter before expensive dedup/model scoring.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin("a", "the", "of", "and", "to")))
+      .cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+    val alphaRatio = alphaChars / length(col("text")).cast("double")
+    val stopRatio = nStop / nTok
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok, 4)
+        .as("mean_token_len"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lit(0.4) * alphaRatio + lit(0.3) * (lit(1.0) - stopRatio)
+        + lit(0.3) * least(lit(1.0), nTok / lit(100.0)), 4).as("quality_score"))
+  }
+
+  val qualitySql: String =
+    raw"""SELECT doc_id, n_chars,
+         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+         |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+         |    / len(regexp_split_to_array(text, '\s+')), 4) AS mean_token_len,
+         |  round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+         |  round(len(list_filter(regexp_split_to_array(text, '\s+'),
+         |    t -> t IN ('a','the','of','and','to'))) * 1.0
+         |    / len(regexp_split_to_array(text, '\s+')), 4) AS stopword_ratio,
+         |  round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
+         |    + 0.3 * (1.0 - len(list_filter(regexp_split_to_array(text, '\s+'),
+         |        t -> t IN ('a','the','of','and','to'))) * 1.0
+         |        / len(regexp_split_to_array(text, '\s+')))
+         |    + 0.3 * least(1.0, len(regexp_split_to_array(text, '\s+')) / 100.0), 4) AS quality_score
+         |FROM documents""".stripMargin
+
+  /** ta_langid — stopword-overlap language heuristic. Ratio of tokens
+    * hitting each language's tiny stopword list; argmax with a fixed
+    * tie-break order, 'und' when nothing matches. Expressed as pure column
+    * arithmetic so the same logic is stated verbatim in the oracle SQL.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"))
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nTok = size(toks).cast("double")
+    def ratioOf(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok
+    val rs = stopwords.map { case (lang, ws) => lang -> ratioOf(ws) }
+    val detected = rs.foldRight(lit("und")) { case ((lang, r), rest) =>
+      val isMax = rs.filter(_._1 != lang).map(o => r >= o._2).reduce(_ && _)
+      when(r > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    val best = greatest(rs.map(_._2): _*)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      detected.as("detected_lang"),
+      round(best, 4).as("confidence"))
+  }
+
+  val langIdSql: String = {
+    def r(ws: Seq[String]): String =
+      s"len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(regexp_split_to_array(text, '\\s+'))"
+    val ratios = stopwords.map { case (l, ws) => l -> r(ws) }.toMap
+    val cases = Seq("en", "de", "fr", "es").map { l =>
+      val others = ratios.filter(_._1 != l).values.map(o => s"${ratios(l)} >= $o").mkString(" AND ")
+      s"WHEN ${ratios(l)} > 0 AND $others THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS detected_lang,
+       |  round(greatest(${ratios.values.mkString(", ")}), 4) AS confidence
+       |FROM documents""".stripMargin
+  }
+
+  /** ta_fingerprint — content fingerprint: md5 over the letters-only
+    * normalization (case/punct/whitespace-insensitive identity). This is
+    * the join key for exact dedup at any scale — 16 bytes per doc.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "[^a-z]", "")).as("fp_md5"),
+      substring(md5(regexp_replace(lower(col("text")), "[^a-z]", "")), 1, 8)
+        .as("fp_prefix"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp_md5,
+      |  substr(md5(regexp_replace(lower(text), '[^a-z]', '', 'g')), 1, 8) AS fp_prefix
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  test("minhash finds exactly the exact-jaccard pairs (full recall on planted dups)") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact, s"minhash ${mh.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash catches all identical-shingle-set pairs at hamming 0") {
+    val j1 = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") === 1.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // Docs with identical token multisets have identical simhash.
+    // J=1.0 pairs share the shingle *set*; nearly all also share the
+    // multiset, so expect ≥ 80% coverage at hamming ≤ 3.
+    val covered = j1.count(sh.contains)
+    assert(covered >= (j1.size * 0.8).toInt, s"simhash covered $covered of ${j1.size}")
+  }
+
+  test("exact dedup partitions the corpus (sum of copies = total docs)") {
+    val total = graft.Tables.documents(spark, sf).count()
+    val summed = Dedup.exact(spark, sf).agg(sum("n_copies")).collect().head.getLong(0)
+    assert(summed == total)
+  }
+
+  test("embed cosine pairs are symmetric-free and above threshold") {
+    val rows = Dedup.embedCosine(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.45))
+  }
+
+  test("langid is deterministic and confident on stopword-bearing docs") {
+    val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(r1 == r2)
+    assert(r1.values.toSet.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+}
