@@ -33,7 +33,11 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.simhash _),
     "dd_embed_cosine" -> (Dedup.embedCosine _),
     "ann_topk" -> (Similarity.annTopK _),
-    "ann_ivf" -> (Similarity.annIvf _)
+    "ann_ivf" -> (Similarity.annIvf _),
+    "ev_window_agg" -> (Events.windowAgg _),
+    "ev_sessionize" -> (Events.sessionize _),
+    "ev_json" -> (Events.jsonExtract _),
+    "ev_topusers" -> (Events.topUsersPerHour _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,8 +66,12 @@ object SparkEntry {
     "dd_minhash" -> Dedup.minhashSql,
     // dd_simhash: bit-fold not SQL-expressible — driver rows-only check
     "dd_embed_cosine" -> Dedup.embedCosineSql,
-    "ann_topk" -> Similarity.annTopKSql
+    "ann_topk" -> Similarity.annTopKSql,
     // ann_ivf: approximate — driver rows-only check; recall asserted in
     // SimilaritySpec against ann_topk
+    "ev_window_agg" -> Events.windowAggSql,
+    "ev_sessionize" -> Events.sessionizeSql,
+    "ev_json" -> Events.jsonExtractSql,
+    "ev_topusers" -> Events.topUsersPerHourSql
   )
 }

@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf) and
+    * floor-divide to µs — integer division, since 2024 epoch-nanos ≈ 1.7e18
+    * exceeds double's 2^53 exact range. DuckDB's CAST(ns AS TIMESTAMP)
+    * truncates the same way, keeping oracles aligned.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

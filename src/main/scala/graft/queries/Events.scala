@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics over the `events` table, batch form. The same
+  * logic runs incrementally in graft.streaming (watermark + windowed agg,
+  * flatMapGroupsWithState sessionization); these batch versions are the
+  * oracle-checkable semantics.
+  *
+  * `ts` is nanosecond-precision in parquet; Spark truncates to µs on read,
+  * so every oracle casts DuckDB's TIMESTAMP_NS to µs TIMESTAMP first and
+  * gap arithmetic is done in whole microseconds on both sides.
+  */
+object Events {
+
+  /** ev_window_agg — tumbling 1-hour event-time windows per event type.
+    * Time-window group-by is a plain hash aggregate: partial agg map-side,
+    * one shuffle on (window, type) — no ordering requirement, scales as a
+    * normal aggregation at any volume.
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("n_users"))
+
+  val windowAggSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** ev_sessionize — 30-minute-inactivity-gap sessions per user, via the
+    * lag/flag/cumsum idiom. One shuffle on user_id serves both window
+    * functions and the final per-session aggregate (same partitioning).
+    * At scale, per-user event order comes from sortWithinPartitions inside
+    * the window exec — no global sort.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = lit(30L * 60 * 1000000)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+      |  max(us) - min(us) AS duration_us
+      |FROM numbered GROUP BY user_id, session_no""".stripMargin
+
+  /** ev_json — JSON prop extraction + aggregate: mean/extremes of props.k
+    * per event type. get_json_object is a codegen'd path expression — no
+    * UDF, no full JSON parse into a struct column.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** ev_topusers_window — rank users by hourly activity, keep top 3 per
+    * hour: window-over-aggregate composition.
+    */
+  def topUsersPerHour(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hour")).orderBy(col("n_events").desc, col("user_id"))
+    hourly.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("hour"), col("user_id"), col("n_events"), col("rnk"))
+  }
+
+  val topUsersPerHourSql: String =
+    """SELECT hour, user_id, n_events, rnk FROM (
+      |  SELECT hour, user_id, n_events,
+      |    CAST(row_number() OVER (PARTITION BY hour ORDER BY n_events DESC, user_id) AS INT) AS rnk
+      |  FROM (
+      |    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id, count(*) AS n_events
+      |    FROM events GROUP BY 1, 2) h) t
+      |WHERE rnk <= 3""".stripMargin
+}

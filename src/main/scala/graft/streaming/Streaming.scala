@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed view of an `events` row for streaming pipelines. Instant keeps the
+  * full µs precision of the batch column.
+  */
+case class Event(event_id: Long, ts: Instant, user_id: Long,
+                 event_type: String, value: Double)
+
+/** One closed user session (timestamps in epoch micros for exact parity
+  * with the batch Events.sessionize output).
+  */
+case class Session(user_id: Long, start_us: Long, end_us: Long,
+                   n_events: Long, sum_value: Double, duration_us: Long)
+
+/** Open-session state carried between triggers per user. */
+case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+
+/** Structured Streaming forms of the Events queries. The reference engine
+  * has no streaming at all (SURVEY.md §2.3) — this is extension surface:
+  * event-time windows + watermarks for the windowed agg, and
+  * flatMapGroupsWithState with an event-time timeout for sessionization
+  * (state per user = one open session, O(users) state, unbounded input).
+  */
+object Streaming {
+
+  val GapUs: Long = 30L * 60 * 1000000
+  private val GapMs: Long = GapUs / 1000
+
+  /** Incremental tumbling-window aggregation. The 1-hour watermark bounds
+    * state: windows older than watermark-1h are finalized and dropped.
+    * (countDistinct is not incrementally computable — the batch form's
+    * n_users column is approx_count_distinct here.)
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("n_users_approx"))
+
+  private def us(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  /** Per-trigger session update: merge state with the batch's events for
+    * this user, emit every session closed by a gap, keep the trailing open
+    * session in state with an event-time timeout at last+gap.
+    */
+  def updateSessions(userId: Long, events: Iterator[Event],
+                     state: GroupState[SessionState]): Iterator[Session] = {
+    def close(s: SessionState): Session =
+      Session(userId, s.start_us, s.last_us, s.n, s.sum, s.last_us - s.start_us)
+
+    if (events.isEmpty) {
+      // Timeout fired: watermark passed last+gap, the open session is final.
+      if (state.hasTimedOut && state.exists) {
+        val out = close(state.get)
+        state.remove()
+        Iterator.single(out)
+      } else Iterator.empty
+    } else {
+      val sorted = events.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var open: Option[SessionState] = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        open match {
+          case Some(s) if t - s.last_us > GapUs =>
+            closed += close(s)
+            open = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            open = Some(SessionState(s.start_us, math.max(s.last_us, t),
+              s.n + 1, s.sum + e.value))
+          case None =>
+            open = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      val s = open.get
+      state.update(s)
+      state.setTimeoutTimestamp(s.last_us / 1000 + GapMs)
+      closed.result().iterator
+    }
+  }
+
+  /** Streaming sessionization: emits each session exactly once, when it is
+    * closed by a later event or by the event-time timeout.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(
+        updateSessions)
+  }
+}

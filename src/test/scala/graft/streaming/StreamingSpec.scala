@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.queries.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ↔ batch parity: the streaming pipelines must produce exactly
+  * the batch results once the watermark passes all data (the streaming
+  * analogue of the reference's differential harness, SURVEY.md §5).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def loadEvents(): Seq[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("streaming windowed agg equals batch on a closed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    stream.addData(events)
+    val q = Streaming.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("win_agg")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = Events.windowAgg(spark, sf)
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("streaming sessionization equals batch sessionize after watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts).max
+    // Sentinel event for a user id outside the real range, 12h after the
+    // last real event: advances the watermark past every open session's
+    // timeout so all real sessions emit.
+    val sentinel = Event(-1L, maxTs.plusSeconds(12 * 3600), -999L, "sentinel", 0.0)
+
+    val stream = MemoryStream[Event]
+    val q = Streaming.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // One more empty-ish trigger so timeouts scheduled at the new
+      // watermark fire.
+      stream.addData(Seq(sentinel.copy(event_id = -2L, ts = sentinel.ts.plusSeconds(3600))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id != -999L)
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events,
+        math.round(s.sum_value * 100).toDouble / 100, s.duration_us)).toSet
+
+    val want = Events.sessionize(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("sum_value"),
+        col("duration_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+
+    assert(got.size == want.size, s"session count ${got.size} != ${want.size}")
+    assert(got == want)
+  }
+}
