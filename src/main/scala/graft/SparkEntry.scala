@@ -37,7 +37,10 @@ object SparkEntry {
     "ev_window_agg" -> (Events.windowAgg _),
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
-    "ev_topusers" -> (Events.topUsersPerHour _)
+    "ev_topusers" -> (Events.topUsersPerHour _),
+    "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
+    "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
+    "mm_features" -> (graft.multimodal.Multimodal.features _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,6 +75,10 @@ object SparkEntry {
     "ev_window_agg" -> Events.windowAggSql,
     "ev_sessionize" -> Events.sessionizeSql,
     "ev_json" -> Events.jsonExtractSql,
-    "ev_topusers" -> Events.topUsersPerHourSql
+    "ev_topusers" -> Events.topUsersPerHourSql,
+    "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
+    "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql
+    // mm_features: stubbed binary decode — driver rows-only check;
+    // determinism + batch shape asserted in MultimodalSpec
   )
 }

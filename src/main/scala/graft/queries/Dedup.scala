@@ -188,20 +188,11 @@ object Dedup {
 
   // --- Embedding near-dup ---------------------------------------------------
 
-  /** Cosine similarity of two float-vector columns, computed in double in
-    * index order (matches DuckDB's list_cosine_similarity over DOUBLE[]).
+  /** Cosine similarity of two float-vector columns — native codegen'd
+    * expressions (graft.functions), double accumulation in index order
+    * (matches DuckDB's list_cosine_similarity over DOUBLE[]).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
-
-  /** Dot product of two double-array columns (index-order summation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def cosine(a: Column, b: Column): Column = graft.functions.vec.cosine(a, b)
 
   /** dd_embed_cosine — near-dup pairs by embedding cosine ≥ 0.45. All-pairs
     * here (the oracle-checkable form); the bucketed scale path is
@@ -212,15 +203,14 @@ object Dedup {
     */
   def embedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(
-      col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("emb"))
-      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", graft.functions.vec.l2norm(col("emb")))
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cs", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cs", graft.functions.vec.dot(col("emb_a"), col("emb_b"))
+        / (col("nrm_a") * col("nrm_b")))
       .filter(col("cs") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
   }

@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+
+  test("media table has opaque payloads with typed metadata") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val row = m.filter(col("kind") === "image").head()
+    assert(row.getAs[Array[Byte]]("payload").nonEmpty)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") >= 64)
+    assert(m.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is deterministic and batch-shaped") {
+    val f1 = Multimodal.features(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val f2 = Multimodal.features(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(f1 == f2, "stub decode must be deterministic")
+    assert(f1.values.forall(_.length == 8))
+    // payload bytes actually flowed through (nonzero features)
+    assert(f1.values.exists(_.exists(_ > 0f)))
+  }
+
+  test("resize preserves payload and shrinks only oversized images") {
+    val r = Multimodal.resize(spark, sf).collect()
+    r.foreach { row =>
+      val w = row.getAs[Int]("new_width"); val h = row.getAs[Int]("new_height")
+      assert(w <= 128 && h <= 128)
+      assert(row.getAs[Array[Byte]]("payload").nonEmpty)
+    }
+  }
+
+  test("frame count equals ceil(duration/stride) per video") {
+    val counts = Multimodal.frameSample(spark, sf)
+      .groupBy("media_id", "duration_ms").count().collect()
+    counts.foreach { row =>
+      val expected = (row.getLong(1) + 999) / 1000
+      assert(row.getLong(2) == expected,
+        s"media ${row.getLong(0)}: ${row.getLong(2)} frames != $expected")
+    }
+    assert(counts.nonEmpty)
+  }
+}
