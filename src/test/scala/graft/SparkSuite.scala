@@ -13,8 +13,11 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
+    // local[4, 2]: 4 threads, maxFailures=2 — lets ChaosSpec exercise the
+    // task-retry contract (reference: 10 s deadline re-execution,
+    // mr/coordinator.go:141-154) without a second SparkContext.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
