@@ -38,6 +38,7 @@ object SparkEntry {
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
     "ev_topusers" -> (Events.topUsersPerHour _),
+    "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
     "mm_features" -> (graft.multimodal.Multimodal.features _)
@@ -76,6 +77,7 @@ object SparkEntry {
     "ev_sessionize" -> Events.sessionizeSql,
     "ev_json" -> Events.jsonExtractSql,
     "ev_topusers" -> Events.topUsersPerHourSql,
+    "q14_asof" -> graft.operators.AsOfJoin.querySql,
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql
     // mm_features: stubbed binary decode — driver rows-only check;

@@ -115,13 +115,17 @@ object Dedup {
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
     val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
     val hashed = sh.select(col("doc_id"), h)
-    val minhashAggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"mh_$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(minhashAggs.head, minhashAggs.tail: _*)
-    // Band key: hash of the band's 4 signature values.
+    // One-pass signature via the custom TypedImperativeAggregate — the
+    // whole 64-perm signature is a single buffer update per row and ONE
+    // array value across the shuffle (vs 64 separate min-agg slots).
+    // (a*h+b)%p on positive operands == pmod, so signatures are identical
+    // to the column-wise formulation.
+    val sigs = hashed.groupBy(col("doc_id")).agg(
+      graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"))
+    // Band key: hash of the band's 4 signature values (element_at is
+    // 1-indexed).
     val bands = (0 until NumPerms / BandRows).map { bnd =>
-      val cols = (0 until BandRows).map(r => col(s"mh_${bnd * BandRows + r}"))
+      val cols = (0 until BandRows).map(r => element_at(col("sig"), bnd * BandRows + r + 1))
       struct(lit(bnd).as("band"),
         xxhash64(cols: _*).as("bh"))
     }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale techniques the 100 TB deployment leans on, demonstrated and
+  * asserted on the local engine: bucketed co-located joins (no shuffle at
+  * join time) and salted aggregation for skewed keys (identical results,
+  * bounded per-key partition load).
+  */
+class ScaleTechniquesSpec extends SparkSuite {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // (warehouse dir is a temp dir — set at session build; static conf)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    // Force the sort-merge path (at real scale both sides are fact-sized
+    // and broadcast is off the table anyway).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans, got:\n$plan")
+
+      // and it's still correct:
+      val expected = Tables.lineitem(spark, sf).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    // l_returnflag has ~3 distinct values over 60k rows at sf0.01 — maximal
+    // skew for a groupBy. Salting: shard each hot key 16 ways, aggregate
+    // partials, then merge shards. Required when a single key's partial
+    // state exceeds one executor (e.g. collect_list-style aggregates).
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("ps")).as("s"), sum(col("pn")).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6 * math.abs(s),
+        s"salted sum for $k drifted: $s vs ${direct(k)._1}")
+    }
+  }
+
+  test("AQE coalesces the tiny post-shuffle partitions") {
+    val df = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(sum(col("l_quantity")))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
+      s"expected AQE coalesced shuffle read in:\n$finalPlan")
+  }
+}

@@ -18,6 +18,8 @@ object SparkSuite {
     // mr/coordinator.go:141-154) without a second SparkContext.
     val s = SparkSession.builder()
       .master("local[4, 2]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
