@@ -38,6 +38,8 @@ object SparkEntry {
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
     "ev_topusers" -> (Events.topUsersPerHour _),
+    "q15_range_join" -> (Events.rangeJoin _),
+    "q16_sketch" -> (Events.approxSketch _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
@@ -77,6 +79,9 @@ object SparkEntry {
     "ev_sessionize" -> Events.sessionizeSql,
     "ev_json" -> Events.jsonExtractSql,
     "ev_topusers" -> Events.topUsersPerHourSql,
+    "q15_range_join" -> Events.rangeJoinSql,
+    // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
+
     "q14_asof" -> graft.operators.AsOfJoin.querySql,
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql

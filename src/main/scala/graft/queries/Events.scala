@@ -127,4 +127,58 @@ object Events {
       |    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id, count(*) AS n_events
       |    FROM events GROUP BY 1, 2) h) t
       |WHERE rnk <= 3""".stripMargin
+
+  /** q15_range_join — equi-key + time-range join: per user, count events in
+    * the 7 days after each of their first 3 orders (row_number pre-filter
+    * keeps the build side tiny). The equi key (user_id) makes this a
+    * SortMergeJoin with a residual range predicate — never the
+    * nested-loop/cartesian a pure inequality join degenerates to; the range
+    * only multiplies matches within a user's partition.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val recentOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 150) // events cover users 0..149
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("odate"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+    recentOrders.join(ev,
+      col("user_id") === col("o_custkey")
+        && col("ts") >= col("odate")
+        && col("ts") < col("odate") + expr("INTERVAL 7 DAYS"),
+      "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("odate"))
+      .agg(count(col("ts")).as("n_events_within_7d"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH recent AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate AS odate FROM (
+      |    SELECT o_orderkey, o_custkey, o_orderdate,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      |    FROM orders WHERE o_custkey < 150) t
+      |  WHERE rn <= 3)
+      |SELECT o_orderkey, o_custkey, odate, count(e.ts) AS n_events_within_7d
+      |FROM recent r LEFT JOIN events e
+      |  ON e.user_id = r.o_custkey
+      |  AND CAST(e.ts AS TIMESTAMP) >= r.odate
+      |  AND CAST(e.ts AS TIMESTAMP) < r.odate + INTERVAL 7 DAY
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q16_sketch — approximate distinct-user sketch per event type
+    * (HyperLogLog++, rsd 5%). Mergeable across partitions — the sketch, not
+    * the user set, crosses the shuffle. No SQL oracle (approx); EventsSpec
+    * bounds the error against the exact count.
+    */
+  def approxSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        count(lit(1)).as("n"))
 }

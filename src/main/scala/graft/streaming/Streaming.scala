@@ -46,6 +46,16 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("n_users_approx"))
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped with bounded state (ids older than the
+    * watermark are evicted — the streaming form of dd_exact for an
+    * at-least-once ingest pipeline).
+    */
+  def dedupeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   private def us(i: Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
 

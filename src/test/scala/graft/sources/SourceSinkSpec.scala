@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink format coverage beyond the reference's whole-file text
+  * (SURVEY.md §2.3 "absent" category): CSV and JSON-lines round-trips
+  * preserve values and schema; both formats are the standard interchange
+  * edges of a training-data pipeline.
+  */
+class SourceSinkSpec extends SparkSuite {
+
+  private def roundTrip(fmt: String): Unit = {
+    val out = Files.createTempDirectory(s"graft-$fmt").toString
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite")
+      .option("header", "true")
+      .format(fmt).save(out)
+    val back = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .format(fmt).load(out)
+    // Field order and integer width differ by format (JSON: alphabetical
+    // fields, numbers as bigint) — compare by name over normalized types.
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(norm(src) == norm(back), s"$fmt round-trip changed data")
+  }
+
+  test("csv round-trip") { roundTrip("csv") }
+  test("json-lines round-trip") { roundTrip("json") }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sf)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(out)
+    val one = spark.read.parquet(out).filter(col("status") === "O")
+    val plan = one.queryExecution.executedPlan.toString
+    // Partition pruning: the scan's partition filter carries the predicate.
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+      s"expected partition pruning in:\n$plan")
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O").count()
+    assert(one.count() == expected)
+  }
+}

@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming dedup drops in-watermark duplicates exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().take(2000)
+    val dupes = events.take(500) // re-deliver 500 of them (at-least-once)
+    val stream = MemoryStream[Event]
+    val q = Streaming.dedupeStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      stream.addData(dupes)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").count()
+    assert(got == events.length,
+      s"expected ${events.length} unique events, got $got")
+  }
+
   test("streaming sessionization equals batch sessionize after watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
