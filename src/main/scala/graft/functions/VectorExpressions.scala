@@ -140,11 +140,14 @@ object vec {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Register vec_dot / vec_l2norm for SQL callers. */
+  /** Register vec_dot / vec_l2norm / word_shingles for SQL callers. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_l2norm", exprs => L2Norm(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
   }
 }

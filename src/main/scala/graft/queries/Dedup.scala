@@ -47,11 +47,9 @@ object Dedup {
     */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 3))
+          .as("shingle"))
       .distinct()
 
   private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {

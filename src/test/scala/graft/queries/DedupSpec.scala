@@ -27,6 +27,22 @@ class DedupSpec extends SparkSuite {
     assert(covered >= (j1.size * 0.8).toInt, s"simhash covered $covered of ${j1.size}")
   }
 
+  test("WordShingles expression matches the HOF split+transform formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val viaHof = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3, expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise(expr("array()")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaExpr == viaHof)
+  }
+
   test("exact dedup partitions the corpus (sum of copies = total docs)") {
     val total = graft.Tables.documents(spark, sf).count()
     val summed = Dedup.exact(spark, sf).agg(sum("n_copies")).collect().head.getLong(0)
