@@ -40,6 +40,9 @@ object SparkEntry {
     "ev_topusers" -> (Events.topUsersPerHour _),
     "q15_range_join" -> (Events.rangeJoin _),
     "q16_sketch" -> (Events.approxSketch _),
+    "q17_percentile" -> (Relational.q17Percentile _),
+    "q18_pivot" -> (Relational.q18Pivot _),
+    "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
@@ -81,6 +84,9 @@ object SparkEntry {
     "ev_topusers" -> Events.topUsersPerHourSql,
     "q15_range_join" -> Events.rangeJoinSql,
     // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
+    "q17_percentile" -> Relational.q17PercentileSql,
+    "q18_pivot" -> Relational.q18PivotSql,
+    "dd_editdist" -> Dedup.editDistanceSql,
 
     "q14_asof" -> graft.operators.AsOfJoin.querySql,
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,

@@ -223,6 +223,52 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
   }
 
+  /** dd_editdist — Levenshtein verification over the near-dup candidate
+    * pairs: edit distance + length-normalized similarity. The expensive
+    * O(len²) distance only ever runs on the ~|pairs| rows the Jaccard
+    * stage produced, never all-pairs — the standard funnel shape.
+    */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pairs = ngramJaccard(spark, sfDir)
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double")
+          / greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4)
+          .as("edit_sim"))
+  }
+
+  val editDistanceSql: String =
+    raw"""WITH tok AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+             |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |            for i in generate_series(1, len(w)-2)]) AS shingle
+             |  FROM tok),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+             |  FROM common
+             |  JOIN sizes sa ON doc_a = sa.doc_id
+             |  JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+             |SELECT p.doc_a, p.doc_b, p.jaccard,
+             |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+             |  round(1.0 - levenshtein(da.text, db.text) * 1.0
+             |    / greatest(length(da.text), length(db.text)), 4) AS edit_sim
+             |FROM pairs p
+             |JOIN documents da ON p.doc_a = da.doc_id
+             |JOIN documents db ON p.doc_b = db.doc_id""".stripMargin
+
   val embedCosineSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

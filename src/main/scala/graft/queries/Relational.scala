@@ -329,4 +329,47 @@ object Relational {
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2""".stripMargin
+
+  /** q17_percentile — exact interpolated percentiles per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). Exact percentiles need the
+    * group's values gathered — at 100 TB switch to approx_percentile
+    * (t-digest, mergeable) unless exactness is contractual.
+    */
+  def q17Percentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))
+  }
+
+  val q17PercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q18_pivot — day × event_type count matrix. Explicit pivot values keep
+    * the schema static (a values-discovery pivot is two jobs); na.fill
+    * matches the oracle's FILTER-count zeros.
+    */
+  def q18Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+  }
+
+  val q18PivotSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
 }
