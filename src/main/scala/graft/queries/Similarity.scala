@@ -27,19 +27,31 @@ object Similarity {
   private val K = 5
   private val NProbe = 5
 
+  /** Corpus with the L2 norm computed once per vector — every downstream
+    * pair evaluation is then a single dot product (norm-per-pair triples
+    * the array passes across |Q|·N pairs).
+    */
+  private def normed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      graft.functions.vec.l2norm(col("embedding")).as("nrm"))
+
+  private def pairCosine: org.apache.spark.sql.Column =
+    graft.functions.vec.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
+
   /** Deterministic query set: every 50th vector. */
   private def queries(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    normed(e).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
 
   /** ann_topk — exact brute-force top-5 cosine neighbors per query. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val q = queries(e)
+    val e = normed(Tables.embeddings(spark, sfDir))
+    val q = queries(Tables.embeddings(spark, sfDir))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cs_raw").desc, col("vec_id"))
     broadcast(q).join(e, col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("cs_raw", pairCosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -64,32 +76,36 @@ object Similarity {
     * asserts recall@5 against ann_topk.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = normed(Tables.embeddings(spark, sfDir))
     val cents = e.filter(col("vec_id") % 47 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    def centCosine = graft.functions.vec.dot(col("embedding"), col("cent_emb")) /
+      (col("nrm") * col("cent_nrm"))
     // Assignment pass: nearest centroid per corpus vector (broadcast C).
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccs").desc, col("cent_id"))
     val assigned = e.join(broadcast(cents))
-      .withColumn("ccs", Dedup.cosine(col("embedding"), col("cent_emb")))
+      .withColumn("ccs", centCosine)
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
     // Query probing: nprobe nearest cells per query.
-    val q = queries(e)
+    val q = queries(Tables.embeddings(spark, sfDir))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("qcs").desc, col("cent_id"))
     val probed = q.join(broadcast(cents))
-      .withColumn("qcs", Dedup.cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
+        / (col("q_nrm") * col("cent_nrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
     // Search within probed cells only.
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cs_raw").desc, col("vec_id"))
     broadcast(probed).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("cs_raw", pairCosine)
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),

@@ -31,6 +31,24 @@ object Streaming {
   val GapUs: Long = 30L * 60 * 1000000
   private val GapMs: Long = GapUs / 1000
 
+  /** The `events` table as a file stream: same ns→µs handling as the batch
+    * loader (Tables.events), schema pinned from a batch read (streaming
+    * sources never infer). In production this is a growing directory or a
+    * Kafka topic — the downstream pipelines are identical.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // File streams require a directory: stream the sf dir filtered to the
+    // events file (a real deployment streams a dedicated directory/topic).
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+
   /** Incremental tumbling-window aggregation. The 1-hour watermark bounds
     * state: windows older than watermark-1h are finalized and dropped.
     * (countDistinct is not incrementally computable — the batch form's

@@ -39,6 +39,22 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("file-stream source: windowed agg over the parquet stream equals batch") {
+    val q = Streaming.windowedAgg(Streaming.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("file_win_agg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_win_agg")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = Events.windowAgg(spark, sf)
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
   test("streaming dedup drops in-watermark duplicates exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
