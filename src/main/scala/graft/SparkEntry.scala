@@ -27,6 +27,7 @@ object SparkEntry {
     "ta_quality" -> (TextAnalysis.quality _),
     "ta_langid" -> (TextAnalysis.langId _),
     "ta_fingerprint" -> (TextAnalysis.fingerprint _),
+    "ta_profile" -> (TextAnalysis.profile _),
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dd_minhash" -> (Dedup.minhash _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "ta_quality" -> TextAnalysis.qualitySql,
     "ta_langid" -> TextAnalysis.langIdSql,
     "ta_fingerprint" -> TextAnalysis.fingerprintSql,
+    "ta_profile" -> TextAnalysis.profileSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_minhash" -> Dedup.minhashSql,

@@ -116,6 +116,34 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** ta_profile — column-level data profiling of the documents table:
+    * null/distinct/extremes per column in ONE scan (every stat is an
+    * algebraic aggregate, so this is a single partial+final hash agg
+    * regardless of table size — the standard pre-ingest quality gate).
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("text")).as("text_nonnull"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      countDistinct(col("source")).as("source_distinct"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      round(avg(col("n_chars")), 4).as("avg_chars"),
+      min(length(col("text"))).as("min_len"),
+      max(length(col("text"))).as("max_len"))
+
+  val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(text) AS text_nonnull,
+      |  count(DISTINCT lang) AS lang_distinct,
+      |  count(DISTINCT source) AS source_distinct,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  CAST(min(length(text)) AS INT) AS min_len,
+      |  CAST(max(length(text)) AS INT) AS max_len
+      |FROM documents""".stripMargin
+
   /** ta_fingerprint — content fingerprint: md5 over the letters-only
     * normalization (case/punct/whitespace-insensitive identity). This is
     * the join key for exact dedup at any scale — 16 bytes per doc.

@@ -65,6 +65,34 @@ class ScaleTechniquesSpec extends SparkSuite {
     }
   }
 
+  test("salted join equals direct join on a skewed key") {
+    // Skewed build side: every lineitem row joins l_returnflag (3 hot
+    // keys). Salting a join = replicate the small side per salt shard so
+    // each hot key's probe rows spread over 16 partitions.
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_quantity"))
+    val dim = spark.createDataFrame(Seq(
+      ("A", "returned"), ("N", "normal"), ("R", "refused")))
+      .toDF("flag", "label")
+
+    val direct = li.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy(col("label")).agg(sum(col("l_quantity")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val salts = spark.range(16).select(col("id").cast("int").as("salt"))
+    val dimSalted = dim.crossJoin(salts)
+    val liSalted = li.withColumn("salt",
+      (pmod(col("l_quantity").cast("int") + length(col("l_returnflag")), lit(16))).cast("int"))
+    val salted = liSalted.join(dimSalted,
+      col("l_returnflag") === col("flag") && liSalted("salt") === dimSalted("salt"))
+      .groupBy(col("label")).agg(sum(col("l_quantity")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, s) =>
+      assert(math.abs(s - direct(k)) < 1e-6 * math.abs(s), s"$k drifted")
+    }
+  }
+
   test("AQE coalesces the tiny post-shuffle partitions") {
     val df = Tables.lineitem(spark, sf)
       .groupBy(col("l_partkey")).agg(sum(col("l_quantity")))
