@@ -168,15 +168,10 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s_$b")
-    }
-    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    // One-pass signature via the custom TypedImperativeAggregate (bit-for-
+    // bit identical to the 64-column sum(when(...)) formulation).
+    val sigs = toks.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashSig(col("th")).as("simhash"))
     val chunks = (0 until 4).map { cIdx =>
       struct(lit(cIdx).as("ci"),
         shiftrightunsigned(col("simhash"), cIdx * 16).bitwiseAND(lit(0xffffL)).as("cv"))

@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression net: the properties that make these queries
+  * survive a 100× scale-up, asserted so a refactor can't silently
+  * reintroduce a shuffle join, a global sort, or a full-column scan.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to parquet, partial aggregation present") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("q2_join: dimension chain is all broadcast joins, no shuffle join") {
+    val p = plan("q2_join")
+    assert(p.split("BroadcastHashJoin").length - 1 == 4, s"expected 4 BHJs:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"unexpected shuffle join:\n$p")
+  }
+
+  test("q3_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+  }
+
+  test("q15_range_join: equi-key keeps it a sort-merge join, never nested-loop") {
+    val p = plan("q15_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash/merge join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("q9_scalar: scan reads only referenced columns") {
+    val p = plan("q9_scalar")
+    // 4 of orders' 6 columns are referenced; o_custkey must be pruned.
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_custkey"), s"column pruning failed:\n$p")
+  }
+
+  test("wc_wordcount: two-phase aggregate (combiner the reference lacks)") {
+    val p = plan("wc_wordcount")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("ann_topk: query side broadcast, no shuffle of the corpus") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+}
