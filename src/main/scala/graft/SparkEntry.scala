@@ -39,6 +39,7 @@ object SparkEntry {
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
     "ev_topusers" -> (Events.topUsersPerHour _),
+    "ev_attribution" -> (Events.attribution _),
     "q15_range_join" -> (Events.rangeJoin _),
     "q16_sketch" -> (Events.approxSketch _),
     "q17_percentile" -> (Relational.q17Percentile _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "ev_sessionize" -> Events.sessionizeSql,
     "ev_json" -> Events.jsonExtractSql,
     "ev_topusers" -> Events.topUsersPerHourSql,
+    "ev_attribution" -> Events.attributionSql,
     "q15_range_join" -> Events.rangeJoinSql,
     // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
     "q17_percentile" -> Relational.q17PercentileSql,

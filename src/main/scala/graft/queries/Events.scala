@@ -170,6 +170,45 @@ object Events {
       |  AND CAST(e.ts AS TIMESTAMP) < r.odate + INTERVAL 7 DAY
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** ev_attribution — click→purchase attribution: for each purchase, the
+    * number of clicks by the same user in the preceding hour. Equi-key on
+    * user + time-range residual (same shape as q15). The streaming twin is
+    * Streaming.attributionJoin (stream-stream join with watermarked state).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") < col("p_ts"),
+      "left")
+      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"),
+        col("p_ts"), col("purchase_value"))
+      .agg(count(col("c_ts")).as("clicks_1h_before"))
+      .select(col("purchase_id"), col("user_id"),
+        round(col("purchase_value"), 2).as("purchase_value"),
+        col("clicks_1h_before"))
+  }
+
+  val attributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT purchase_id, p.user_id, round(p.value, 2) AS purchase_value,
+      |  count(c.c_ts) AS clicks_1h_before
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** q16_sketch — approximate distinct-user sketch per event type
     * (HyperLogLog++, rsd 5%). Mergeable across partitions — the sketch, not
     * the user set, crosses the shuffle. No SQL oracle (approx); EventsSpec

@@ -74,6 +74,26 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to same-user clicks in
+    * the preceding hour. Both sides watermarked 2h — the join buffers each
+    * side's rows only until the watermark passes the interval bound, so
+    * state is bounded by (arrival skew + 1h) of traffic, not the stream.
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") < col("p_ts"),
+      "inner")
+  }
+
   private def us(i: Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
 

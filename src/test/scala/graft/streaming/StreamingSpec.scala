@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSuite {
       s"expected ${events.length} unique events, got $got")
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val q = Streaming.attributionJoin(stream.toDF())
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_join")
+      .groupBy("purchase_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Batch truth: inner pairs per purchase (left-join zeros excluded).
+    val want = Events.attribution(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("clicks_1h_before") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want, s"stream join sizes ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming sessionization equals batch sessionize after watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
