@@ -4,7 +4,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("explain", "local[4]", 4)
     val sf = "/root/testdata/sf0.01"
-    for (name <- Seq("q1_agg", "q2_join", "q3_topk", "dd_embed_cosine", "ann_ivf")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q2_join", "q3_topk", "dd_embed_cosine", "ann_ivf",
+        "dd_minhash", "q14_asof", "q15_range_join", "ev_attribution")
+    for (name <- names) {
       println(s"===== $name =====")
       SparkEntry.queries(name)(spark, sf).explain("formatted")
     }
