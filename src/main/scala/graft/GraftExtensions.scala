@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, L2Norm, WordShingles}
+
+/** SparkSessionExtensions hook: registers graft's native expressions as
+  * SQL functions at session build (`.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions`), so pure-SQL users get
+  * them without any Scala call. This is the standard extension-injection
+  * point — the same mechanism a custom Rule[LogicalPlan] or Strategy would
+  * use if a later operator needs one (none does yet: SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("vec_l2norm"),
+      info("vec_l2norm", "vec_l2norm(a) - L2 norm of a float/double array"),
+      (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - n-word shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        })))
+  }
+}

@@ -43,6 +43,7 @@ object SparkEntry {
     "q15_range_join" -> (Events.rangeJoin _),
     "q16_sketch" -> (Events.approxSketch _),
     "q17_percentile" -> (Relational.q17Percentile _),
+    "q19_setops_all" -> (Relational.q19SetOpsAll _),
     "q18_pivot" -> (Relational.q18Pivot _),
     "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q15_range_join" -> Events.rangeJoinSql,
     // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
     "q17_percentile" -> Relational.q17PercentileSql,
+    "q19_setops_all" -> Relational.q19SetOpsAllSql,
     "q18_pivot" -> Relational.q18PivotSql,
     "dd_editdist" -> Dedup.editDistanceSql,
 

@@ -200,6 +200,34 @@ object Relational {
       |  SELECT s_nationkey AS nationkey FROM supplier
       |  EXCEPT SELECT c_nationkey FROM customer)""".stripMargin
 
+  /** q19_setops_all — bag-semantics set operations (INTERSECT ALL /
+    * EXCEPT ALL keep duplicate multiplicity, unlike q7's set semantics).
+    */
+  def q19SetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val custN = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val suppN = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val interAll = custN.intersectAll(suppN)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("intersect_all"))
+    val exceptAll = custN.exceptAll(suppN)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+    interAll.unionByName(exceptAll).select(col("tag"), col("nationkey"), col("n"))
+  }
+
+  val q19SetOpsAllSql: String =
+    """SELECT 'intersect_all' AS tag, nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+      |GROUP BY nationkey
+      |UNION ALL
+      |SELECT 'except_all', nationkey, count(*) FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) t2
+      |GROUP BY nationkey""".stripMargin
+
   /** q8_rollup — hierarchical aggregation. Grouping-null keys are folded to
     * 'ALL' so the oracle hash never depends on engine null-sort order.
     */
