@@ -114,8 +114,22 @@ object Dedup {
   }
 
   /** dd_minhash — LSH-banded near-dup detection, exact-verified. */
-  def minhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+  def minhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashFrom(shingles(spark, sfDir))
+
+  /** The 100 TB shape of dd_minhash: shingles are materialized ONCE to a
+    * staging location at corpus-ingest time, and both the signature pass
+    * and the verification pass read the staged table instead of
+    * recomputing the tokenize→shingle→distinct subtree per consumer
+    * branch. Output is identical to `minhash` (DedupSpec asserts it).
+    */
+  def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame = {
+    val staged = s"$stagingDir/shingles.parquet"
+    shingles(spark, sfDir).write.mode("overwrite").parquet(staged)
+    minhashFrom(spark.read.parquet(staged))
+  }
+
+  private def minhashFrom(sh: DataFrame): DataFrame = {
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
     val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
     val hashed = sh.select(col("doc_id"), h)

@@ -69,6 +69,35 @@ class MRJobSpec extends SparkSuite {
     assert(MRApps.tokenize("123 456").toSeq == Seq())
   }
 
+  test("crash analogue: first-attempt task failure still yields golden wc output") {
+    // Port of test-mr.sh:270-317 (crash.so): tasks die mid-flight, the job
+    // must still byte-match the no-crash oracle. Deterministic injection —
+    // every partition's first attempt throws (heavier than the reference's
+    // ~33% random exits); local[4,2] retries make the job complete.
+    val attempted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val crashingMap: (String, String) => Seq[KV] = (doc, contents) => {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && attempted.add(tc.partitionId())) {
+        throw new RuntimeException("injected crash (crash.go analogue)")
+      }
+      MRApps.wcMap(doc, contents)
+    }
+    val got = MRJob.run(spark, corpus, 10, crashingMap, MRApps.wcReduce)
+      .collect().toSeq.map(kv => (kv.key, kv.value)).sorted
+    val want = sequential(corpus, MRApps.wcMap, MRApps.wcReduce).sorted
+    assert(got == want, "crash-retried output must equal the sequential oracle")
+  }
+
+  test("nReduce controls output partition count (mr-out-<r> parity)") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("mrout-n").toString
+    MRJob.runToText(spark, corpus.take(2), 10, MRApps.wcMap, MRApps.wcReduce, out)
+    val parts = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString)
+      .count(f => f.startsWith("part-") && !f.endsWith(".crc"))
+    assert(parts == 10, s"expected 10 output partitions (nReduce), got $parts")
+  }
+
   test("runToText writes reference line format 'key value'") {
     val out = Files.createTempDirectory("mrout").toString
     MRJob.runToText(spark, corpus.take(1), 3, MRApps.wcMap, MRApps.wcReduce, out)

@@ -27,6 +27,17 @@ class DedupSpec extends SparkSuite {
     assert(covered >= (j1.size * 0.8).toInt, s"simhash covered $covered of ${j1.size}")
   }
 
+  test("staged minhash (materialized shingles) equals the lazy pipeline") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val lazyPairs = Dedup.minhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stagedPairs = Dedup.minhashStaged(spark, sf, staging)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stagedPairs == lazyPairs)
+    assert(new java.io.File(s"$staging/shingles.parquet").exists,
+      "staging table must be materialized")
+  }
+
   test("WordShingles expression matches the HOF split+transform formulation") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf).limit(100)
