@@ -35,6 +35,7 @@ object SparkEntry {
     "dd_embed_cosine" -> (Dedup.embedCosine _),
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ev_window_agg" -> (Events.windowAgg _),
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),

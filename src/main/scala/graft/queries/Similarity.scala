@@ -70,6 +70,51 @@ object Similarity {
        |  WHERE q.vec_id % 50 = 0) t
        |WHERE rank <= $K""".stripMargin
 
+  /** ann_ivf_kmeans — IVF with TRAINED coarse centroids: MLlib KMeans
+    * (cosine distance, fixed seed, 5 Lloyd iterations) instead of sampled
+    * corpus vectors. The "query" includes index build — honest for the
+    * bench, and at 100 TB the model trains on a sample once per ingest and
+    * is broadcast. k scales as N/48 (matching ann_ivf's sampling density).
+    * Approximate → rows-only; SimilaritySpec asserts recall ≥ the sampled
+    * variant's floor.
+    */
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val raw = Tables.embeddings(spark, sfDir)
+    val n = raw.count()
+    val k = math.max(8, (n / 48).toInt)
+    val withVec = raw.withColumn("features",
+      array_to_vector(transform(col("embedding"), _.cast("double"))))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setDistanceMeasure("cosine").fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("prediction").as("cell"), col("vec_id"), col("embedding"),
+        graft.functions.vec.l2norm(col("embedding")).as("nrm"))
+    val cents = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      .toDF("cent_id", "cent_emb")
+      .withColumn("cent_nrm", graft.functions.vec.l2norm(col("cent_emb")))
+    val q = queries(Tables.embeddings(spark, sfDir))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcs").desc, col("cent_id"))
+    val probed = q.join(broadcast(cents))
+      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
+        / (col("q_nrm") * col("cent_nrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs_raw").desc, col("vec_id"))
+    broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cs_raw", pairCosine)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cs_raw"), 6).as("cs"))
+  }
+
   /** ann_ivf — IVF-style ANN. Coarse centroids are corpus vectors sampled
     * deterministically (every 47th), so centroid count scales with the
     * corpus. Approximate → no SQL oracle (driver rows-only); SimilaritySpec

@@ -31,4 +31,18 @@ class SimilaritySpec extends SparkSuite {
     info(f"mean recall@5 = $mean%.2f over ${recalls.size} queries")
     assert(mean >= 0.4, f"IVF recall too low: $mean%.2f")
   }
+
+  test("ann_ivf_kmeans: trained centroids reach at least sampled-centroid recall") {
+    val exact = resultMap(Similarity.annTopK(spark, sf))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, nn) =>
+        m.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val sampled = recallOf(resultMap(Similarity.annIvf(spark, sf)))
+    val trained = recallOf(resultMap(Similarity.annIvfKmeans(spark, sf)))
+    info(f"recall@5: sampled=$sampled%.2f trained=$trained%.2f")
+    assert(trained >= 0.4, f"trained IVF recall too low: $trained%.2f")
+  }
 }
