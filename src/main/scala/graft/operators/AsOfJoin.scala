@@ -32,7 +32,7 @@ object AsOfJoin {
       (col(key) +: (col(rightTime).as("__t") +: valueCols.map(c => col(c).as(s"__v_$c")))): _*)
       .withColumn("__side", lit(0))
     val lAligned = l.select(
-      (l.columns.filterNot(valueCols.map(v => s"__v_$v").contains).map(col) ++
+      (l.columns.toIndexedSeq.filterNot(valueCols.map(v => s"__v_$v").contains).map(col) ++
         valueCols.map(c => lit(null).cast(r.schema(s"__v_$c").dataType).as(s"__v_$c"))): _*)
     val unioned = lAligned.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
@@ -43,7 +43,7 @@ object AsOfJoin {
     }
     val out = carried.filter(col("__side") === 1)
     out.select(
-      (left.columns.map(col) ++
+      (left.columns.toIndexedSeq.map(col) ++
         valueCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 

@@ -92,7 +92,7 @@ object Similarity {
       .select(col("prediction").as("cell"), col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
     val cents = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
       .toDF("cent_id", "cent_emb")
       .withColumn("cent_nrm", graft.functions.vec.l2norm(col("cent_emb")))
     val q = queries(Tables.embeddings(spark, sfDir))
