@@ -45,6 +45,9 @@ object SparkEntry {
     "q16_sketch" -> (Events.approxSketch _),
     "q17_percentile" -> (Relational.q17Percentile _),
     "q19_setops_all" -> (Relational.q19SetOpsAll _),
+    "q20_corr_subquery" -> (Relational.q20CorrSubquery _),
+    "q21_stringagg" -> (Relational.q21StringAgg _),
+    "q22_datefns" -> (Relational.q22DateFns _),
     "q18_pivot" -> (Relational.q18Pivot _),
     "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
@@ -92,6 +95,9 @@ object SparkEntry {
     // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
     "q17_percentile" -> Relational.q17PercentileSql,
     "q19_setops_all" -> Relational.q19SetOpsAllSql,
+    "q20_corr_subquery" -> Relational.q20CorrSubquerySql,
+    "q21_stringagg" -> Relational.q21StringAggSql,
+    "q22_datefns" -> Relational.q22DateFnsSql,
     "q18_pivot" -> Relational.q18PivotSql,
     "dd_editdist" -> Dedup.editDistanceSql,
 

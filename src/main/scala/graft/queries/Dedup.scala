@@ -122,6 +122,11 @@ object Dedup {
     * and the verification pass read the staged table instead of
     * recomputing the tokenize→shingle→distinct subtree per consumer
     * branch. Output is identical to `minhash` (DedupSpec asserts it).
+    *
+    * Measured at sf0.1 the staged form is ~2× SLOWER (parquet round trip >
+    * recompute of a cheap subtree), so `queries()` ships the lazy form;
+    * the crossover comes when shingling cost (real tokenizers, bigger
+    * docs) outweighs sequential staging IO — decide per corpus.
     */
   def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame = {
     val staged = s"$stagingDir/shingles.parquet"

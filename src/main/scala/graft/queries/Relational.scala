@@ -200,6 +200,75 @@ object Relational {
       |  SELECT s_nationkey AS nationkey FROM supplier
       |  EXCEPT SELECT c_nationkey FROM customer)""".stripMargin
 
+  /** q20_corr_subquery — "each customer's single largest order":
+    * correlated-subquery semantics expressed as a rank-1 window (what
+    * Catalyst rewrites correlated aggregates into anyway); tie-break on
+    * orderkey keeps it deterministic where max-price alone is not.
+    */
+  def q20CorrSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("max_price"))
+  }
+
+  val q20CorrSubquerySql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS max_price
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin
+
+  /** q21_stringagg — ordered string aggregation (LISTAGG): per region, the
+    * alphabetized nation list. Sort inside the collected array, not the
+    * input — collect_list order is nondeterministic under parallelism.
+    */
+  def q21StringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+  }
+
+  val q21StringAggSql: String =
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** q22_datefns — date arithmetic suite: add_months, date_add, datediff,
+    * last_day, quarter, day-of-week — the calendar edge cases every
+    * engine pair disagrees on until proven otherwise.
+    */
+  def q22DateFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 3).cast("date").as("plus_3m"),
+      date_add(col("o_orderdate").cast("date"), 45).as("plus_45d"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_2002"),
+      last_day(col("o_orderdate")).cast("date").as("month_end"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"))
+  }
+
+  val q22DateFnsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+      |  CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+      |FROM orders""".stripMargin
+
   /** q19_setops_all — bag-semantics set operations (INTERSECT ALL /
     * EXCEPT ALL keep duplicate multiplicity, unlike q7's set semantics).
     */
