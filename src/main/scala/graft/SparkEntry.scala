@@ -48,6 +48,7 @@ object SparkEntry {
     "q20_corr_subquery" -> (Relational.q20CorrSubquery _),
     "q21_stringagg" -> (Relational.q21StringAgg _),
     "q22_datefns" -> (Relational.q22DateFns _),
+    "q23_arrays" -> (Relational.q23Arrays _),
     "q18_pivot" -> (Relational.q18Pivot _),
     "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q20_corr_subquery" -> Relational.q20CorrSubquerySql,
     "q21_stringagg" -> Relational.q21StringAggSql,
     "q22_datefns" -> Relational.q22DateFnsSql,
+    "q23_arrays" -> Relational.q23ArraysSql,
     "q18_pivot" -> Relational.q18PivotSql,
     "dd_editdist" -> Dedup.editDistanceSql,
 

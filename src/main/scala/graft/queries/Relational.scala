@@ -269,6 +269,34 @@ object Relational {
       |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
       |FROM orders""".stripMargin
 
+  /** q23_arrays — array-function coverage over the embedding column:
+    * size, element access, min/max/avg over the array, slicing — all
+    * evaluated in whole-stage codegen against the parquet list column
+    * (double-promoted before reduction for cross-engine float parity).
+    */
+  def q23Arrays(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dbl = transform(col("embedding"), _.cast("double"))
+    e.select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      round(element_at(dbl, 1), 6).as("first_elem"),
+      round(array_max(dbl), 6).as("max_elem"),
+      round(array_min(dbl), 6).as("min_elem"),
+      round(aggregate(dbl, lit(0.0), _ + _) / size(col("embedding")), 6).as("mean_elem"),
+      round(aggregate(slice(dbl, 1, 8), lit(0.0), _ + _), 6).as("head8_sum"))
+  }
+
+  val q23ArraysSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS n_dims,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+      |  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_elem,
+      |  round(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_elem,
+      |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_elem,
+      |  round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS head8_sum
+      |FROM embeddings""".stripMargin
+
   /** q19_setops_all — bag-semantics set operations (INTERSECT ALL /
     * EXCEPT ALL keep duplicate multiplicity, unlike q7's set semantics).
     */
