@@ -3,9 +3,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composite corpus-cleaning pipeline: quality gate → exact dedup →
+    * near-dup removal — one query exercising tokenization, scoring,
+    * window dedup, and the shingle self-join.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Pipeline.cleanCorpus(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.q1Agg _),
@@ -54,7 +58,8 @@ object SparkEntry {
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
-    "mm_features" -> (graft.multimodal.Multimodal.features _)
+    "mm_features" -> (graft.multimodal.Multimodal.features _),
+    "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,8 +110,9 @@ object SparkEntry {
 
     "q14_asof" -> graft.operators.AsOfJoin.querySql,
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
-    "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql
+    "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql,
     // mm_features: stubbed binary decode — driver rows-only check;
     // determinism + batch shape asserted in MultimodalSpec
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql
   )
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composite training-corpus cleaning pipeline — the operators of this
+  * engine chained the way a real pretraining ingest uses them:
+  *
+  *   1. quality gate   (ta_quality score ≥ 0.55)
+  *   2. exact dedup    (normalization fingerprint, keep min doc_id)
+  *   3. near-dup drop  (word-3-gram Jaccard ≥ 0.8 among survivors,
+  *                      drop the higher doc_id of each pair)
+  *
+  * Emits the surviving corpus with its provenance columns. Every stage is
+  * the same logic as the standalone queries, so the whole chain is
+  * SQL-expressible and oracle-checked end-to-end — the strongest
+  * correctness statement in the suite, since stage-composition bugs
+  * (dedup before/after filter, pair orientation) don't show up in
+  * per-stage checks.
+  */
+object Pipeline {
+
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+
+    // Stage 1: quality gate (subset of ta_quality's score formula).
+    val toks = split(col("text"), "\\s+")
+    val nTok = size(toks).cast("double")
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin("a", "the", "of", "and", "to")))
+      .cast("double") / nTok
+    val score = lit(0.4) * alphaRatio + lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(lit(1.0), nTok / lit(100.0))
+    val quality = docs
+      .withColumn("quality_score", round(score, 4))
+      .filter(col("quality_score") >= 0.55)
+
+    // Stage 2: exact dedup — keep the minimum doc_id per fingerprint.
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val exactKept = quality
+      .withColumn("fp", fp)
+      .withColumn("min_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("min_id")
+
+    // Stage 3: near-dup removal among survivors — drop doc_b of each
+    // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
+    // their minimum via repeated pair membership).
+    val sh = exactKept
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val losers = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    exactKept.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"), col("fp"))
+  }
+
+  val cleanCorpusSql: String =
+    raw"""WITH quality AS (
+         |  SELECT doc_id, lang, source, text,
+         |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
+         |      + 0.3 * (1.0 - len(list_filter(regexp_split_to_array(text, '\s+'),
+         |          t -> t IN ('a','the','of','and','to'))) * 1.0
+         |          / len(regexp_split_to_array(text, '\s+')))
+         |      + 0.3 * least(1.0, len(regexp_split_to_array(text, '\s+')) / 100.0), 4)
+         |      AS quality_score
+         |  FROM documents),
+         |gated AS (SELECT * FROM quality WHERE quality_score >= 0.55),
+         |exact_kept AS (
+         |  SELECT *, md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp
+         |  FROM gated
+         |  QUALIFY doc_id = min(doc_id) OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z]', '', 'g')))),
+         |tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM exact_kept
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes sa ON p.doc_a = sa.doc_id
+         |  JOIN sizes sb ON p.doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         |SELECT doc_id, lang, source, quality_score, fp
+         |FROM exact_kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+}
