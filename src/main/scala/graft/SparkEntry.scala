@@ -40,6 +40,7 @@ object SparkEntry {
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
+    "ann_lsh" -> (Similarity.annLsh _),
     "ev_window_agg" -> (Events.windowAgg _),
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
+    "mm_audio_windows" -> (graft.multimodal.Multimodal.audioWindows _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
     "mm_features" -> (graft.multimodal.Multimodal.features _),
     "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _)
@@ -110,6 +112,7 @@ object SparkEntry {
 
     "q14_asof" -> graft.operators.AsOfJoin.querySql,
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
+    "mm_audio_windows" -> graft.multimodal.Multimodal.audioWindowsSql,
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql,
     // mm_features: stubbed binary decode — driver rows-only check;
     // determinism + batch shape asserted in MultimodalSpec

@@ -110,6 +110,42 @@ object Multimodal {
           .as("frame_ts_ms"))
   }
 
+  /** mm_audio_windows — fixed-length analysis windows for audio: one row
+    * per 250 ms hop with sample offsets derived from the sample rate (the
+    * STFT-style framing a feature extractor consumes). Pure metadata
+    * arithmetic + sequence/explode — decode itself stays in the stub stage.
+    */
+  def audioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val hopMs = 250L
+    mediaTable(spark, sfDir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(hopMs)))
+          .as("win_start_ms"))
+      .withColumn("start_sample",
+        (col("win_start_ms") * col("sample_rate") / lit(1000)).cast("long"))
+      .withColumn("n_samples",
+        (least(col("win_start_ms") + hopMs, col("duration_ms")) - col("win_start_ms"))
+          * col("sample_rate") / lit(1000))
+      .withColumn("n_samples", col("n_samples").cast("long"))
+  }
+
+  val audioWindowsSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
+      |    1000 + doc_id % 59 * 997 AS duration_ms
+      |  FROM documents)
+      |SELECT media_id, sample_rate, duration_ms,
+      |  unnest(range(0, duration_ms, 250)) AS win_start_ms,
+      |  CAST(unnest(range(0, duration_ms, 250)) * sample_rate / 1000 AS BIGINT) AS start_sample,
+      |  CAST((least(unnest(range(0, duration_ms, 250)) + 250, duration_ms)
+      |    - unnest(range(0, duration_ms, 250))) * sample_rate / 1000 AS BIGINT) AS n_samples
+      |FROM media WHERE kind = 'audio'""".stripMargin
+
   /** Oracle for the frame sampler (metadata plumbing is SQL-expressible;
     * kind/duration derivations restated verbatim).
     */

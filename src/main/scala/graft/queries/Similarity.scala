@@ -115,6 +115,56 @@ object Similarity {
         col("rank"), round(col("cs_raw"), 6).as("cs"))
   }
 
+  /** ann_lsh — random-hyperplane LSH ANN: L tables × B sign bits. A
+    * vector's bucket in table t is the B-bit sign pattern against that
+    * table's hyperplanes; candidates share a bucket in ANY table
+    * (OR-amplification). Hyperplanes are seeded-deterministic. At scale
+    * the bucket id is a partition key: a query probes L partitions total,
+    * independent of corpus size. Approximate → rows-only + recall spec.
+    */
+  private val LshTables = 8
+  private val LshBits = 5
+  private val Dim = 64
+
+  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(LshTables, LshBits, Dim)(rnd.nextGaussian())
+  }
+
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normed(Tables.embeddings(spark, sfDir))
+    // bucket_t = Σ_b (dot(v, h_tb) > 0) << b, as pure column arithmetic
+    def bucket(t: Int): org.apache.spark.sql.Column =
+      (0 until LshBits).map { b =>
+        val plane = array(hyperplanes(t)(b).map(lit(_)).toIndexedSeq: _*)
+        when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val buckets = (0 until LshTables).map(t =>
+      struct(lit(t).as("tbl"), bucket(t).as("bkt")))
+    val keyed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(buckets: _*)).as("k"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+    val q = keyed.join(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id")), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("tbl"), col("bkt"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs_raw").desc, col("vec_id"))
+    broadcast(q).join(keyed, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id"), col("embedding"), col("nrm"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cs_raw", pairCosine)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cs_raw"), 6).as("cs"))
+  }
+
   /** ann_ivf — IVF-style ANN. Coarse centroids are corpus vectors sampled
     * deterministically (every 47th), so centroid count scales with the
     * corpus. Approximate → no SQL oracle (driver rows-only); SimilaritySpec

@@ -32,6 +32,17 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.4, f"IVF recall too low: $mean%.2f")
   }
 
+  test("ann_lsh: hyperplane buckets give usable recall with bounded candidates") {
+    val exact = resultMap(Similarity.annTopK(spark, sf))
+    val approx = resultMap(Similarity.annLsh(spark, sf))
+    val recalls = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH mean recall@5 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.35, f"LSH recall too low: $mean%.2f")
+  }
+
   test("ann_ivf_kmeans: trained centroids reach at least sampled-centroid recall") {
     val exact = resultMap(Similarity.annTopK(spark, sf))
     def recallOf(m: Map[Long, Set[Long]]): Double = {

@@ -75,6 +75,47 @@ class StreamingSpec extends SparkSuite {
       s"expected ${events.length} unique events, got $got")
   }
 
+  test("sessionization across many micro-batches: incremental emission, same final set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().sortBy(_.ts)
+    val chunks = events.grouped(math.max(1, events.size / 4)).toSeq
+    val stream = MemoryStream[Event]
+    val q = Streaming.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_mb")
+      .outputMode("append").start()
+    val emittedPerBatch = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c)
+        q.processAllAvailable()
+        emittedPerBatch += spark.table("sessions_mb").count()
+      }
+      // Flush open sessions past the watermark.
+      val sentinelTs = events.last.ts.plusSeconds(24 * 3600)
+      stream.addData(Seq(Event(-1L, sentinelTs, -999L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(-2L, sentinelTs.plusSeconds(3600), -999L, "sentinel", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Sessions must arrive incrementally (chronological feed → earlier
+    // batches close earlier sessions), not all at the end.
+    assert(emittedPerBatch.last > emittedPerBatch.head,
+      s"no incremental emission: $emittedPerBatch")
+
+    val got = spark.table("sessions_mb").as[Session].collect()
+      .filter(_.user_id != -999L)
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events, s.duration_us)).toSet
+    val want = Events.sessionize(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("duration_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want, s"multi-batch sessions ${got.size} != batch ${want.size}")
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
