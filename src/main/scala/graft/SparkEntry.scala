@@ -32,6 +32,7 @@ object SparkEntry {
     "ta_langid" -> (TextAnalysis.langId _),
     "ta_fingerprint" -> (TextAnalysis.fingerprint _),
     "ta_profile" -> (TextAnalysis.profile _),
+    "ta_charngrams" -> (TextAnalysis.charNgrams _),
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dd_minhash" -> (Dedup.minhash _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "ta_langid" -> TextAnalysis.langIdSql,
     "ta_fingerprint" -> TextAnalysis.fingerprintSql,
     "ta_profile" -> TextAnalysis.profileSql,
+    "ta_charngrams" -> TextAnalysis.charNgramsSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dd_minhash" -> Dedup.minhashSql,

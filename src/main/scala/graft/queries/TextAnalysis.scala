@@ -116,6 +116,38 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** ta_charngrams — per-language character-trigram profile: the top-5
+    * most frequent char 3-grams per lang label (the feature a real n-gram
+    * language identifier trains on; ta_langid's stopword heuristic is its
+    * cheap runtime form). Explode → count → rank: shuffle volume is
+    * O(distinct trigrams) thanks to partial aggregation.
+    */
+  def charNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(graft.functions.CharShingles.charShingles(col("text"), 3))
+          .as("trigram"))
+    val counts = tri.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("trigram"), col("n"))
+  }
+
+  val charNgramsSql: String =
+    raw"""SELECT lang, rnk, trigram, n FROM (
+         |  SELECT lang, trigram, n,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS INT) AS rnk
+         |  FROM (
+         |    SELECT lang, trigram, count(*) AS n FROM (
+         |      SELECT lang,
+         |        unnest([text[i:i+2] for i in generate_series(1, length(text)-2)]) AS trigram
+         |      FROM documents) g
+         |    GROUP BY 1, 2) c) t
+         |WHERE rnk <= 5""".stripMargin
+
   /** ta_profile — column-level data profiling of the documents table:
     * null/distinct/extremes per column in ONE scan (every stat is an
     * algebraic aggregate, so this is a single partial+final hash agg
