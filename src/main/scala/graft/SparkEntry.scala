@@ -50,6 +50,7 @@ object SparkEntry {
     "q15_range_join" -> (Events.rangeJoin _),
     "q16_sketch" -> (Events.approxSketch _),
     "q17_percentile" -> (Relational.q17Percentile _),
+    "q17b_approx_percentile" -> (Relational.q17bApproxPercentile _),
     "q19_setops_all" -> (Relational.q19SetOpsAll _),
     "q20_corr_subquery" -> (Relational.q20CorrSubquery _),
     "q21_stringagg" -> (Relational.q21StringAgg _),

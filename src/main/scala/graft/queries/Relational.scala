@@ -476,6 +476,20 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q17b_approx_percentile — the 100 TB form of q17: t-digest-style
+    * mergeable sketches (approx_percentile, accuracy 10000) instead of
+    * gathering each group's values. Approximate → rows-only for the
+    * driver; RelationalSpec bounds the error against the exact q17.
+    */
+  def q17bApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"))
+  }
+
   /** q18_pivot — day × event_type count matrix. Explicit pivot values keep
     * the schema static (a values-discovery pivot is two jobs); na.fill
     * matches the oracle's FILTER-count zeros.

@@ -49,6 +49,20 @@ class RelationalSpec extends SparkSuite {
     assert(roll == direct)
   }
 
+  test("approx percentile tracks exact within 5%") {
+    val exact = Relational.q17Percentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.q17bApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (m, p90, mp)) =>
+      val (am, ap90, amp) = approx(k)
+      assert(math.abs(am - m) <= 0.05 * math.abs(m) + 1)
+      assert(math.abs(ap90 - p90) <= 0.05 * math.abs(p90) + 1)
+      assert(math.abs(amp - mp) <= 0.05 * math.abs(mp) + 1)
+    }
+  }
+
   test("topk is ordered descending and bounded") {
     val rows = Relational.q3TopK(spark, sf).collect()
     assert(rows.length == 10)
