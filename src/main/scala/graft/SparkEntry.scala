@@ -47,6 +47,7 @@ object SparkEntry {
     "ev_json" -> (Events.jsonExtract _),
     "ev_topusers" -> (Events.topUsersPerHour _),
     "ev_attribution" -> (Events.attribution _),
+    "ev_props_map" -> (Events.propsMap _),
     "q15_range_join" -> (Events.rangeJoin _),
     "q16_sketch" -> (Events.approxSketch _),
     "q17_percentile" -> (Relational.q17Percentile _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "ev_json" -> Events.jsonExtractSql,
     "ev_topusers" -> Events.topUsersPerHourSql,
     "ev_attribution" -> Events.attributionSql,
+    "ev_props_map" -> Events.propsMapSql,
     "q15_range_join" -> Events.rangeJoinSql,
     // q16_sketch: HLL approximate — driver rows-only; error bound in EventsSpec
     "q17_percentile" -> Relational.q17PercentileSql,

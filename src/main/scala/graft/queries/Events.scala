@@ -209,6 +209,32 @@ object Events {
       |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** ev_props_map — map-typed JSON handling: parse props into
+    * map<string,int>, explode keys, aggregate values per (event_type,
+    * key). Covers MapType end-to-end (parse → map_keys/explode → agg).
+    */
+  def propsMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), explode(m).as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        round(avg(col("v")), 4).as("avg_v"))
+  }
+
+  val propsMapSql: String =
+    """SELECT event_type, k, count(*) AS n,
+      |  min(v) AS min_v, max(v) AS max_v, round(avg(v), 4) AS avg_v
+      |FROM (
+      |  SELECT event_type,
+      |    unnest(json_keys(props)) AS k,
+      |    CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS INT) AS v
+      |  FROM events) t
+      |GROUP BY 1, 2""".stripMargin
+
   /** q16_sketch — approximate distinct-user sketch per event type
     * (HyperLogLog++, rsd 5%). Mergeable across partitions — the sketch, not
     * the user set, crosses the shuffle. No SQL oracle (approx); EventsSpec
