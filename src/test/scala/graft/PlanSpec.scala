@@ -49,6 +49,13 @@ class PlanSpec extends SparkSuite {
       s"no partial aggregation:\n$p")
   }
 
+  test("pipeline_clean_corpus: no cartesian/nested-loop anywhere in the chain") {
+    val p = plan("pipeline_clean_corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composite pipeline degenerated:\n$p")
+    assert(p.contains("Window"), "exact-dedup window stage missing")
+  }
+
   test("ann_topk: query side broadcast, no shuffle of the corpus") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
