@@ -33,6 +33,7 @@ object SparkEntry {
     "ta_fingerprint" -> (TextAnalysis.fingerprint _),
     "ta_profile" -> (TextAnalysis.profile _),
     "ta_charngrams" -> (TextAnalysis.charNgrams _),
+    "ta_winnow" -> (TextAnalysis.winnow _),
     "dd_exact" -> (Dedup.exact _),
     "dd_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dd_minhash" -> (Dedup.minhash _),

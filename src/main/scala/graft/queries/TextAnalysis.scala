@@ -148,6 +148,51 @@ object TextAnalysis {
          |    GROUP BY 1, 2) c) t
          |WHERE rnk <= 5""".stripMargin
 
+  /** ta_winnow — winnowing document fingerprints (Schleimer et al., the
+    * rolling-hash fingerprint scheme MOSS uses): hash every k-char gram,
+    * slide a w-position window, keep each window's minimum — a document's
+    * fingerprint set is robust to local edits. Emitted here as a per-doc
+    * summary (count + xor + min of the selected hashes). Hash is xxhash64
+    * (no DuckDB equivalent) → rows-only for the driver; TextAnalysisSpec
+    * asserts determinism and that near-duplicate docs overlap far more
+    * than random pairs.
+    */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 8 // k-gram length in chars
+    val W = 4 // winnow window in positions
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharShingles.charShingles(col("text"), K))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, W - 1)
+    val selected = grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+    selected.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("wmin")).as("fp_min"),
+        expr("bit_xor(wmin)").as("fp_xor"))
+  }
+
+  /** Fingerprint sets per doc — used by the overlap spec. */
+  def winnowSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 8; val W = 4
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharShingles.charShingles(col("text"), K))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, W - 1)
+    grams.withColumn("wmin", min(col("h")).over(w))
+      .select(col("doc_id"), col("wmin")).distinct()
+  }
+
   /** ta_profile — column-level data profiling of the documents table:
     * null/distinct/extremes per column in ONE scan (every stat is an
     * algebraic aggregate, so this is a single partial+final hash agg

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+
+  test("winnowing fingerprints are deterministic and non-empty") {
+    val a = TextAnalysis.winnow(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = TextAnalysis.winnow(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)
+    assert(a.values.forall(_._1 > 0))
+  }
+
+  test("near-duplicate docs share far more winnow fingerprints than random pairs") {
+    val sets = TextAnalysis.winnowSets(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    def overlap(a: Long, b: Long): Double = {
+      val (sa, sb) = (sets(a), sets(b))
+      (sa intersect sb).size.toDouble / math.max(1, math.min(sa.size, sb.size))
+    }
+    val nearDups = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(nearDups.nonEmpty)
+    val dupMean = nearDups.map { case (a, b) => overlap(a, b) }.sum / nearDups.length
+    val ids = sets.keys.toArray.sorted
+    val randomPairs = ids.take(30).flatMap(a => ids.slice(200, 230).map(b => (a, b)))
+      .filter { case (a, b) => a < b && !nearDups.contains((a, b)) }
+    val rndMean = randomPairs.map { case (a, b) => overlap(a, b) }.sum / randomPairs.length
+    info(f"winnow overlap: near-dups $dupMean%.3f vs random $rndMean%.3f")
+    assert(dupMean > rndMean * 2,
+      f"fingerprints don't separate near-dups: $dupMean%.3f vs $rndMean%.3f")
+  }
+
+  test("charngram profile has exactly top-5 per language, rank-ordered") {
+    val rows = TextAnalysis.charNgrams(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.values.foreach { rs =>
+      assert(rs.length == 5)
+      val ranked = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
