@@ -39,6 +39,7 @@ object SparkEntry {
     "dd_minhash" -> (Dedup.minhash _),
     "dd_simhash" -> (Dedup.simhash _),
     "dd_embed_cosine" -> (Dedup.embedCosine _),
+    "dd_embed_bucketed" -> (Dedup.embedCosineBucketed _),
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -96,6 +97,8 @@ object SparkEntry {
     "dd_minhash" -> Dedup.minhashSql,
     // dd_simhash: bit-fold not SQL-expressible — driver rows-only check
     "dd_embed_cosine" -> Dedup.embedCosineSql,
+    // same oracle: the bucketed path must equal the all-pairs form
+    "dd_embed_bucketed" -> Dedup.embedCosineSql,
     "ann_topk" -> Similarity.annTopKSql,
     // ann_ivf: approximate — driver rows-only check; recall asserted in
     // SimilaritySpec against ann_topk

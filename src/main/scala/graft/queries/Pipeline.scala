@@ -48,20 +48,15 @@ object Pipeline {
 
     // Stage 3: near-dup removal among survivors — drop doc_b of each
     // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
-    // their minimum via repeated pair membership).
+    // their minimum via repeated pair membership). Shares Dedup's
+    // df-capped jaccardPairs, so the hot-shingle skew cap applies to the
+    // flagship chain too (cap never fires at test scale — oracle states
+    // the uncapped form; see Dedup.ShingleDfCap).
     val sh = exactKept
       .select(col("doc_id"),
         explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val losers = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.8)
+    val losers = Dedup.jaccardPairs(sh, 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
 
     exactKept.join(losers, Seq("doc_id"), "left_anti")

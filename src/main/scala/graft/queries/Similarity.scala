@@ -1,41 +1,65 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
-  * (Array[Float] column). Two paths:
+  * (Array[Float] column). Paths:
   *
-  *   ann_topk — brute-force cosine top-k: broadcast the (small) query set
-  *              against the full corpus. Exact; the recall baseline. Scales
-  *              as O(|Q|·N) with no shuffle beyond the final per-query top-k
-  *              (window over q_id — each query's candidates land on one
-  *              partition, |Q| partitions in flight).
-  *   ann_ivf  — inverted-file index: corpus is bucketed by nearest coarse
-  *              centroid, queries probe the 3 nearest cells. Cost drops to
-  *              O(N·C) assignment (one pass, broadcast centroids) +
-  *              O(|Q|·N·nprobe/C) search. The 100 TB path: cells become
-  *              partition keys, so a query touches nprobe partitions only.
+  *   ann_topk       — brute-force cosine top-k: broadcast the query set
+  *                    against the full corpus. Exact; the recall baseline.
+  *   ann_ivf        — inverted-file index with hash-sampled coarse
+  *                    centroids; queries probe the nearest cells only.
+  *   ann_ivf_kmeans — IVF with KMeans-trained centroids (sample-trained).
+  *   ann_lsh        — random-hyperplane LSH with multiprobe.
   *
-  * All vector math is higher-order-function columns (zip_with/aggregate) —
-  * doubles summed in index order, no UDFs.
+  * Scale design (the parts that must survive 100 TB):
+  *   - centroid count k ≈ √N — assignment work is N·√N and the broadcast
+  *     side is √N rows, both sublinear in corpus bytes; N comes from a
+  *     filter-less parquet count served from row-group metadata (empty
+  *     ReadSchema — footer IO only, no column decode).
+  *   - every per-group "best/top-k" is a BOUNDED AGGREGATE
+  *     (max_by / graft.functions.TopKAgg), never a row_number window:
+  *     partial aggregation collapses candidates map-side, so shuffles
+  *     carry k rows per group instead of the full candidate fan-out.
+  *   - LSH bucket bits grow with log₂(N/targetBucketSize), so bucket
+  *     occupancy stays ~constant as the corpus grows; recall lost to
+  *     narrower buckets is bought back with multiprobe (hamming-1 probes).
+  *
+  * All vector math is codegen'd custom expressions (graft.functions.vec) —
+  * doubles summed in index order, no UDFs, no interpreted lambdas.
   */
 object Similarity {
 
   private val K = 5
-  private val NProbe = 5
+
+  /** Probes grow sublinearly with the cell count (√k of the √N cells):
+    * enough to hold recall on unclustered (worst-case) vectors without the
+    * probe set growing linearly in the corpus.
+    */
+  private def nprobeFor(k: Int): Int = math.max(8, math.ceil(1.5 * math.sqrt(k)).toInt)
+
+  /** Corpus cardinality. A filter-less count over a parquet scan has an
+    * empty ReadSchema — Spark answers it from row-group metadata (footer
+    * IO only), so this is safe to run inside an index build even at 100 TB.
+    */
+  private def corpusSize(spark: SparkSession, sfDir: String): Long =
+    Tables.embeddings(spark, sfDir).count()
+
+  /** k ≈ √N coarse centroids (min 16 so tiny corpora still partition). */
+  private def centroidCount(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Corpus with the L2 norm computed once per vector — every downstream
     * pair evaluation is then a single dot product (norm-per-pair triples
-    * the array passes across |Q|·N pairs).
+    * the array passes across all candidate pairs).
     */
   private def normed(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       graft.functions.vec.l2norm(col("embedding")).as("nrm"))
 
-  private def pairCosine: org.apache.spark.sql.Column =
+  private def pairCosine: Column =
     graft.functions.vec.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
 
   /** Deterministic query set: every 50th vector. */
@@ -44,18 +68,28 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
 
+  /** Final ranking: bounded top-k per query via TopKAgg — shuffles K rows
+    * per query regardless of candidate fan-out (a window rank here would
+    * shuffle and sort EVERY candidate row). Output matches the
+    * row_number() formulation: rank by (cs desc, vec_id asc), duplicates
+    * (LSH multi-table collisions) deduped by id inside the agg buffer.
+    */
+  private def rankTopK(cand: DataFrame): DataFrame =
+    cand
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("cs_raw"), K).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 6).as("cs"))
+
   /** ann_topk — exact brute-force top-5 cosine neighbors per query. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normed(Tables.embeddings(spark, sfDir))
     val q = queries(Tables.embeddings(spark, sfDir))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs_raw").desc, col("vec_id"))
-    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", pairCosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cs_raw"), 6).as("cs"))
+    rankTopK(
+      broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cs_raw", pairCosine))
   }
 
   val annTopKSql: String =
@@ -70,140 +104,175 @@ object Similarity {
        |  WHERE q.vec_id % 50 = 0) t
        |WHERE rank <= $K""".stripMargin
 
+  /** Index-entry replication: each vector is indexed under its top
+    * `CellReplicas` nearest cells (standard IVF multi-assignment) — 2×
+    * index entries buys back the recall that √N-many narrow cells cost,
+    * still O(N) storage.
+    */
+  private val CellReplicas = 2
+
+  /** Nearest-cells assignment as a BOUNDED PARTIAL AGGREGATE:
+    * broadcast-join the centroids, then TopKAgg under groupBy(vec_id) —
+    * map-side combine collapses the N·k candidate rows to N before the
+    * shuffle, and only `CellReplicas` cell ids per vector survive. (The
+    * window-rank alternative shuffles and sorts all N·k rows — the
+    * round-1 scale bug this replaces.) Ordering (ccs desc, cent_id asc)
+    * matches the old rank tie-break.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .withColumn("ccs", graft.functions.vec.dot(col("embedding"), col("cent_emb"))
+        / (col("nrm") * col("cent_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        graft.functions.TopKAgg.topk(col("cent_id"), col("ccs"), CellReplicas).as("cells"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(explode(col("cells.id")).as("cell"),
+        col("vec_id"), col("embedding"), col("nrm"))
+
+  /** nprobe nearest cells per query — bounded TopKAgg again (NProbe rows
+    * per query across the shuffle, not |Q|·k).
+    */
+  private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    q.join(broadcast(cents))
+      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
+        / (col("q_nrm") * col("cent_nrm")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(col("cent_id"), col("qcs"), nprobe).as("cells"),
+        first(col("q_emb")).as("q_emb"), first(col("q_nrm")).as("q_nrm"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("cells.id")).as("cell"))
+
+  private def searchCells(probed: DataFrame, assigned: DataFrame): DataFrame =
+    rankTopK(
+      broadcast(probed).join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cs_raw", pairCosine))
+
+  /** ann_ivf — IVF with hash-sampled coarse centroids: every vector whose
+    * id-hash clears a stride derived from k ≈ √N. Selection is a pure
+    * filter (no training pass); the centroid set is √N rows — broadcastable
+    * at any corpus size. Approximate → no SQL oracle (driver rows-only);
+    * SimilaritySpec asserts recall@5 against ann_topk.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = corpusSize(spark, sfDir)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    val e = normed(Tables.embeddings(spark, sfDir))
+    val cents = e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val assigned = assignCells(e, cents)
+    val probed = probeCells(queries(Tables.embeddings(spark, sfDir)), cents, nprobeFor(k))
+    searchCells(probed, assigned)
+  }
+
   /** ann_ivf_kmeans — IVF with TRAINED coarse centroids: MLlib KMeans
-    * (cosine distance, fixed seed, 5 Lloyd iterations) instead of sampled
-    * corpus vectors. The "query" includes index build — honest for the
-    * bench, and at 100 TB the model trains on a sample once per ingest and
-    * is broadcast. k scales as N/48 (matching ann_ivf's sampling density).
-    * Approximate → rows-only; SimilaritySpec asserts recall ≥ the sampled
-    * variant's floor.
+    * (cosine distance, fixed seed, 5 Lloyd iterations). k ≈ √N and the
+    * model fits on a SAMPLE (~64 points per centroid) — training cost is
+    * O(√N · samples), not O(N·k), and the fitted centroids broadcast at
+    * √N rows. At 100 TB the model trains once per ingest and is reused;
+    * including the build here keeps the bench honest.
     */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = corpusSize(spark, sfDir)
+    val k = centroidCount(n)
     val raw = Tables.embeddings(spark, sfDir)
-    val n = raw.count()
-    val k = math.max(8, (n / 48).toInt)
     val withVec = raw.withColumn("features",
       array_to_vector(transform(col("embedding"), _.cast("double"))))
+    // ~64 training points per centroid; deterministic seed. At small n the
+    // fraction clamps to 1.0 (sample = corpus).
+    val frac = math.min(1.0, 64.0 * k / math.max(1L, n))
+    val trainSet = if (frac >= 1.0) withVec else withVec.sample(withReplacement = false, frac, seed = 7)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setDistanceMeasure("cosine").fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("prediction").as("cell"), col("vec_id"), col("embedding"),
-        graft.functions.vec.l2norm(col("embedding")).as("nrm"))
+      .setDistanceMeasure("cosine").fit(trainSet)
     val cents = spark.createDataFrame(
-      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) })
       .toDF("cent_id", "cent_emb")
       .withColumn("cent_nrm", graft.functions.vec.l2norm(col("cent_emb")))
-    val q = queries(Tables.embeddings(spark, sfDir))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcs").desc, col("cent_id"))
-    val probed = q.join(broadcast(cents))
-      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
-        / (col("q_nrm") * col("cent_nrm")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs_raw").desc, col("vec_id"))
-    broadcast(probed).join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", pairCosine)
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cs_raw"), 6).as("cs"))
+    // Same bounded-agg assignment path as ann_ivf (cosine argmax ≡ KMeans
+    // cosine-distance predict), with CellReplicas-way multi-assignment.
+    val assigned = assignCells(normed(raw), cents)
+    val probed = probeCells(queries(Tables.embeddings(spark, sfDir)), cents, nprobeFor(k))
+    searchCells(probed, assigned)
   }
 
-  /** ann_lsh — random-hyperplane LSH ANN: L tables × B sign bits. A
-    * vector's bucket in table t is the B-bit sign pattern against that
-    * table's hyperplanes; candidates share a bucket in ANY table
-    * (OR-amplification). Hyperplanes are seeded-deterministic. At scale
-    * the bucket id is a partition key: a query probes L partitions total,
+  /** ann_lsh — random-hyperplane LSH ANN: L tables × B sign bits, B grown
+    * with the corpus (B = log₂(N/targetBucketSize), clamped) so bucket
+    * occupancy stays near `TargetBucket` as N scales — the round-1 version
+    * fixed B=5, which meant N/32 vectors per bucket at any scale. Narrower
+    * buckets cost recall; multiprobe buys it back: each query also probes
+    * the B hamming-1 buckets per table (flip one sign bit), so a near
+    * neighbor is found if its signature is within hamming 1 of the
+    * query's in ANY table. At scale the bucket id is a partition key: a
+    * query touches L·(B+1) buckets of ~TargetBucket vectors each,
     * independent of corpus size. Approximate → rows-only + recall spec.
     */
   private val LshTables = 8
-  private val LshBits = 5
+  private val TargetBucket = 16
   private val Dim = 64
+  private val MaxLshBits = 20
 
+  private def lshBits(n: Long): Int =
+    math.min(MaxLshBits, math.max(4,
+      math.ceil(math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt))
+
+  /** Seeded-deterministic hyperplanes, drawn at the max bit width; a run
+    * using B bits takes the first B planes per table, so signatures are
+    * prefixes of each other across corpus sizes.
+    */
   private lazy val hyperplanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(1234)
-    Array.fill(LshTables, LshBits, Dim)(rnd.nextGaussian())
+    Array.fill(LshTables, MaxLshBits, Dim)(rnd.nextGaussian())
   }
+
+  /** bucket_t = Σ_b (dot(v, h_tb) > 0) << b, as pure column arithmetic. */
+  private def lshBucket(t: Int, bits: Int, emb: Column): Column =
+    (0 until bits).map { b =>
+      val plane = array(hyperplanes(t)(b).map(lit(_)).toIndexedSeq: _*)
+      when(graft.functions.vec.dot(emb, plane) > 0, lit(1 << b))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
 
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = corpusSize(spark, sfDir)
+    val bits = lshBits(n)
     val e = normed(Tables.embeddings(spark, sfDir))
-    // bucket_t = Σ_b (dot(v, h_tb) > 0) << b, as pure column arithmetic
-    def bucket(t: Int): org.apache.spark.sql.Column =
-      (0 until LshBits).map { b =>
-        val plane = array(hyperplanes(t)(b).map(lit(_)).toIndexedSeq: _*)
-        when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1 << b))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    val buckets = (0 until LshTables).map(t =>
-      struct(lit(t).as("tbl"), bucket(t).as("bkt")))
-    val keyed = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(buckets: _*)).as("k"))
+    // Signatures staged into named columns BEFORE the key explode — L·B
+    // dot-product trees inlined inside a Generate overflow janino's 64KB
+    // method limit (Generate codegen can't split child expressions) and
+    // the stage silently drops to interpreted mode. Projected here, each
+    // signature is computed once under splitExpressions, and the explode
+    // touches only column refs.
+    def sigCols(emb: Column) =
+      (0 until LshTables).map(t => lshBucket(t, bits, emb).as(s"b$t"))
+    val keyed = e.select(
+      Seq(col("vec_id"), col("embedding"), col("nrm")) ++ sigCols(col("embedding")): _*)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
-    val q = keyed.join(
-      e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id")), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
-        col("tbl"), col("bkt"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs_raw").desc, col("vec_id"))
-    broadcast(q).join(keyed, Seq("tbl", "bkt"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("vec_id"), col("embedding"), col("nrm"))
-      .distinct() // a pair may collide in several tables
-      .withColumn("cs_raw", pairCosine)
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cs_raw"), 6).as("cs"))
-  }
-
-  /** ann_ivf — IVF-style ANN. Coarse centroids are corpus vectors sampled
-    * deterministically (every 47th), so centroid count scales with the
-    * corpus. Approximate → no SQL oracle (driver rows-only); SimilaritySpec
-    * asserts recall@5 against ann_topk.
-    */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = normed(Tables.embeddings(spark, sfDir))
-    val cents = e.filter(col("vec_id") % 47 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
-    def centCosine = graft.functions.vec.dot(col("embedding"), col("cent_emb")) /
-      (col("nrm") * col("cent_nrm"))
-    // Assignment pass: nearest centroid per corpus vector (broadcast C).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccs").desc, col("cent_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("ccs", centCosine)
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
-    // Query probing: nprobe nearest cells per query.
+        posexplode(array((0 until LshTables).map(t => col(s"b$t")): _*))
+          .as(Seq("tbl", "bkt")))
+    // Query side: own bucket + the `bits` hamming-1 flips, per table.
     val q = queries(Tables.embeddings(spark, sfDir))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcs").desc, col("cent_id"))
-    val probed = q.join(broadcast(cents))
-      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
-        / (col("q_nrm") * col("cent_nrm")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
-    // Search within probed cells only.
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cs_raw").desc, col("vec_id"))
-    broadcast(probed).join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", pairCosine)
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cs_raw"), 6).as("cs"))
+    val probeKeys = (0 until LshTables).flatMap { t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bkt")) +:
+        (0 until bits).map(b =>
+          struct(lit(t).as("tbl"), col(s"b$t").bitwiseXOR(lit(1 << b)).as("bkt")))
+    }
+    val probes = q.select(
+      Seq(col("q_id"), col("q_emb"), col("q_nrm")) ++ sigCols(col("q_emb")): _*)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(array(probeKeys: _*)).as("k"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+    // No distinct() needed: TopKAgg dedupes multi-table collisions by id
+    // inside the bounded buffer (identical cs per duplicate).
+    rankTopK(
+      broadcast(probes).join(keyed, Seq("tbl", "bkt"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cs_raw", pairCosine))
   }
 }

@@ -61,4 +61,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$p")
   }
+
+  test("ANN family: ranking is bounded aggregation, never a window rank") {
+    // A row_number window would shuffle+sort EVERY candidate row per
+    // query/vector; TopKAgg keeps shuffles at k rows per group. Assert the
+    // window operator never reappears in any ANN plan (round-1 scale bug).
+    Seq("ann_topk", "ann_ivf", "ann_ivf_kmeans", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q reintroduced a window rank:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q top-k not running as an object-hash aggregate:\n$p")
+    }
+  }
 }

@@ -15,14 +15,14 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("feature extraction is deterministic and batch-shaped") {
-    val f1 = Multimodal.features(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
-    val f2 = Multimodal.features(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    def grab() = Multimodal.features(spark, sf).collect()
+      .map(r => r.getLong(0) -> (3 until 11).map(r.getDouble)).toMap
+    val f1 = grab()
+    val f2 = grab()
     assert(f1 == f2, "stub decode must be deterministic")
     assert(f1.values.forall(_.length == 8))
     // payload bytes actually flowed through (nonzero features)
-    assert(f1.values.exists(_.exists(_ > 0f)))
+    assert(f1.values.exists(_.exists(_ > 0d)))
   }
 
   test("resize preserves payload and shrinks only oversized images") {

@@ -66,6 +66,18 @@ class DedupSpec extends SparkSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+  test("bucketed embed near-dup equals the all-pairs crossJoin form") {
+    // The scale path (LSH candidates → exact verify) must find every pair
+    // the quadratic oracle form finds — deterministic given seeded planes.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = pairs(Dedup.embedCosine(spark, sf))
+    val bucketed = pairs(Dedup.embedCosineBucketed(spark, sf))
+    assert(allPairs.nonEmpty, "planted near-dup pairs missing from test data")
+    assert(bucketed == allPairs,
+      s"missed: ${allPairs -- bucketed}; extra: ${bucketed -- allPairs}")
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap

@@ -29,7 +29,7 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.4, f"IVF recall too low: $mean%.2f")
+    assert(mean >= 0.65, f"IVF recall too low: $mean%.2f")
   }
 
   test("ann_lsh: hyperplane buckets give usable recall with bounded candidates") {
@@ -40,7 +40,7 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"LSH mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.35, f"LSH recall too low: $mean%.2f")
+    assert(mean >= 0.6, f"LSH recall too low: $mean%.2f")
   }
 
   test("ann_ivf_kmeans: trained centroids reach at least sampled-centroid recall") {
@@ -54,6 +54,6 @@ class SimilaritySpec extends SparkSuite {
     val sampled = recallOf(resultMap(Similarity.annIvf(spark, sf)))
     val trained = recallOf(resultMap(Similarity.annIvfKmeans(spark, sf)))
     info(f"recall@5: sampled=$sampled%.2f trained=$trained%.2f")
-    assert(trained >= 0.4, f"trained IVF recall too low: $trained%.2f")
+    assert(trained >= 0.7, f"trained IVF recall too low: $trained%.2f")
   }
 }
