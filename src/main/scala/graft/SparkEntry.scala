@@ -66,7 +66,11 @@ object SparkEntry {
     "mm_audio_windows" -> (graft.multimodal.Multimodal.audioWindows _),
     "mm_resize_meta" -> (graft.multimodal.Multimodal.resizeMeta _),
     "mm_features" -> (graft.multimodal.Multimodal.features _),
-    "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _)
+    "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _),
+    "ta_tfidf" -> (CorpusOps.tfidf _),
+    "ta_repetition" -> (CorpusOps.repetition _),
+    "dd_decontaminate" -> (CorpusOps.decontaminate _),
+    "ds_mix" -> (CorpusOps.sourceMix _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,6 +129,10 @@ object SparkEntry {
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql,
     // mm_features: stubbed binary decode — driver rows-only check;
     // determinism + batch shape asserted in MultimodalSpec
-    "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
+    "ta_tfidf" -> CorpusOps.tfidfSql,
+    "ta_repetition" -> CorpusOps.repetitionSql,
+    "dd_decontaminate" -> CorpusOps.decontaminateSql,
+    "ds_mix" -> CorpusOps.sourceMixSql
   )
 }

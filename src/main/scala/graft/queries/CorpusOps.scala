@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-level operators a pretraining data pipeline runs besides dedup:
+  * term weighting, repetition signals, eval-set decontamination, and
+  * deterministic source mixing. All are oracle-checked (plain SQL
+  * restatements) and shuffle at most O(tokens) rows on bounded keys.
+  */
+object CorpusOps {
+
+  /** ta_tfidf — top-3 terms per document by tf·idf.
+    *
+    * tf = in-doc term count; idf = ln(N/df) with N from a 1-row global
+    * count broadcast (no driver action). The per-doc rank is a window, but
+    * unlike the ANN case that is the right tool here: the partition is one
+    * document's distinct terms (bounded by doc length), there is no
+    * cross-row fan-out to collapse, and any aggregate would shuffle the
+    * same O(doc·terms) rows. Ranking uses the ROUNDED score so Spark and
+    * the oracle order identically at double-precision edges.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank").cast("int").as("rank"),
+        col("tf"), col("tfidf"))
+  }
+
+  val tfidfSql: String =
+    raw"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+         |    t -> t != '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term, tf,
+         |    round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         |SELECT doc_id, term, rank, tf, tfidf FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin
+
+  /** ta_repetition — within-document repetition signal (the Gopher-style
+    * "fraction of duplicate n-grams" quality filter): 1 − distinct/total
+    * word-3-grams. Pure per-row column arithmetic — no shuffle at all;
+    * docs too short for a 3-gram are excluded (matches the oracle's
+    * len ≥ 3 gate).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.functions.WordShingles.wordShingles(col("text"), 3)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double")
+          / size(col("sh")).cast("double"), 4).as("rep_ratio"))
+  }
+
+  val repetitionSql: String =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                  for i in generate_series(1, len(w)-2)] AS g
+         |  FROM tok)
+         |SELECT doc_id,
+         |  CAST(len(g) AS BIGINT) AS n_ngrams,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+         |  round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS rep_ratio
+         |FROM sh""".stripMargin
+
+  /** dd_decontaminate — benchmark decontamination: training documents that
+    * share an 8-gram with any held-out/eval document (here: the
+    * deterministic doc_id % 7 = 0 subset standing in for an eval
+    * benchmark). The join is bipartite on distinct 8-grams — hash-join
+    * shaped, O(shared-gram pairs) output, never all-pairs. 8-grams are
+    * near-unique in real text; the eval-side df cap (1000) bounds the
+    * per-key blowup if a boilerplate 8-gram ever saturates the eval set
+    * (cap far above any test-data df, so output is unchanged there — the
+    * oracle states the uncapped form).
+    */
+  private val EvalModulus = 7
+  private val EvalGramDfCap = 1000
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("gram"))
+      .distinct()
+    val eval = grams.filter(col("doc_id") % EvalModulus === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    val train = grams.filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    val hot = eval.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > EvalGramDfCap).select(col("gram"))
+    eval.join(broadcast(hot), Seq("gram"), "left_anti")
+      .join(train, Seq("gram"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared_8grams"))
+  }
+
+  val decontaminateSql: String =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 8),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |            w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+         |            for i in generate_series(1, len(w)-7)]) AS gram
+         |  FROM tok)
+         |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+         |  count(*) AS n_shared_8grams
+         |FROM sh e JOIN sh t ON e.gram = t.gram
+         |WHERE e.doc_id % 7 = 0 AND t.doc_id % 7 != 0
+         |GROUP BY 1, 2""".stripMargin
+
+  /** ds_mix — deterministic source-mixing: per-source keep percentages
+    * applied via an integer Lehmer-style hash of doc_id, so the sample is
+    * reproducible on any cluster, any partitioning, any engine (all
+    * arithmetic stays < 2³², no float, no RNG state). Source weights:
+    * src<k> keeps 100/50/20 % by k mod 3 — the up/down-weighting step of a
+    * data-mixture recipe. Row-level output so the oracle can replay the
+    * exact decision per document.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val pct = when(srcNum % 3 === 0, 100).when(srcNum % 3 === 1, 50).otherwise(20)
+    val bucket = (col("doc_id") % 65536) * 48271 % 65537 % 100
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        bucket.cast("int").as("strat_bucket"), pct.as("keep_pct"))
+      .filter(col("strat_bucket") < col("keep_pct"))
+  }
+
+  val sourceMixSql: String =
+    """SELECT doc_id, source, lang,
+      |  CAST((doc_id % 65536) * 48271 % 65537 % 100 AS INT) AS strat_bucket,
+      |  CASE CAST(substr(source, 4) AS INT) % 3
+      |    WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS keep_pct
+      |FROM documents
+      |WHERE (doc_id % 65536) * 48271 % 65537 % 100 <
+      |  CASE CAST(substr(source, 4) AS INT) % 3
+      |    WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END""".stripMargin
+}

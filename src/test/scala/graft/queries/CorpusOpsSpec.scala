@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSuite {
+
+  test("tfidf: exactly <=3 ranked terms per doc, scores non-increasing") {
+    val byDoc = CorpusOps.tfidf(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rows) =>
+      assert(rows.length <= 3, s"doc $d has ${rows.length} terms")
+      val ranked = rows.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b },
+        s"doc $d scores not ordered: ${ranked.mkString(",")}")
+    }
+  }
+
+  test("repetition ratio is in [0,1) and consistent with its counts") {
+    val rows = CorpusOps.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n && d > 0)
+      assert(math.abs(ratio - (1.0 - d.toDouble / n)) < 1e-3)
+    }
+  }
+
+  test("decontamination flags the planted near-dups of eval docs") {
+    val hits = CorpusOps.decontaminate(spark, sf).collect()
+    assert(hits.nonEmpty, "eval subset should catch planted 8-gram overlaps")
+    // Every flagged pair must be train-vs-eval by construction.
+    hits.foreach { r =>
+      assert(r.getLong(1) % 7 == 0 && r.getLong(0) % 7 != 0)
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("source mix keeps deterministic per-source fractions") {
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = CorpusOps.sourceMix(spark, sf)
+    // Deterministic: two runs identical.
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusOps.sourceMix(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // 100%-weight sources keep everything; 20% sources keep a minority.
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, tot) =>
+      val k = bySrc.getOrElse(s, 0L)
+      val n = s.stripPrefix("src").toInt
+      if (n % 3 == 0) assert(k == tot, s"$s should keep all, kept $k/$tot")
+      else assert(k < tot, s"$s should subsample, kept $k/$tot")
+    }
+  }
+}

@@ -138,6 +138,45 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, s"stream join sizes ${got.size} vs batch ${want.size}")
   }
 
+  test("stream-stream join: watermark evicts state across micro-batches; output equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().sortBy(_.ts)
+    val joinInputRows = events.count(e =>
+      e.event_type == "purchase" || e.event_type == "click").toLong
+    val chunks = events.grouped(math.max(1, events.size / 6)).toSeq
+    val stream = MemoryStream[Event]
+    val q = Streaming.attributionJoin(stream.toDF())
+      .writeStream.format("memory").queryName("attr_evict")
+      .outputMode("append").start()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    // State must be bounded by the watermark horizon (~3 h of traffic),
+    // not the stream: with a month-scale chronological feed, the join
+    // buffers a small fraction of everything it has ingested.
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max * 3 < joinInputRows,
+      s"join state ${stateRows.max} not evicted (fed $joinInputRows join-side rows; " +
+        s"per-batch state: $stateRows)")
+    // And eviction must not cost correctness: inner pairs per purchase
+    // equal the batch interval join.
+    val got = spark.table("attr_evict")
+      .groupBy("purchase_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Events.attribution(spark, sf)
+      .filter(col("clicks_1h_before") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want, s"stream join sizes ${got.size} vs batch ${want.size}")
+  }
+
   test("streaming sessionization equals batch sessionize after watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
