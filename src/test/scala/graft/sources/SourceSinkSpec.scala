@@ -32,6 +32,9 @@ class SourceSinkSpec extends SparkSuite {
 
   test("csv round-trip") { roundTrip("csv") }
   test("json-lines round-trip") { roundTrip("json") }
+  // ORC ships in spark-sql (orc-core on the unmanaged classpath); Avro
+  // would need the spark-avro connector jar, absent from /opt/spark/jars.
+  test("orc round-trip") { roundTrip("orc") }
 
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-part").toString
