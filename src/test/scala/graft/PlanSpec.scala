@@ -62,6 +62,26 @@ class PlanSpec extends SparkSuite {
       s"query set not broadcast:\n$p")
   }
 
+  test("dd_embed_bucketed: candidate generation is hash joins, never a cartesian") {
+    val p = plan("dd_embed_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed embed dedup degenerated to all-pairs:\n$p")
+  }
+
+  test("ds_mix: text column pruned from the scan") {
+    // The sampler touches only ids/source/lang — reading the (dominant)
+    // text column would multiply scan bytes for nothing.
+    val p = plan("ds_mix")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("text"), s"ds_mix reads the text column:\n$p")
+  }
+
+  test("dd_decontaminate: df-cap is a broadcast anti-join, join side stays hashed") {
+    val p = plan("dd_decontaminate")
+    assert(p.contains("LeftAnti"), s"hot-gram cap missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decontamination degenerated:\n$p")
+  }
+
   test("ANN family: ranking is bounded aggregation, never a window rank") {
     // A row_number window would shuffle+sort EVERY candidate row per
     // query/vector; TopKAgg keeps shuffles at k rows per group. Assert the
