@@ -60,6 +60,8 @@ object SparkEntry {
     "q22_datefns" -> (Relational.q22DateFns _),
     "q23_arrays" -> (Relational.q23Arrays _),
     "q18_pivot" -> (Relational.q18Pivot _),
+    "q24_cube" -> (Relational.q24Cube _),
+    "q25_windowfns" -> (Relational.q25WindowFns _),
     "dd_editdist" -> (Dedup.editDistance _),
     "q14_asof" -> (graft.operators.AsOfJoin.query _),
     "mm_frames" -> (graft.multimodal.Multimodal.frameSample _),
@@ -121,6 +123,8 @@ object SparkEntry {
     "q22_datefns" -> Relational.q22DateFnsSql,
     "q23_arrays" -> Relational.q23ArraysSql,
     "q18_pivot" -> Relational.q18PivotSql,
+    "q24_cube" -> Relational.q24CubeSql,
+    "q25_windowfns" -> Relational.q25WindowFnsSql,
     "dd_editdist" -> Dedup.editDistanceSql,
 
     "q14_asof" -> graft.operators.AsOfJoin.querySql,

@@ -297,6 +297,51 @@ object Relational {
       |  round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS head8_sum
       |FROM embeddings""".stripMargin
 
+  /** q24_cube — CUBE grouping sets with grouping_id: all four
+    * (status × priority) aggregation levels in one pass. Spark expands the
+    * cube map-side and shares one shuffle across every grouping set.
+    */
+  def q24Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("gid"), col("n"), col("sum_price"))
+
+  val q24CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q25_windowfns — the distribution window-function family q4 doesn't
+    * cover: ntile, percent_rank, cume_dist, dense_rank. Ordering key
+    * (o_totalprice, o_orderkey) is unique, so every rank is
+    * engine-independent and tie-free.
+    */
+  def q25WindowFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        dense_rank().over(w).cast("int").as("drank"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val q25WindowFnsSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** q19_setops_all — bag-semantics set operations (INTERSECT ALL /
     * EXCEPT ALL keep duplicate multiplicity, unlike q7's set semantics).
     */
