@@ -101,4 +101,39 @@ class ScaleTechniquesSpec extends SparkSuite {
     assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
       s"expected AQE coalesced shuffle read in:\n$finalPlan")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // Runtime complement of the manual salting tests above: one key holds
+    // half the left side; with skew-join thresholds scaled to test data,
+    // AQE must split that partition instead of letting one task drag the
+    // stage (the automatic form of what salting does by hand at 100 TB).
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val left = (1 to 120000)
+        .map(i => (if (i % 2 == 0) 0L else i.toLong, s"payload-$i"))
+        .toDF("k", "v")
+      val right = (0 to 2000).map(i => (i.toLong, s"dim-$i")).toDF("k", "d")
+      val joined = left.join(right, "k")
+      // collect() executes joined's OWN queryExecution (count() would build
+      // a separate one and leave this plan unfinalized).
+      val n = joined.collect().length
+      assert(n == 120000 / 2 + (1 to 120000).count(i => i % 2 == 1 && i <= 2000))
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE never marked the hot partition as skewed:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
