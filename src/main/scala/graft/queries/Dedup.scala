@@ -326,36 +326,44 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
-    def bucket(t: Int): Column =
-      (0 until bits).map { b =>
-        val plane = array(embedPlanes(t)(b).map(lit(_)).toIndexedSeq: _*)
-        when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1 << b))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    // STAGE the per-table signatures into named columns BEFORE the key
-    // explode: inlining L·B dot-product trees inside a Generate blows
-    // janino's 64KB method limit (Generate codegen can't split child
-    // expressions) and drops the whole stage to interpreted mode. A
-    // Project computes each signature once (splitExpressions applies),
-    // and the explode below touches only cheap column refs.
-    val sigs = e.select(
-      col("vec_id") +: (0 until tables).map(t => bucket(t).as(s"b$t")): _*)
+    // ALL table signatures in ONE custom codegen expression (a tight
+    // triple loop over a referenced plane matrix). The naive L·B
+    // `when(dot(v, lit(plane)) > 0)` column forest compiled for seconds
+    // per plan build (janino, cache-missed on every fresh attribute ids)
+    // and dominated this query's runtime — see HyperplaneSigs.
+    val flat = graft.functions.HyperplaneSigs.flatten(embedPlanes, tables, bits, EmbedDim)
+    val sigs = e.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, tables, bits, EmbedDim)
+        .as("sig"))
     val keyed = sigs.select(col("vec_id").as("vec_b"),
-      posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
-        .as(Seq("tbl", "bkt")))
+      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+    // DIRECTIONAL multiprobe: flip only 0→1 bits. A hamming-1 pair differs
+    // at exactly one position, where exactly one side holds a 0 — that
+    // side's flip hits the other's base key, so every qualifying pair is
+    // generated exactly ONCE (symmetric flipping finds it twice and leaves
+    // distinct() double the work). Hamming-0 pairs meet on base keys.
     val probeKeys = (0 until tables).flatMap { t =>
-      struct(lit(t).as("tbl"), col(s"b$t").as("bkt")) +:
+      val bt = element_at(col("sig"), t + 1)
+      struct(lit(t).as("tbl"), bt.as("bkt"), lit(true).as("ok")) +:
         (0 until bits).map(b =>
-          struct(lit(t).as("tbl"), col(s"b$t").bitwiseXOR(lit(1 << b)).as("bkt")))
+          struct(lit(t).as("tbl"),
+            bt.bitwiseXOR(lit(1 << b)).as("bkt"),
+            (bt.bitwiseAND(lit(1 << b)) === 0).as("ok")))
     }
     val probes = sigs.select(col("vec_id").as("vec_a"),
       explode(array(probeKeys: _*)).as("k"))
+      .filter(col("k.ok"))
       .select(col("vec_a"), col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
     // Candidate pairs: two-long rows — dedupe is a cheap shuffle on ids,
-    // never on embedding arrays.
+    // never on embedding arrays. Directional probing fixes which side
+    // PROBES (the 0-bit holder), not which id is smaller, so orientation
+    // is normalized with least/greatest rather than an a<b filter (which
+    // would drop pairs whose only discovery ran high→low).
     val cands = probes.join(keyed, Seq("tbl", "bkt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .distinct()
     // Exact verification on candidates only.
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),

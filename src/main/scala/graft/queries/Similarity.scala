@@ -230,40 +230,29 @@ object Similarity {
     Array.fill(LshTables, MaxLshBits, Dim)(rnd.nextGaussian())
   }
 
-  /** bucket_t = Σ_b (dot(v, h_tb) > 0) << b, as pure column arithmetic. */
-  private def lshBucket(t: Int, bits: Int, emb: Column): Column =
-    (0 until bits).map { b =>
-      val plane = array(hyperplanes(t)(b).map(lit(_)).toIndexedSeq: _*)
-      when(graft.functions.vec.dot(emb, plane) > 0, lit(1 << b))
-        .otherwise(lit(0))
-    }.reduce(_ + _)
-
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val n = corpusSize(spark, sfDir)
     val bits = lshBits(n)
     val e = normed(Tables.embeddings(spark, sfDir))
-    // Signatures staged into named columns BEFORE the key explode — L·B
-    // dot-product trees inlined inside a Generate overflow janino's 64KB
-    // method limit (Generate codegen can't split child expressions) and
-    // the stage silently drops to interpreted mode. Projected here, each
-    // signature is computed once under splitExpressions, and the explode
-    // touches only column refs.
-    def sigCols(emb: Column) =
-      (0 until LshTables).map(t => lshBucket(t, bits, emb).as(s"b$t"))
-    val keyed = e.select(
-      Seq(col("vec_id"), col("embedding"), col("nrm")) ++ sigCols(col("embedding")): _*)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(array((0 until LshTables).map(t => col(s"b$t")): _*))
-          .as(Seq("tbl", "bkt")))
+    // All LshTables bucket ids in ONE custom codegen expression (tight
+    // loop over a referenced plane matrix; constant generated source →
+    // janino compiles once per JVM) — see HyperplaneSigs for why the
+    // per-plane column-forest formulation is a compile-time trap.
+    val flat = graft.functions.HyperplaneSigs.flatten(hyperplanes, LshTables, bits, Dim)
+    def sig(emb: Column): Column =
+      graft.functions.HyperplaneSigs.sigs(emb, flat, LshTables, bits, Dim)
+    val keyed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(sig(col("embedding"))).as(Seq("tbl", "bkt")))
     // Query side: own bucket + the `bits` hamming-1 flips, per table.
     val q = queries(Tables.embeddings(spark, sfDir))
+      .withColumn("sig", sig(col("q_emb")))
     val probeKeys = (0 until LshTables).flatMap { t =>
-      struct(lit(t).as("tbl"), col(s"b$t").as("bkt")) +:
+      val bt = element_at(col("sig"), t + 1)
+      struct(lit(t).as("tbl"), bt.as("bkt")) +:
         (0 until bits).map(b =>
-          struct(lit(t).as("tbl"), col(s"b$t").bitwiseXOR(lit(1 << b)).as("bkt")))
+          struct(lit(t).as("tbl"), bt.bitwiseXOR(lit(1 << b)).as("bkt")))
     }
-    val probes = q.select(
-      Seq(col("q_id"), col("q_emb"), col("q_nrm")) ++ sigCols(col("q_emb")): _*)
+    val probes = q
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(array(probeKeys: _*)).as("k"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
