@@ -291,7 +291,7 @@ object Dedup {
     * log₂(N/targetBucket) (bounded occupancy), and L is solved from the
     * per-pair miss bound: with p = 1 − arccos(t)/π the per-table hit rate
     * is P₁ = p^B + B·p^(B−1)(1−p), and L = ⌈ln(miss)/ln(1−P₁)⌉ for
-    * miss = 10⁻⁴. Honesty note: at this test threshold t = 0.45,
+    * miss = EmbedMissBound. Honesty note: at this test threshold t = 0.45,
     * p ≈ 0.67 sits close to the random-pair 0.5 — the no-gap regime — so
     * L is large and candidate pruning is thin. The operator's win grows
     * with the threshold real pipelines use (t ≥ 0.8 ⇒ p ≈ 0.93): there

@@ -20,7 +20,7 @@ import graft.Tables
   *     filter-less parquet count served from row-group metadata (empty
   *     ReadSchema — footer IO only, no column decode).
   *   - every per-group "best/top-k" is a BOUNDED AGGREGATE
-  *     (max_by / graft.functions.TopKAgg), never a row_number window:
+  *     (graft.functions.TopKAgg), never a row_number window:
   *     partial aggregation collapses candidates map-side, so shuffles
   *     carry k rows per group instead of the full candidate fan-out.
   *   - LSH bucket bits grow with log₂(N/targetBucketSize), so bucket
@@ -131,7 +131,7 @@ object Similarity {
       .select(explode(col("cells.id")).as("cell"),
         col("vec_id"), col("embedding"), col("nrm"))
 
-  /** nprobe nearest cells per query — bounded TopKAgg again (NProbe rows
+  /** nprobe nearest cells per query — bounded TopKAgg again (nprobe rows
     * per query across the shuffle, not |Q|·k).
     */
   private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
