@@ -36,6 +36,33 @@ class SourceSinkSpec extends SparkSuite {
   // would need the spark-avro connector jar, absent from /opt/spark/jars.
   test("orc round-trip") { roundTrip("orc") }
 
+  test("compaction: small files merge to n range-clustered files with disjoint key ranges") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val in = JFiles.createTempDirectory("graft-small").toString
+    val out = JFiles.createTempDirectory("graft-compact").toString
+    // Simulate incremental ingest: 64 tiny files.
+    Tables.orders(spark, sf).repartition(64)
+      .write.mode("overwrite").parquet(in)
+    Maintenance.compactAndCluster(spark, in, out, 4, "o_orderkey")
+    val parts = JFiles.list(Paths.get(out)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(parts.size == 4, s"expected 4 compacted files, got ${parts.size}")
+    // Range clustering: per-file key ranges must not overlap, so a range
+    // predicate prunes whole files via parquet min/max stats.
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // No rows lost.
+    assert(spark.read.parquet(out).count() == Tables.orders(spark, sf).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
