@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, L2Norm, WordShingles}
+import graft.functions.{DotProduct, L2Norm, TopKAgg, WordShingles}
 
 /** SparkSessionExtensions hook: registers graft's native expressions as
   * SQL functions at session build (`.withExtensions(new GraftExtensions)`
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_l2norm"),
       info("vec_l2norm", "vec_l2norm(a) - L2 norm of a float/double array"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("vec_topk"),
+      info("vec_topk", "vec_topk(id, score, k) - top-k distinct ids by (score desc, id asc), as array<struct<id,score>>"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"vec_topk k must be an integer literal, got $other")
+        }).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - n-word shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,

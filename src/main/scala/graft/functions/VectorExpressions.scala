@@ -149,5 +149,9 @@ object vec {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_topk", exprs => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "scala_udf")
   }
 }

@@ -17,6 +17,17 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("vec_topk SQL aggregate ranks, dedupes by id, and bounds k") {
+    graft.functions.vec.register(spark)
+    val rows = spark.sql(
+      """WITH agg AS (
+        |  SELECT vec_topk(id, score, 2) AS top
+        |  FROM VALUES (1L, 1.0D), (2L, 3.0D), (3L, 2.0D), (2L, 3.0D) AS v(id, score))
+        |SELECT inline(top) FROM agg""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((2L, 3.0), (3L, 2.0)), s"got $rows")
+  }
+
   test("GraftSession builds with extensions and resolves functions in fresh SQL") {
     // getOrCreate returns the existing session, but extensions still apply
     // to the injected registry when a new session would be built; assert
