@@ -72,7 +72,8 @@ object SparkEntry {
     "ta_tfidf" -> (CorpusOps.tfidf _),
     "ta_repetition" -> (CorpusOps.repetition _),
     "dd_decontaminate" -> (CorpusOps.decontaminate _),
-    "ds_mix" -> (CorpusOps.sourceMix _)
+    "ds_mix" -> (CorpusOps.sourceMix _),
+    "ds_pack" -> (CorpusOps.pack _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,6 +138,7 @@ object SparkEntry {
     "ta_tfidf" -> CorpusOps.tfidfSql,
     "ta_repetition" -> CorpusOps.repetitionSql,
     "dd_decontaminate" -> CorpusOps.decontaminateSql,
-    "ds_mix" -> CorpusOps.sourceMixSql
+    "ds_mix" -> CorpusOps.sourceMixSql,
+    "ds_pack" -> CorpusOps.packSql
   )
 }

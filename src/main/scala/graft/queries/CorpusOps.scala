@@ -139,6 +139,44 @@ object CorpusOps {
          |WHERE e.doc_id % 7 = 0 AND t.doc_id % 7 != 0
          |GROUP BY 1, 2""".stripMargin
 
+  /** ds_pack — sequence packing (concat-and-chunk): documents are laid
+    * head-to-tail in doc_id order and cut into fixed `PackChunkTokens`
+    * training sequences; each doc reports its token span and the chunk
+    * range it lands in. Packing is PER SOURCE — the running-offset window
+    * is partitioned by source, so shards pack in parallel (a single
+    * global cumsum would serialize the corpus through one task; per-shard
+    * packing is also what real loaders do, one stream per worker).
+    */
+  private val PackChunkTokens = 2048
+
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_tok"),
+        floor(col("start_tok") / PackChunkTokens).cast("int").as("chunk_first"),
+        floor((col("start_tok") + col("n_tokens") - 1) / PackChunkTokens)
+          .cast("int").as("chunk_last"))
+  }
+
+  val packSql: String =
+    raw"""SELECT source, doc_id, n_tokens, start_tok,
+         |  CAST(floor(start_tok / 2048) AS INT) AS chunk_first,
+         |  CAST(floor((start_tok + n_tokens - 1) / 2048) AS INT) AS chunk_last
+         |FROM (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+         |    -- sum() over BIGINT yields HUGEINT in DuckDB; cast back so the
+         |    -- dtype matches Spark's int64
+         |    CAST(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS start_tok
+         |  FROM documents) t""".stripMargin
+
   /** ds_mix — deterministic source-mixing: per-source keep percentages
     * applied via an integer Lehmer-style hash of doc_id, so the sample is
     * reproducible on any cluster, any partitioning, any engine (all

@@ -37,6 +37,24 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("packing: contiguous per-source spans, chunk ranges consistent") {
+    val rows = CorpusOps.pack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // Spans within a source tile exactly: next start = prev start + n.
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, _, n, s, _, _), (_, _, _, s2, _, _)) =>
+        assert(s2 == s + n, s"$src spans not contiguous")
+      }
+    }
+    // Chunk ids follow from the span arithmetic.
+    rows.foreach { case (_, d, n, s, cf, cl) =>
+      assert(cf == (s / 2048).toInt && cl == ((s + n - 1) / 2048).toInt, s"doc $d chunks")
+    }
+  }
+
   test("source mix keeps deterministic per-source fractions") {
     val docs = graft.Tables.documents(spark, sf)
     val kept = CorpusOps.sourceMix(spark, sf)
