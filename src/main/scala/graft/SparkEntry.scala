@@ -40,6 +40,7 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.simhash _),
     "dd_embed_cosine" -> (Dedup.embedCosine _),
     "dd_embed_bucketed" -> (Dedup.embedCosineBucketed _),
+    "dd_clusters" -> (Dedup.clusters _),
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dd_embed_cosine" -> Dedup.embedCosineSql,
     // same oracle: the bucketed path must equal the all-pairs form
     "dd_embed_bucketed" -> Dedup.embedCosineSql,
+    "dd_clusters" -> Dedup.clustersSql,
     "ann_topk" -> Similarity.annTopKSql,
     // ann_ivf: approximate — driver rows-only check; recall asserted in
     // SimilaritySpec against ann_topk

@@ -376,6 +376,78 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
   }
 
+  /** dd_clusters — connected components over the near-dup pair graph:
+    * transitive closure of dd_minhash pairs, each doc labeled with the
+    * MINIMUM doc_id of its component (the canonical survivor real dedup
+    * keeps). Iterative min-label propagation: every round each node takes
+    * the smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup components are shallow —
+    * star-ish around a template), each round one hash join + partial-agg
+    * groupBy. The driver loop carries only a changed-row COUNT per
+    * iteration, never data; a 25-round cap guards pathological chains.
+    * This is the standard large-scale CC shape (GraphFrames/Pregel do the
+    * same joins); at 100 TB the alternating small-star/large-star variant
+    * drops rounds to O(log N).
+    */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // Undirected edge list, both orientations.
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // pairs' lineage (shingle+band join) replays per iteration otherwise
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("nmin"), col("doc_a").as("doc_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint() // cut lineage: each round's plan stays O(1) deep
+      val changed = updated.join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Oracle: reachability closure via recursive CTE over the same J≥0.8
+    * pair graph (minhash ≡ exact pairs at this threshold), min doc per
+    * component.
+    */
+  val clustersSql: String =
+    raw"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT e.doc_b, r.r FROM reach r JOIN edges e ON e.doc_a = r.doc_id)
+         |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
   /** dd_editdist — Levenshtein verification over the near-dup candidate
     * pairs: edit distance + length-normalized similarity. The expensive
     * O(len²) distance only ever runs on the ~|pairs| rows the candidate

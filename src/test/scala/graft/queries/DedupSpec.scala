@@ -78,6 +78,27 @@ class DedupSpec extends SparkSuite {
       s"missed: ${allPairs -- bucketed}; extra: ${bucketed -- allPairs}")
   }
 
+  test("clusters: labels are component minima over the near-dup pair graph") {
+    val pairs = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // Reference union-find over the same pairs.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    assert(labels == want, s"component labels diverge from union-find")
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
