@@ -379,18 +379,26 @@ object Dedup {
   /** dd_clusters — connected components over the near-dup pair graph:
     * transitive closure of dd_minhash pairs, each doc labeled with the
     * MINIMUM doc_id of its component (the canonical survivor real dedup
-    * keeps). Iterative min-label propagation: every round each node takes
-    * the smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup components are shallow —
-    * star-ish around a template), each round one hash join + partial-agg
-    * groupBy. The driver loop carries only a changed-row COUNT per
-    * iteration, never data; a 25-round cap guards pathological chains.
-    * This is the standard large-scale CC shape (GraphFrames/Pregel do the
-    * same joins); at 100 TB the alternating small-star/large-star variant
-    * drops rounds to O(log N).
+    * keeps). Iterative min-label propagation + POINTER DOUBLING: every
+    * round each node takes the smallest label among itself, its
+    * neighbors' labels, and its label's label (label(label(x)) ≤ label(x)
+    * because label(y) ≤ y is an invariant — labels start at self and only
+    * decrease). Doubling collapses chains logarithmically, so rounds are
+    * O(log diameter) — a pathological 1M-doc chain needs ~20 rounds, not
+    * 1M — and each round is two hash joins + a partial-agg groupBy. The
+    * driver loop carries only a changed-row COUNT per iteration, never
+    * data; a 25-round cap backstops the log bound. Same join shape
+    * GraphFrames/Pregel CC uses at cluster scale.
     */
-  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    propagateComponents(minhash(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** The propagation loop, parameterized by the (doc_a, doc_b) pair graph
+    * so specs can drive it with synthetic topologies (chains prove the
+    * log-round bound — 25 rounds could never close a 60-edge chain
+    * without doubling).
+    */
+  private[queries] def propagateComponents(pairs: DataFrame): DataFrame = {
     // Undirected edge list, both orientations.
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // pairs' lineage (shingle+band join) replays per iteration otherwise
@@ -406,6 +414,12 @@ object Dedup {
         .join(neighborMin.select(col("nmin"), col("doc_a").as("doc_id")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer doubling: chase one extra hop through the label table
+        .alias("u")
+        .join(labels.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint() // cut lineage: each round's plan stays O(1) deep
       val changed = updated.join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()

@@ -99,6 +99,19 @@ class DedupSpec extends SparkSuite {
     assert(labels == want, s"component labels diverge from union-find")
   }
 
+  test("clusters: pointer doubling closes a 60-edge chain within the round cap") {
+    // Simple propagation moves the min one hop per round — a 60-link
+    // chain would need 60 rounds and the 25-round cap would leave wrong
+    // labels. Doubling must collapse it in O(log n).
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 61)
+    assert(labels.values.forall(_ == 0L),
+      s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
