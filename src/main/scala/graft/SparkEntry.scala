@@ -72,6 +72,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (Pipeline.cleanCorpus _),
     "ta_tfidf" -> (CorpusOps.tfidf _),
     "ta_repetition" -> (CorpusOps.repetition _),
+    "ta_perplexity" -> (CorpusOps.perplexity _),
     "dd_decontaminate" -> (CorpusOps.decontaminate _),
     "ds_mix" -> (CorpusOps.sourceMix _),
     "ds_pack" -> (CorpusOps.pack _)
@@ -139,6 +140,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
     "ta_tfidf" -> CorpusOps.tfidfSql,
     "ta_repetition" -> CorpusOps.repetitionSql,
+    "ta_perplexity" -> CorpusOps.perplexitySql,
     "dd_decontaminate" -> CorpusOps.decontaminateSql,
     "ds_mix" -> CorpusOps.sourceMixSql,
     "ds_pack" -> CorpusOps.packSql

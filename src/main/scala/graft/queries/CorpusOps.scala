@@ -93,6 +93,45 @@ object CorpusOps {
          |  round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS rep_ratio
          |FROM sh""".stripMargin
 
+  /** ta_perplexity — unigram-LM quality score (the CCNet-style perplexity
+    * filter, exact-arithmetic form): train an add-1-smoothed unigram model
+    * on the corpus itself, score each doc by its mean token negative
+    * log-probability. Boilerplate-heavy docs score low, rare-token noise
+    * scores high — the standard cheap signal between heuristics and a
+    * real LM. The model is one (term, count) table — domain-vocabulary
+    * sized, broadcast-joined back to the token stream; totals ride a
+    * 1-row broadcast. Rounded to 4 so double summation order (Spark
+    * unordered vs DuckDB) can't surface.
+    */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = terms.agg(count(lit(1)).as("total"))
+      .crossJoin(cnt.agg(count(lit(1)).as("v")))
+    terms
+      .join(broadcast(cnt), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log((col("c") + 1.0) / (col("total") + col("v")))), 4)
+          .as("mean_nll"))
+  }
+
+  val perplexitySql: String =
+    raw"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+         |    t -> t != '')) AS term
+         |  FROM documents),
+         |cnt AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM terms) AS total,
+         |               (SELECT count(*) FROM cnt) AS v)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln((c + 1.0) / (total + v))), 4) AS mean_nll
+         |FROM terms JOIN cnt USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin
+
   /** dd_decontaminate — benchmark decontamination: training documents that
     * share an 8-gram with any held-out/eval document (here: the
     * deterministic doc_id % 7 = 0 subset standing in for an eval

@@ -37,6 +37,18 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("perplexity: finite positive scores; rare-token docs score above common-token docs") {
+    val rows = CorpusOps.perplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (d, n, nll) =>
+      assert(n > 0 && nll > 0 && !nll.isInfinite, s"doc $d: n=$n nll=$nll")
+    }
+    // Sanity: the spread is real (not a constant score).
+    val scores = rows.map(_._3)
+    assert(scores.max > scores.min)
+  }
+
   test("packing: contiguous per-source spans, chunk ranges consistent") {
     val rows = CorpusOps.pack(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
