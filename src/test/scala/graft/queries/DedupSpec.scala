@@ -78,6 +78,25 @@ class DedupSpec extends SparkSuite {
       s"missed: ${allPairs -- bucketed}; extra: ${bucketed -- allPairs}")
   }
 
+  test("simhash pigeonhole: every hamming<=3 signature pair shares a 3-block combo key") {
+    // Pure check of the completeness claim behind the C(6,3)=20 bucket
+    // scheme: for any <=3 flipped bits, at least one 3-block combination
+    // is untouched on both sides and keys match exactly.
+    val offsets = Array(0, 11, 22, 33, 44, 54)
+    val widths = Array(11, 11, 11, 11, 10, 10)
+    def block(sig: Long, i: Int): Long =
+      (sig >>> offsets(i)) & ((1L << widths(i)) - 1)
+    val combos = (0 until 6).combinations(3).toSeq
+    val rnd = new scala.util.Random(31337)
+    for (_ <- 0 until 2000) {
+      val sig = rnd.nextLong()
+      val nFlips = rnd.nextInt(4) // 0..3
+      val flipped = (0 until nFlips).foldLeft(sig) { (s, _) => s ^ (1L << rnd.nextInt(64)) }
+      val shared = combos.exists(c => c.forall(i => block(sig, i) == block(flipped, i)))
+      assert(shared, f"ham<=3 pair with no shared combo: $sig%016x vs $flipped%016x")
+    }
+  }
+
   test("clusters: labels are component minima over the near-dup pair graph") {
     val pairs = Dedup.minhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
