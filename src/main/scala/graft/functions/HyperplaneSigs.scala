@@ -102,10 +102,37 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
 }
 
 object HyperplaneSigs {
+  import org.apache.spark.sql.functions._
+
   /** Column form; `planes` row-major [tables][bits][dim] flattened. */
   def sigs(v: Column, planes: Array[Double], tables: Int, bits: Int, dim: Int): Column =
     ExpressionUtils.column(
       HyperplaneSigs(ExpressionUtils.expression(v), planes, tables, bits, dim))
+
+  /** Occupancy-derived bit width: B = ⌈log₂(n / targetBucket)⌉ clamped to
+    * [4, maxBits] — shared by every LSH consumer so a tuning change can't
+    * silently diverge the ann and dedup paths.
+    */
+  def bitsFor(n: Long, targetBucket: Int, maxBits: Int): Int =
+    math.min(maxBits, math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+
+  /** Hamming-1 multiprobe keys over a signature array column: per table,
+    * the base bucket plus one flip per bit, each as
+    * struct(tbl, bkt, ok). `directional = true` marks only 0→1 flips
+    * `ok` (symmetric self-join dedup finds each pair once — see
+    * Dedup.embedCosineBucketed); `false` keeps every flip (asymmetric
+    * query→corpus probing). Callers explode and filter on `k.ok`.
+    */
+  def probeKeys(sig: Column, tables: Int, bits: Int, directional: Boolean): Seq[Column] =
+    (0 until tables).flatMap { t =>
+      val bt = element_at(sig, t + 1)
+      struct(lit(t).as("tbl"), bt.as("bkt"), lit(true).as("ok")) +:
+        (0 until bits).map { b =>
+          val ok = if (directional) bt.bitwiseAND(lit(1 << b)) === 0 else lit(true)
+          struct(lit(t).as("tbl"), bt.bitwiseXOR(lit(1 << b)).as("bkt"), ok.as("ok"))
+        }
+    }
 
   /** Flatten the seeded [maxTables][maxBits][dim] plane tensor to the
     * row-major window actually used by a (tables, bits) configuration.

@@ -31,6 +31,12 @@ import org.apache.spark.sql.types._
   * partial/merge order cannot change the result (same contract the
   * reference's sequential sort-based reduce gives, mr/coordinator.go-style
   * determinism; see also MinHashAgg).
+  *
+  * NaN scores are DROPPED (deliberate: `s > old` is false for NaN). A NaN
+  * similarity — e.g. cosine against a zero-norm vector — is "no
+  * information", not "best match"; the window-rank formulation this
+  * replaces inherited Spark's NaN-sorts-greatest and ranked such pairs
+  * FIRST, which was never the wanted semantics.
   */
 case class TopKAgg(
     idExpr: Expression,

@@ -137,10 +137,12 @@ object CorpusOps {
     * deterministic doc_id % 7 = 0 subset standing in for an eval
     * benchmark). The join is bipartite on distinct 8-grams — hash-join
     * shaped, O(shared-gram pairs) output, never all-pairs. 8-grams are
-    * near-unique in real text; the eval-side df cap (1000) bounds the
-    * per-key blowup if a boilerplate 8-gram ever saturates the eval set
-    * (cap far above any test-data df, so output is unchanged there — the
-    * oracle states the uncapped form).
+    * near-unique in real text; grams above the df cap (1000) on EITHER
+    * side are dropped — per-key join output is df_eval·df_train, so a
+    * boilerplate gram must be capped wherever it is hot (an eval-cool but
+    * train-hot gram is still a skew bomb, and a df-1000+ gram carries no
+    * contamination signal anyway). Cap far above any test-data df, so
+    * output is unchanged there — the oracle states the uncapped form.
     */
   private val EvalModulus = 7
   private val EvalGramDfCap = 1000
@@ -150,14 +152,16 @@ object CorpusOps {
       .select(col("doc_id"),
         explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("gram"))
       .distinct()
-    val eval = grams.filter(col("doc_id") % EvalModulus === 0)
-      .select(col("doc_id").as("eval_doc"), col("gram"))
-    val train = grams.filter(col("doc_id") % EvalModulus =!= 0)
-      .select(col("doc_id").as("train_doc"), col("gram"))
-    val hot = eval.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // Hot on either side → capped BEFORE splitting (per-key join output
+    // is df_eval · df_train, so the cap must see the combined df).
+    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > EvalGramDfCap).select(col("gram"))
-    eval.join(broadcast(hot), Seq("gram"), "left_anti")
-      .join(train, Seq("gram"))
+    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val eval = kept.filter(col("doc_id") % EvalModulus === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    val train = kept.filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    eval.join(train, Seq("gram"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared_8grams"))
   }

@@ -67,8 +67,17 @@ object Dedup {
     */
   private val ShingleDfCap = 1000
 
-  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
-    val hot = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+  /** `dfBasis`: the shingle set the df cap is computed OVER — defaults to
+    * the join input itself, but a caller verifying a candidate SUBSET
+    * (dd_minhash) must pass the full-corpus shingles so cap decisions are
+    * identical to the exact form's; otherwise a corpus-hot shingle that is
+    * candidate-cool would be kept here and dropped there, and the asserted
+    * minhash ≡ ngramJaccard equivalence breaks exactly when the cap fires.
+    */
+  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double,
+      dfBasis: Option[DataFrame] = None): DataFrame = {
+    val hot = dfBasis.getOrElse(shRaw)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select(col("shingle"))
     // hot is tiny by construction (few shingles clear the cap) → broadcast
@@ -185,7 +194,10 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    jaccardPairs(shCand, 0.8).join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    // df basis = FULL corpus shingles, not the candidate subset (see
+    // jaccardPairs doc) — keeps cap decisions identical to ngramJaccard's.
+    jaccardPairs(shCand, 0.8, dfBasis = Some(sh))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
   }
 
   /** Oracle: identical to dd_ngram_jaccard — LSH recall at J≥0.8 with 16
@@ -317,12 +329,22 @@ object Dedup {
     // Filter-less parquet count: answered from row-group metadata (empty
     // ReadSchema), footer IO only — safe inside the query at any scale.
     val n = Tables.embeddings(spark, sfDir).count()
-    val bits = math.min(EmbedMaxBits, math.max(4,
-      math.ceil(math.log(n.toDouble / EmbedTargetBucket) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(EmbedDupThreshold) / math.Pi
-    val p1 = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
-    val tables = math.min(EmbedMaxTables,
-      math.ceil(math.log(EmbedMissBound) / math.log1p(-p1)).toInt)
+    def tablesFor(b: Int): Int = {
+      val p1 = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+      math.ceil(math.log(EmbedMissBound) / math.log1p(-p1)).toInt
+    }
+    // (bits, tables) are derived JOINTLY: start from the occupancy-target
+    // bit width and walk DOWN until the solved table count fits the cap —
+    // clamping tables alone would silently void the miss bound (at
+    // bits = 20 the solved L is in the thousands; 48 tables would find a
+    // >1-bit-everywhere pair with probability ~0.09, not 1 - 1e-3). Fewer
+    // bits cost bucket occupancy, never recall — the honest direction.
+    val bitsByOccupancy =
+      graft.functions.HyperplaneSigs.bitsFor(n, EmbedTargetBucket, EmbedMaxBits)
+    val bits = (bitsByOccupancy to 4 by -1)
+      .find(b => tablesFor(b) <= EmbedMaxTables).getOrElse(4)
+    val tables = math.min(EmbedMaxTables, tablesFor(bits))
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
@@ -342,14 +364,8 @@ object Dedup {
     // side's flip hits the other's base key, so every qualifying pair is
     // generated exactly ONCE (symmetric flipping finds it twice and leaves
     // distinct() double the work). Hamming-0 pairs meet on base keys.
-    val probeKeys = (0 until tables).flatMap { t =>
-      val bt = element_at(col("sig"), t + 1)
-      struct(lit(t).as("tbl"), bt.as("bkt"), lit(true).as("ok")) +:
-        (0 until bits).map(b =>
-          struct(lit(t).as("tbl"),
-            bt.bitwiseXOR(lit(1 << b)).as("bkt"),
-            (bt.bitwiseAND(lit(1 << b)) === 0).as("ok")))
-    }
+    val probeKeys = graft.functions.HyperplaneSigs.probeKeys(
+      col("sig"), tables, bits, directional = true)
     val probes = sigs.select(col("vec_id").as("vec_a"),
       explode(array(probeKeys: _*)).as("k"))
       .filter(col("k.ok"))
@@ -427,6 +443,12 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // With doubling, 25 rounds close any component of diameter < 2^25 —
+    // hitting the cap means something is structurally wrong (or a future
+    // edit weakened the doubling step). Wrong cluster labels are worse
+    // than a loud failure for a dedup pipeline, so refuse to return them.
+    require(converged,
+      s"component propagation did not converge within $rounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -218,8 +218,7 @@ object Similarity {
   private val MaxLshBits = 20
 
   private def lshBits(n: Long): Int =
-    math.min(MaxLshBits, math.max(4,
-      math.ceil(math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt))
+    graft.functions.HyperplaneSigs.bitsFor(n, TargetBucket, MaxLshBits)
 
   /** Seeded-deterministic hyperplanes, drawn at the max bit width; a run
     * using B bits takes the first B planes per table, so signatures are
@@ -243,18 +242,16 @@ object Similarity {
       graft.functions.HyperplaneSigs.sigs(emb, flat, LshTables, bits, Dim)
     val keyed = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(sig(col("embedding"))).as(Seq("tbl", "bkt")))
-    // Query side: own bucket + the `bits` hamming-1 flips, per table.
+    // Query side: own bucket + the `bits` hamming-1 flips, per table
+    // (shared key builder; non-directional — asymmetric query→corpus).
     val q = queries(Tables.embeddings(spark, sfDir))
       .withColumn("sig", sig(col("q_emb")))
-    val probeKeys = (0 until LshTables).flatMap { t =>
-      val bt = element_at(col("sig"), t + 1)
-      struct(lit(t).as("tbl"), bt.as("bkt")) +:
-        (0 until bits).map(b =>
-          struct(lit(t).as("tbl"), bt.bitwiseXOR(lit(1 << b)).as("bkt")))
-    }
+    val probeKeys = graft.functions.HyperplaneSigs.probeKeys(
+      col("sig"), LshTables, bits, directional = false)
     val probes = q
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(array(probeKeys: _*)).as("k"))
+      .filter(col("k.ok"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
     // No distinct() needed: TopKAgg dedupes multi-table collisions by id
