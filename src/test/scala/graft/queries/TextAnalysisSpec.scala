@@ -14,6 +14,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(a.values.forall(_._1 > 0))
   }
 
+  test("winnow fingerprint sets equal an independent plain-Scala winnowing reference") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    val K = 8; val W = 4
+    // Same hash primitive Spark's xxhash64 column uses (seed 42); the
+    // windowing/dedup logic under test is re-derived independently.
+    def xx(s: String): Long =
+      XxHash64(Seq(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    def referenceFps(text: String): Set[Long] =
+      if (text.length < K) Set.empty
+      else {
+        val hs = (0 to text.length - K).map(i => xx(text.substring(i, i + K)))
+        hs.indices.map(i => hs.slice(i, math.min(i + W, hs.length)).min).toSet
+      }
+    val want = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> referenceFps(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    val got = TextAnalysis.winnowSets(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(1)).toSet }
+    assert(got == want, "winnow fingerprint sets diverge from the reference")
+  }
+
   test("near-duplicate docs share far more winnow fingerprints than random pairs") {
     val sets = TextAnalysis.winnowSets(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
