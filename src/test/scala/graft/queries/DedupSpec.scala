@@ -78,6 +78,37 @@ class DedupSpec extends SparkSuite {
       s"missed: ${allPairs -- bucketed}; extra: ${bucketed -- allPairs}")
   }
 
+  test("simhash end-to-end equals a plain-Scala signature + all-pairs reference") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx(s: String): Long =
+      XxHash64(Seq(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    def refSig(text: String): Long = {
+      val counts = new Array[Int](64)
+      text.split("\\s+").foreach { tok =>
+        val h = xx(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((s, b) => if (counts(b) > 0) s | (1L << b) else s)
+    }
+    val sigs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> refSig(r.getString(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+    } yield (a, b, ham)).toSet
+    val got = Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"simhash output diverges from all-pairs reference " +
+      s"(missing ${want -- got}, extra ${got -- want})")
+  }
+
   test("simhash pigeonhole: every hamming<=3 signature pair shares a 3-block combo key") {
     // Pure check of the completeness claim behind the C(6,3)=20 bucket
     // scheme: for any <=3 flipped bits, at least one 3-block combination
