@@ -22,13 +22,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf) and
-    * floor-divide to µs — integer division, since 2024 epoch-nanos ≈ 1.7e18
-    * exceeds double's 2^53 exact range. DuckDB's CAST(ns AS TIMESTAMP)
-    * truncates the same way, keeping oracles aligned.
+    * outright (PARQUET_TYPE_ILLEGAL). The session is built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession — a loader
+    * must not mutate session conf as a side effect), so ts arrives as an
+    * epoch-nanos long; floor-divide to µs — integer division, since 2024
+    * epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range. DuckDB's
+    * CAST(ns AS TIMESTAMP) truncates the same way, keeping oracles aligned.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
@@ -60,6 +61,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 rejects it unless
+      // nanos are read as long (Tables.events then divides to µs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

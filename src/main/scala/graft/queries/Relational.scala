@@ -48,10 +48,15 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q2_join — star join: fact table joined to the full dimension chain.
-    * Every dimension side is `broadcast()` — region/nation/customer are
-    * tiny relative to lineitem at any scale factor, so the only shuffle in
-    * the plan is the final group-by (and AQE may even fold that). At 100 TB
-    * the lineitem scan dominates; no fact-fact shuffle exists here.
+    * Broadcast hints go ONLY on the constant-size dimensions (region: 5
+    * rows, nation: 25 rows at every scale factor). `orders` and `customer`
+    * grow linearly with the corpus — a forced broadcast there OOMs the
+    * moment the table crosses executor memory — so their join strategy is
+    * left to statistics/AQE: below the auto-broadcast threshold they still
+    * broadcast (the small-SF plan is identical to a hinted one), above it
+    * Spark picks a shuffled join on the join key, which is the correct
+    * 100 TB shape (lineitem⋈orders is fact⋈fact: both sides hash-partition
+    * on orderkey and stream — no single node ever holds a table).
     */
   def q2Join(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -59,8 +64,8 @@ object Relational {
     val c  = Tables.customer(spark, sfDir)
     val n  = Tables.nation(spark, sfDir)
     val r  = Tables.region(spark, sfDir)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -91,7 +96,7 @@ object Relational {
     o.groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -482,7 +487,7 @@ object Relational {
   def q13CaseAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p  = Tables.part(spark, sfDir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
       .agg(
         round(sum(when(col("p_type").startsWith("PROMO"),

@@ -62,9 +62,23 @@ object Similarity {
   private def pairCosine: Column =
     graft.functions.vec.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))
 
-  /** Deterministic query set: every 50th vector. */
+  /** Explicit bounded-|Q| contract: at most this many queries per batch.
+    * Every probe-side `broadcast()` below is justified by THIS bound — a
+    * query set defined as "every 50th vector" alone grows as N/50, which
+    * would make the probe broadcasts linear in the corpus (the same
+    * scale bug class as a hinted fact-table broadcast). Real ANN serving
+    * batches queries; 1024 is a batch, not a corpus fraction.
+    */
+  private val MaxQueries = 1024
+
+  /** Deterministic query set: every 50th vector among the first
+    * `MaxQueries * 50` ids. The id bound is a plain range predicate, so it
+    * is PUSHED to the parquet scan (PlanSpec asserts `LessThan(vec_id`)
+    * — the query side reads a bounded slice of the corpus, it does not
+    * scan-then-sample N rows.
+    */
   private def queries(e: DataFrame): DataFrame =
-    normed(e).filter(col("vec_id") % 50 === 0)
+    normed(e).filter(col("vec_id") % 50 === 0 && col("vec_id") < lit(MaxQueries * 50L))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
 
@@ -83,7 +97,11 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"),
         round(col("t.score"), 6).as("cs"))
 
-  /** ann_topk — exact brute-force top-5 cosine neighbors per query. */
+  /** ann_topk — exact brute-force top-5 cosine neighbors per query.
+    * O(|Q|·N) by definition (it is the recall baseline); the broadcast is
+    * safe because |Q| ≤ MaxQueries by contract, so the build side is
+    * ≤ 1024 rows of 64 floats at any corpus size.
+    */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normed(Tables.embeddings(spark, sfDir))
     val q = queries(Tables.embeddings(spark, sfDir))
@@ -101,7 +119,7 @@ object Similarity {
        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |      CAST(e.embedding AS DOUBLE[])), 6) AS cs
        |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-       |  WHERE q.vec_id % 50 = 0) t
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < ${MaxQueries * 50L}) t
        |WHERE rank <= $K""".stripMargin
 
   /** Index-entry replication: each vector is indexed under its top
@@ -144,6 +162,11 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(col("cells.id")).as("cell"))
 
+  /** Probe-side broadcast is bounded by contract: |probed| ≤ MaxQueries ·
+    * nprobe (≈ 1024 · 1.5·N^(1/4)) — sublinear in the corpus and tiny in
+    * absolute terms. The corpus-derived `assigned` side is NEVER broadcast;
+    * it streams through the hash join partitioned by cell.
+    */
   private def searchCells(probed: DataFrame, assigned: DataFrame): DataFrame =
     rankTopK(
       broadcast(probed).join(assigned, Seq("cell"))
@@ -255,7 +278,9 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
     // No distinct() needed: TopKAgg dedupes multi-table collisions by id
-    // inside the bounded buffer (identical cs per duplicate).
+    // inside the bounded buffer (identical cs per duplicate). The probe
+    // broadcast is bounded: |probes| ≤ MaxQueries · L · (bits+1) ≤
+    // 1024 · 8 · 21 rows; the corpus-derived `keyed` side streams.
     rankTopK(
       broadcast(probes).join(keyed, Seq("tbl", "bkt"))
         .filter(col("vec_id") =!= col("q_id"))

@@ -37,7 +37,8 @@ object Streaming {
     * Kafka topic — the downstream pipelines are identical.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session build (GraftSession / SparkSuite) —
+    // see Tables.events for the ns→µs contract.
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // File streams require a directory: stream the sf dir filtered to the

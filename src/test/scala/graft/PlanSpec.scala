@@ -16,11 +16,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum"), "map-side partial aggregation missing")
   }
 
-  test("q2_join: dimension chain is all broadcast joins, no shuffle join") {
+  test("q2_join small-SF: statistics still broadcast every small dimension") {
+    // With no hints on orders/customer, the stats-based planner must still
+    // choose broadcast while those tables sit under the threshold — the
+    // scale-safe query keeps the optimal small-scale plan.
     val p = plan("q2_join")
     assert(p.split("BroadcastHashJoin").length - 1 == 4, s"expected 4 BHJs:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"unexpected shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q2_join at scale: only constant-size dims are hinted broadcast") {
+    // Simulate 100×: disable auto-broadcast so every unhinted side behaves
+    // like a table above the threshold. Only region (5 rows) and nation
+    // (25 rows) carry hints — orders/customer grow linearly and MUST fall
+    // back to a shuffled join, never a forced broadcast (OOM at scale).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q2_join")
+      assert(p.split("BroadcastHashJoin").length - 1 == 2,
+        s"expected exactly 2 hinted BHJs (nation, region):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fact-side joins must shuffle when tables exceed the threshold:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("q3_topk: TakeOrderedAndProject, not a global sort") {
@@ -60,6 +79,18 @@ class PlanSpec extends SparkSuite {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$p")
+  }
+
+  test("ANN family: query side is a bounded, scan-pushed slice of the corpus") {
+    // The probe-side broadcasts are only scale-safe because |Q| is bounded
+    // by contract (Similarity.MaxQueries). The bound is a range predicate
+    // on vec_id — assert it reaches the parquet scan as a pushed filter,
+    // so the query side cannot silently revert to an N/50-sized set.
+    Seq("ann_topk", "ann_ivf", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LessThan(vec_id"),
+        s"$q bounded-|Q| predicate not pushed to the scan:\n$p")
+    }
   }
 
   test("dd_embed_bucketed: candidate generation is hash joins, never a cartesian") {

@@ -29,7 +29,9 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.65, f"IVF recall too low: $mean%.2f")
+    // Measured 0.82 (deterministic seeds); floor within 0.1 so a silent
+    // recall regression fails instead of coasting on a slack bound.
+    assert(mean >= 0.75, f"IVF recall too low: $mean%.2f")
   }
 
   test("ann_lsh: hyperplane buckets give usable recall with bounded candidates") {
@@ -40,7 +42,8 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"LSH mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.6, f"LSH recall too low: $mean%.2f")
+    // Measured 0.96 (deterministic planes/seeds); tight floor per above.
+    assert(mean >= 0.85, f"LSH recall too low: $mean%.2f")
   }
 
   test("ann_ivf_kmeans: trained centroids reach at least sampled-centroid recall") {
@@ -54,6 +57,7 @@ class SimilaritySpec extends SparkSuite {
     val sampled = recallOf(resultMap(Similarity.annIvf(spark, sf)))
     val trained = recallOf(resultMap(Similarity.annIvfKmeans(spark, sf)))
     info(f"recall@5: sampled=$sampled%.2f trained=$trained%.2f")
-    assert(trained >= 0.7, f"trained IVF recall too low: $trained%.2f")
+    // Measured 0.90 (fixed KMeans seed); tight floor per above.
+    assert(trained >= 0.8, f"trained IVF recall too low: $trained%.2f")
   }
 }
