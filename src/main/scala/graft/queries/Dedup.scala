@@ -74,14 +74,18 @@ object Dedup {
     * candidate-cool would be kept here and dropped there, and the asserted
     * minhash ≡ ngramJaccard equivalence breaks exactly when the cap fires.
     */
-  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double,
-      dfBasis: Option[DataFrame] = None): DataFrame = {
-    val hot = dfBasis.getOrElse(shRaw)
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+  /** Shingles with document frequency above the cap, computed over `sh`.
+    * Tiny by construction (few shingles clear the cap) → broadcast
+    * anti-join against it costs no extra shuffle of the shingle table.
+    */
+  private def hotShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select(col("shingle"))
-    // hot is tiny by construction (few shingles clear the cap) → broadcast
-    // anti-join, no extra shuffle of the shingle table.
+
+  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double,
+      dfBasis: Option[DataFrame] = None): DataFrame = {
+    val hot = hotShingles(dfBasis.getOrElse(shRaw))
     val sh = shRaw.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -164,7 +168,22 @@ object Dedup {
     minhashFrom(spark.read.parquet(staged))
   }
 
-  private def minhashFrom(sh: DataFrame): DataFrame = {
+  /** Package-visible so Pipeline's near-dup stage runs the SAME banded-LSH
+    * candidate funnel over its survivor set (identical output to the exact
+    * self-join at J ≥ 0.8; see the equivalence argument on `minhash`).
+    */
+  private[queries] def minhashFrom(shRaw: DataFrame): DataFrame = {
+    // The df cap applies BEFORE signatures, over the same full-input basis
+    // the verification stage uses. If signatures saw the uncapped shingle
+    // set, the banding probability would track UNCAPPED Jaccard while
+    // verification scores CAPPED Jaccard — and a pair whose similarity
+    // comes mostly from rare shingles but whose uncapped J is dragged down
+    // by a one-sided hot shingle could slip the bands entirely, voiding
+    // the (1-J⁴)¹⁶ ≈ 2e-4 miss bound exactly when the cap fires (it never
+    // fires at test SFs; CapBindingSpec drives it with a planted df>cap
+    // corpus). Capping first makes banding and verification score the
+    // same quantity, restoring the bound.
+    val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
     val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
     val hashed = sh.select(col("doc_id"), h)
@@ -194,8 +213,10 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    // df basis = FULL corpus shingles, not the candidate subset (see
-    // jaccardPairs doc) — keeps cap decisions identical to ngramJaccard's.
+    // df basis = the full (capped) corpus shingle set, not the candidate
+    // subset (see jaccardPairs doc) — keeps cap decisions identical to
+    // ngramJaccard's (capping is idempotent, so re-capping over the
+    // already-capped basis is a no-op, by design).
     jaccardPairs(shCand, 0.8, dfBasis = Some(sh))
       .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
   }

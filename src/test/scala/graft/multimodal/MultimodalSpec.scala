@@ -50,6 +50,33 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.values.exists(_.exists(_ > 0d)))
   }
 
+  test("mm_features values match an independent plain-Scala byte-fold golden") {
+    // Value-level anchor (same pattern as DedupSpec's all-pairs reference):
+    // recompute every feature row with an independent fold over the raw
+    // documents parquet, so a silent change to the stub decode, the
+    // mapPartitions plumbing, or the scalar projection fails loudly —
+    // determinism alone can't catch a deterministic-but-wrong refactor.
+    import scala.math.BigDecimal.RoundingMode
+    def goldenFold(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](8)
+      payload.indices.foreach(i => acc(i % 8) += (payload(i) & 0xff) / 255.0f)
+      val n = math.max(1, payload.length / 8)
+      acc.map(_ / n)
+    }
+    val kinds = Array("image", "audio", "video")
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val payload = r.getString(1).getBytes("UTF-8")
+        (r.getLong(0), kinds((r.getLong(0) % 3).toInt), payload.length,
+          goldenFold(payload).map(f =>  // Spark round() = HALF_UP on the double cast
+            BigDecimal(f.toDouble).setScale(4, RoundingMode.HALF_UP).toDouble).toSeq)
+      }.toSet
+    val got = Multimodal.features(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), (3 until 11).map(r.getDouble).toSeq)).toSet
+    assert(got == expected, "Spark mm_features diverged from the plain-Scala golden")
+    assert(expected.nonEmpty)
+  }
+
   test("resize preserves payload and shrinks only oversized images") {
     val r = Multimodal.resize(spark, sf).collect()
     r.foreach { row =>
