@@ -75,7 +75,11 @@ object SparkEntry {
     "ta_perplexity" -> (CorpusOps.perplexity _),
     "dd_decontaminate" -> (CorpusOps.decontaminate _),
     "ds_mix" -> (CorpusOps.sourceMix _),
-    "ds_pack" -> (CorpusOps.pack _)
+    "ds_pack" -> (CorpusOps.pack _),
+    // Structured Streaming pipelines run to completion (file source →
+    // stateful operator → sink), result returned as a batch DataFrame.
+    "st_window_agg" -> (graft.streaming.StreamingQueries.windowAgg _),
+    "st_sessionize" -> (graft.streaming.StreamingQueries.sessionize _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -143,6 +147,8 @@ object SparkEntry {
     "ta_perplexity" -> CorpusOps.perplexitySql,
     "dd_decontaminate" -> CorpusOps.decontaminateSql,
     "ds_mix" -> CorpusOps.sourceMixSql,
-    "ds_pack" -> CorpusOps.packSql
+    "ds_pack" -> CorpusOps.packSql,
+    "st_window_agg" -> graft.streaming.StreamingQueries.windowAggSql,
+    "st_sessionize" -> graft.streaming.StreamingQueries.sessionizeSql
   )
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible streaming entries: each runs a REAL Structured Streaming
+  * execution (file source → stateful operator → sink) to completion over
+  * the static events table and returns the final result as a batch
+  * DataFrame, so the streaming paths sit in `SparkEntry.queries` under the
+  * same DuckDB oracle gate as everything else — not only behind
+  * StreamingSpec's in-process parity tests.
+  *
+  * The memory sink holds only the AGGREGATED result (windows/sessions —
+  * thousands of rows), never raw events; at production scale the same
+  * pipelines write to Kafka/Delta sinks and these entries exist to pin
+  * their semantics against the batch oracle at test scale.
+  */
+object StreamingQueries {
+
+  /** st_window_agg — the incremental tumbling-window aggregation
+    * (Streaming.windowedAgg) over the events parquet as a file stream, run
+    * to completion. Complete output mode: the sink row count is the number
+    * of (hour, event_type) groups, which is bounded by the time range, not
+    * the event volume. The approx n_users column is dropped from the
+    * oracle-checked projection (approx_count_distinct has no exact
+    * oracle; the batch ev_window_agg checks the exact variant).
+    */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = "st_window_agg_sink"
+    spark.catalog.dropTempView(sink)
+    val q = Streaming.windowedAgg(Streaming.eventsStream(spark, sfDir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val windowAggSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** st_sessionize — the flatMapGroupsWithState sessionizer over the events
+    * file stream, run to completion with every session CLOSED, so output
+    * equals the batch form exactly.
+    *
+    * Closing the trailing open session per user needs the watermark to
+    * pass its timeout, and a static file never advances the watermark past
+    * its own max event time — so the stream is unioned with a 2-row
+    * sentinel stream (ids < 0, 12 h and 13 h past the real max),
+    * rate-limited to one file per trigger: the first sentinel batch pushes
+    * the watermark past every real timeout, the second triggers the timeout
+    * sweep that emits them. Sentinel rows are filtered from the output.
+    * This is the standard "punctuation" close-out a bounded replay of an
+    * unbounded pipeline uses; at scale the stream simply keeps running and
+    * sessions close on real traffic.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "st_sessionize_sink"
+    spark.catalog.dropTempView(sink)
+
+    val real = Streaming.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+    // Max event time from parquet column statistics (min/max per row
+    // group) — an aggregate-only scan, no full decode at scale.
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).head().getTimestamp(0).toInstant
+
+    val sentinelDir = Files.createTempDirectory("graft-sentinel")
+    def writeSentinel(n: Int, id: Long, at: java.time.Instant): Unit = {
+      val part = Files.createTempDirectory(s"graft-sentinel-p$n")
+      Seq((id, at, -999L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val file = Files.list(part).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(file, sentinelDir.resolve(s"s$n.parquet"))
+    }
+    writeSentinel(1, -1L, maxTs.plusSeconds(12 * 3600))
+    writeSentinel(2, -2L, maxTs.plusSeconds(13 * 3600))
+
+    val sentinels = spark.readStream
+      .schema(real.schema)
+      .option("maxFilesPerTrigger", 1) // one sentinel per micro-batch
+      .parquet(sentinelDir.toString)
+
+    val q = Streaming.sessionize(real.union(sentinels).as[Event])
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // processAllAvailable (not AvailableNow) so the no-data timeout
+      // sweep after the last sentinel batch also runs before we read.
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("duration_us"))
+  }
+
+  /** Same session semantics as ev_sessionize's oracle, without the
+    * session_no bookkeeping column (the streaming form identifies sessions
+    * by their bounds, not an ordinal).
+    */
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged)
+      |SELECT user_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+      |  max(us) - min(us) AS duration_us
+      |FROM numbered GROUP BY user_id, session_no""".stripMargin
+}

@@ -211,6 +211,24 @@ class StreamingSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == events.length)
   }
 
+  test("driver-facing streaming entries (st_window_agg, st_sessionize) equal batch forms") {
+    // These are the SparkEntry.queries surface — real streaming executions
+    // returning batch DataFrames; the driver oracle-checks them, this test
+    // guards them in CI.
+    val w = StreamingQueries.windowAgg(spark, sf).collect().map(_.toSeq).toSet
+    val wBatch = Events.windowAgg(spark, sf)
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(w == wBatch)
+    val s = StreamingQueries.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val sBatch = Events.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(s == sBatch)
+  }
+
   test("streaming sessionization equals batch sessionize after watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
