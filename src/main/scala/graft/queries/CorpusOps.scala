@@ -247,4 +247,31 @@ object CorpusOps {
       |WHERE (doc_id % 65536) * 48271 % 65537 % 100 <
       |  CASE CAST(substr(source, 4) AS INT) % 3
       |    WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END""".stripMargin
+
+  /** ds_split — deterministic hash-based train/val/test assignment
+    * (90/5/5): the split key is the first two hex chars of md5(doc_id),
+    * compared lexicographically ('e6' = 230/256 ≈ 0.9, 'f3' = 243/256 ≈
+    * 0.95). Hash-based (not random, not modulo-on-id) is the production
+    * contract for corpus splits: membership is a pure function of the id —
+    * stable under re-partitioning, engine changes, and incremental ingest
+    * (new docs land in the same split forever) — and md5 hex is
+    * bit-identical across Spark and DuckDB, so the oracle replays the
+    * exact assignment. A narrow projection: the scan never reads `text`.
+    */
+  def split3Way(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test"))
+  }
+
+  val split3WaySql: String =
+    """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
 }

@@ -250,4 +250,51 @@ object Events {
       .agg(
         approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
         count(lit(1)).as("n"))
+
+  /** ev_funnel — sequential conversion funnel: users whose first view is
+    * followed by a click, then by a purchase, in strict event-time order.
+    * Three aggregation passes, each partitioned on user_id: stage n's
+    * first-timestamp table joins stage n+1's candidate events on user_id
+    * and the time predicate, then re-aggregates. All three shuffles hash
+    * on the SAME key, so at cluster scale the exchanges reuse the
+    * partitioning (no re-shuffle between stages under AQE); per-stage
+    * state is one row per surviving user — the funnel narrows, the data
+    * volume shrinks monotonically. The final three counts cross-join as
+    * 1-row aggregates.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstClick = e.filter(col("event_type") === "click")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .join(firstClick, Seq("user_id"))
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    firstView.agg(count(lit(1)).as("n_view"))
+      .crossJoin(firstClick.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(firstPurchase.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      |  GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click_after_view,
+      |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
 }

@@ -561,4 +561,31 @@ object Relational {
       |  count(*) FILTER (event_type = 'signup') AS signup,
       |  count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY 1""".stripMargin
+
+  /** q26_grouping_sets — arbitrary GROUPING SETS (completes the multi-level
+    * aggregate family next to q8_rollup/q24_cube): per-flag, per-status,
+    * and grand-total aggregates in ONE pass — Catalyst expands the sets
+    * into a single Expand + hash aggregate, so the fact table is scanned
+    * once, not once per set. grouping_id disambiguates rows where a
+    * grouping column is genuinely NULL vs aggregated-away (same bit order
+    * as DuckDB's GROUPING(a, b)).
+    */
+  def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().cast("int").as("gid"))
+  }
+
+  val q26GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 }

@@ -237,4 +237,42 @@ object TextAnalysis {
       |  md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp_md5,
       |  substr(md5(regexp_replace(lower(text), '[^a-z]', '', 'g')), 1, 8) AS fp_prefix
       |FROM documents""".stripMargin
+
+  /** ta_ngram_stats — top-5 word bigrams per language by corpus frequency
+    * (the vocabulary/corpus-statistics pass of a tokenizer-training or
+    * contamination-audit pipeline). Two-phase: a full hash aggregation to
+    * (lang, bigram, n) — partial agg map-side, so the shuffle carries
+    * distinct bigrams, not token instances — then a rank window over the
+    * AGGREGATED table. The window's partition-by-lang skew is bounded by
+    * vocabulary size (distinct bigrams per language), not corpus size:
+    * aggregation has already collapsed the linear factor, which is what
+    * makes a per-group-rank window acceptable here and not in the ANN
+    * paths (where the round-1 bug ranked raw candidate fan-out).
+    */
+  def ngramStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+  }
+
+  val ngramStatsSql: String =
+    raw"""WITH tok AS (
+         |  SELECT lang, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 2),
+         |bg AS (
+         |  SELECT lang,
+         |    unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bigram
+         |  FROM tok),
+         |counts AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+         |SELECT lang, bigram, n, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank
+         |  FROM counts) t
+         |WHERE rank <= 5""".stripMargin
 }

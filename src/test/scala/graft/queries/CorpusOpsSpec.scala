@@ -67,6 +67,23 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("hash split covers every doc exactly once with ~90/5/5 fractions") {
+    val split = CorpusOps.split3Way(spark, sf)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(split.count() == total, "split must be a total assignment")
+    val by = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet == Set("train", "val", "test"))
+    // md5 is uniform: expected 89.8/5.1/5.1% — allow wide slack at sf0.001.
+    val trainFrac = by("train").toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // Determinism: assignment is a pure function of doc_id.
+    val a = split.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = CorpusOps.split3Way(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b)
+  }
+
   test("source mix keeps deterministic per-source fractions") {
     val docs = graft.Tables.documents(spark, sf)
     val kept = CorpusOps.sourceMix(spark, sf)

@@ -28,6 +28,16 @@ class EventsSpec extends SparkSuite {
     assert(rows.nonEmpty)
   }
 
+  test("funnel counts narrow monotonically and respect event order") {
+    val r = Events.funnel(spark, sf).collect().head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v -> $c -> $p")
+    assert(v > 0, "no users entered the funnel — fixture signal lost")
+    val distinctUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(v <= distinctUsers)
+  }
+
   test("sessions per user are non-overlapping and gap-separated") {
     val byUser = Events.sessionize(spark, sf).collect()
       .groupBy(_.getLong(0))

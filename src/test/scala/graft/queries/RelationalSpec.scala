@@ -49,6 +49,19 @@ class RelationalSpec extends SparkSuite {
     assert(roll == direct)
   }
 
+  test("grouping sets: each set's rows sum to the grand total, gid disambiguates") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q26GroupingSets(spark, sf).collect()
+      .map(r => (r.getInt(r.fieldIndex("gid")), r.getLong(r.fieldIndex("n_lines"))))
+    val total = graft.Tables.lineitem(spark, sf).count()
+    // gid bit order: (l_returnflag, l_linestatus) → per-flag set = 1,
+    // per-status set = 2, grand total = 3.
+    assert(rows.collect { case (1, n) => n }.sum == total)
+    assert(rows.collect { case (2, n) => n }.sum == total)
+    assert(rows.collect { case (3, n) => n } sameElements Array(total))
+    assert(rows.map(_._1).toSet == Set(1, 2, 3))
+  }
+
   test("approx percentile tracks exact within 5%") {
     val exact = Relational.q17Percentile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap

@@ -59,6 +59,21 @@ class TextAnalysisSpec extends SparkSuite {
       f"fingerprints don't separate near-dups: $dupMean%.3f vs $rndMean%.3f")
   }
 
+  test("ngram stats: at most top-5 bigrams per language, counts non-increasing") {
+    val byLang = TextAnalysis.ngramStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val ranked = rows.sortBy(_._3)
+      assert(ranked.length <= 5 && ranked.map(_._3).toSeq == (1 to ranked.length),
+        s"$lang ranks not dense")
+      ranked.map(_._2).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1), s"$lang counts not non-increasing")
+      }
+    }
+  }
+
   test("charngram profile has exactly top-5 per language, rank-ordered") {
     val rows = TextAnalysis.charNgrams(spark, sf).collect()
     val byLang = rows.groupBy(_.getString(0))
