@@ -280,6 +280,37 @@ object Events {
       .crossJoin(firstPurchase.agg(count(lit(1)).as("n_purchase_after_click")))
   }
 
+  /** ev_retention — daily cohort retention: users grouped by first-seen
+    * day; for each (cohort_day, day_offset) the number of cohort users
+    * active that day. The classic growth-analytics matrix, built without
+    * a single window: first-seen is a min-aggregate per user, activity is
+    * a distinct on (user, day), and the join keys on user_id — so every
+    * stage is a hash shuffle on the same key and the output is bounded by
+    * cohorts × horizon, not events.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, day FROM e)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+      |  count(DISTINCT a.user_id) AS n_active
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val funnelSql: String =
     """WITH v AS (
       |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts

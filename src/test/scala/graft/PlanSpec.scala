@@ -99,6 +99,38 @@ class PlanSpec extends SparkSuite {
       s"bucketed embed dedup degenerated to all-pairs:\n$p")
   }
 
+  test("ds_split: text column pruned from the scan") {
+    // Split assignment is a pure doc_id hash — reading the (dominant)
+    // text column would multiply scan bytes for nothing.
+    val p = plan("ds_split")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("text"), s"ds_split reads the text column:\n$p")
+  }
+
+  test("ta_ngram_stats: rank window runs over a pre-aggregated input") {
+    // The window is only scale-safe because aggregation has already
+    // collapsed token instances to distinct (lang, bigram) rows — assert
+    // the partial aggregate sits below the window.
+    val p = plan("ta_ngram_stats")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q26_grouping_sets: one Expand, one scan — never a union of aggregates") {
+    val p = plan("q26_grouping_sets")
+    assert(p.split("Expand").length - 1 >= 1, s"no Expand operator:\n$p")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"grouping sets must share a single fact scan:\n$p")
+  }
+
+  test("ev_retention and ev_funnel: aggregation-join shape, no windows") {
+    Seq("ev_retention", "ev_funnel").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q uses a window it doesn't need:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
+    }
+  }
+
   test("ds_mix: text column pruned from the scan") {
     // The sampler touches only ids/source/lang — reading the (dominant)
     // text column would multiply scan bytes for nothing.

@@ -38,6 +38,26 @@ class EventsSpec extends SparkSuite {
     assert(v <= distinctUsers)
   }
 
+  test("retention: offset-0 cell equals cohort size, offsets non-negative") {
+    val rows = Events.retention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative day offset")
+    // Every user is active on their own cohort day, so the offset-0 count
+    // per cohort equals the cohort's size.
+    val cohortSizes = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("day").as("cohort_day"))
+      .groupBy("cohort_day").count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 == 0).foreach { case (day, _, n) =>
+      assert(n == cohortSizes(day), s"cohort $day offset-0 $n != ${cohortSizes(day)}")
+    }
+  }
+
   test("sessions per user are non-overlapping and gap-separated") {
     val byUser = Events.sessionize(spark, sf).collect()
       .groupBy(_.getLong(0))
