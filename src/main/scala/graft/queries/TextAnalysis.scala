@@ -238,6 +238,49 @@ object TextAnalysis {
       |  substr(md5(regexp_replace(lower(text), '[^a-z]', '', 'g')), 1, 8) AS fp_prefix
       |FROM documents""".stripMargin
 
+  /** The scrub transformations, factored per-column so TextAnalysisSpec can
+    * drive them over planted PII (the synthetic corpus contains none — the
+    * oracle proves cross-engine parity, the spec proves the redaction
+    * signal). Patterns stay in the Java∩RE2 common dialect so Spark and
+    * DuckDB compile them identically. Order matters (emails before bare
+    * digit runs) and is fixed on both sides.
+    */
+  private[queries] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val UrlPat = "https?://[^\\s]+"
+  private[queries] val IdNumPat = "\\d{9,}"
+
+  private[queries] def scrubbed(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "<EMAIL>"),
+        UrlPat, "<URL>"),
+      IdNumPat, "<ID>")
+
+  /** ta_scrub — PII/URL redaction pass (emails, URLs, long digit runs):
+    * per-doc redaction counts plus an md5 of the scrubbed text (compact
+    * value-level evidence for the oracle without shipping the full text
+    * through the compare). Pure per-row column work — no shuffle, stays in
+    * WholeStageCodegen, scales with the scan.
+    */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(IdNumPat), lit(0))).as("n_idnums"),
+      md5(scrubbed(col("text"))).as("scrubbed_md5"))
+
+  val scrubSql: String =
+    raw"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '\d{9,}')) AS INT) AS n_idnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    'https?://[^\s]+', '<URL>', 'g'),
+         |    '\d{9,}', '<ID>', 'g')) AS scrubbed_md5
+         |FROM documents""".stripMargin
+
   /** ta_ngram_stats — top-5 word bigrams per language by corpus frequency
     * (the vocabulary/corpus-statistics pass of a tokenizer-training or
     * contamination-audit pipeline). Two-phase: a full hash aggregation to

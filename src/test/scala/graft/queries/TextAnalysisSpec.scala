@@ -59,6 +59,31 @@ class TextAnalysisSpec extends SparkSuite {
       f"fingerprints don't separate near-dups: $dupMean%.3f vs $rndMean%.3f")
   }
 
+  test("scrub redacts planted PII and counts each category") {
+    import spark.implicits._
+    // The synthetic corpus carries no PII — the oracle proves engine
+    // parity there; THIS is where the redaction signal is proven.
+    val planted = Seq(
+      (1L, "contact alice.smith+work@example-corp.io or visit https://ex.io/a?b=1 ref 123456789"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org one id 9876543210123")).toDF("doc_id", "text")
+    val got = planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailPat), lit(0))).as("e"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.UrlPat), lit(0))).as("u"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.IdNumPat), lit(0))).as("i"),
+      TextAnalysis.scrubbed(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "contact <EMAIL> or visit <URL> ref <ID>")
+    assert(got(2L) == ((0, 0, 0, "no pii here at all")))
+    assert(got(3L)._1 == 2 && got(3L)._3 == 1)
+    assert(!got.values.exists(v => v._4.contains("@") || v._4.contains("http")),
+      "scrubbed text still contains PII markers")
+    // And over the real corpus the op runs clean end-to-end.
+    assert(TextAnalysis.scrub(spark, sf).count() > 0)
+  }
+
   test("ngram stats: at most top-5 bigrams per language, counts non-increasing") {
     val byLang = TextAnalysis.ngramStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
