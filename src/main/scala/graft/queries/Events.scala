@@ -311,6 +311,34 @@ object Events {
       |FROM active a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** ev_anomaly — 3σ outlier detection per event type: each event joined
+    * to its type's (mean, stddev) and flagged when |z| > 3. The stats side
+    * is a 5-row aggregate (one per event type) — broadcast by statistics;
+    * the fact side streams. Same shape as q12's scalar-subquery compare:
+    * the filter uses the unrounded aggregate (synthetic values sit far
+    * from the boundary), the OUTPUT z is rounded for the oracle hash.
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    e.join(stats, Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+  }
+
+  val anomalySql: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, round(value, 2) AS value,
+      |  round((value - mu) / sd, 4) AS z
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |WHERE abs((value - mu) / sd) > 3""".stripMargin
+
   val funnelSql: String =
     """WITH v AS (
       |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts

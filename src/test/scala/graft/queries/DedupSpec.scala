@@ -76,6 +76,10 @@ class DedupSpec extends SparkSuite {
     assert(allPairs.nonEmpty, "planted near-dup pairs missing from test data")
     assert(bucketed == allPairs,
       s"missed: ${allPairs -- bucketed}; extra: ${bucketed -- allPairs}")
+    // The cost-based dispatch can only ever pick between these two
+    // output-identical forms — whatever branch N selects, rows match.
+    assert(pairs(Dedup.embedAuto(spark, sf)) == allPairs,
+      "dd_embed_auto dispatch changed results")
   }
 
   test("simhash end-to-end equals a plain-Scala signature + all-pairs reference") {

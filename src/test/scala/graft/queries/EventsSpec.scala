@@ -58,6 +58,24 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("anomaly rows all exceed 3 sigma for their own type") {
+    val stats = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.avg("value").as("mu"),
+        org.apache.spark.sql.functions.stddev_samp("value").as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Events.anomaly(spark, sf).collect()
+    rows.foreach { r =>
+      val (mu, sd) = stats(r.getString(1))
+      // value is rounded to 2 in the output; re-derive z with slack.
+      assert(math.abs((r.getDouble(2) - mu) / sd) > 2.9,
+        s"event ${r.getLong(0)} not an outlier")
+    }
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.nonEmpty, "no outliers at all — fixture signal lost")
+    assert(rows.length < total / 20, "3-sigma flags should be rare")
+  }
+
   test("sessions per user are non-overlapping and gap-separated") {
     val byUser = Events.sessionize(spark, sf).collect()
       .groupBy(_.getLong(0))
