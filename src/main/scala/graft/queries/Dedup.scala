@@ -76,18 +76,15 @@ object Dedup {
       .filter(col("df") > ShingleDfCap)
       .select(col("shingle"))
 
-  /** `dfBasis`: the shingle set the df cap is computed OVER — defaults to
-    * the join input itself, but a caller verifying a SUBSET must pass the
-    * full-corpus shingles so cap decisions are identical to the exact
-    * form's; otherwise a corpus-hot shingle that is subset-cool would be
-    * kept here and dropped there, and the asserted minhash ≡ ngramJaccard
-    * equivalence breaks exactly when the cap fires.
+  /** Cap + self-join over a raw shingle set. A caller verifying a SUBSET
+    * of a larger corpus must NOT come through here (df over the subset
+    * would diverge from the corpus df exactly when the cap fires) — it
+    * caps over the full basis upfront and calls jaccardPairsCapped, as
+    * minhashFrom does.
     */
-  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double,
-      dfBasis: Option[DataFrame] = None): DataFrame = {
-    val hot = hotShingles(dfBasis.getOrElse(shRaw))
-    jaccardPairsCapped(shRaw.join(broadcast(hot), Seq("shingle"), "left_anti"), threshold)
-  }
+  private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsCapped(
+      shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti"), threshold)
 
   /** The self-join core, input ALREADY df-capped — callers that cap once
     * upstream (minhashFrom) come here directly instead of paying a no-op

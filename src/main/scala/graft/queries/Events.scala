@@ -321,8 +321,13 @@ object Events {
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
+    // sd > 0 guard pins the zero-variance semantics: Spark's 0/0 is NULL
+    // (row silently dropped) while DuckDB's IEEE float 0/0 is NaN (and
+    // NaN > 3 is TRUE in its comparison order) — a degenerate type would
+    // diverge engine-to-engine without the explicit filter on both sides.
     val stats = e.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      .filter(col("sd") > 0)
     e.join(stats, Seq("event_type"))
       .withColumn("z", (col("value") - col("mu")) / col("sd"))
       .filter(abs(col("z")) > 3)
@@ -337,7 +342,7 @@ object Events {
       |SELECT event_id, e.event_type, round(value, 2) AS value,
       |  round((value - mu) / sd, 4) AS z
       |FROM events e JOIN stats s ON e.event_type = s.event_type
-      |WHERE abs((value - mu) / sd) > 3""".stripMargin
+      |WHERE sd > 0 AND abs((value - mu) / sd) > 3""".stripMargin
 
   val funnelSql: String =
     """WITH v AS (

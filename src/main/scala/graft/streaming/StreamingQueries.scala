@@ -19,6 +19,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  private def deleteRecursively(root: Path): Unit = {
+    val ls = Files.walk(root)
+    try ls.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally ls.close()
+  }
+
   /** st_window_agg — the incremental tumbling-window aggregation
     * (Streaming.windowedAgg) over the events parquet as a file stream, run
     * to completion. Complete output mode: the sink row count is the number
@@ -77,8 +84,12 @@ object StreamingQueries {
       Seq((id, at, -999L, "sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val file = Files.list(part).filter(_.toString.endsWith(".parquet")).findFirst().get()
-      Files.move(file, sentinelDir.resolve(s"s$n.parquet"))
+      val ls = Files.list(part) // Files.list holds a directory fd — close it
+      try {
+        val file = ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(file, sentinelDir.resolve(s"s$n.parquet"))
+      } finally ls.close()
+      deleteRecursively(part)
     }
     writeSentinel(1, -1L, maxTs.plusSeconds(12 * 3600))
     writeSentinel(2, -2L, maxTs.plusSeconds(13 * 3600))
@@ -95,7 +106,12 @@ object StreamingQueries {
       // processAllAvailable (not AvailableNow) so the no-data timeout
       // sweep after the last sentinel batch also runs before we read.
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // The memory sink holds the rows; the sentinel files are dead once
+      // the query stops — repeated bench/verify runs must not accrete /tmp.
+      deleteRecursively(sentinelDir)
+    }
 
     spark.table(sink)
       .filter(col("user_id") >= 0)

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * their no-op regime.
   *
   * Synthetic corpus: 1050 background docs all sharing two planted hot
-  * shingles (df = 1054 > ShingleDfCap = 1000 each), plus planted pairs
+  * shingles (df = 1053 each with the planted docs > ShingleDfCap = 1000),
+  * plus planted pairs
   * that qualify ONLY under the capped contract and ONLY under the
   * uncapped one — so the assertions can tell which contract executed.
   */
