@@ -344,6 +344,70 @@ object Events {
       |FROM events e JOIN stats s ON e.event_type = s.event_type
       |WHERE sd > 0 AND abs((value - mu) / sd) > 3""".stripMargin
 
+  /** ev_markov — first-order event-transition matrix: for each user's
+    * time-ordered stream, count (event_type → next event_type) pairs and
+    * normalize per source into transition probabilities. The lead() window
+    * partitions by user_id (per-user event counts are bounded by human
+    * behavior, not corpus size) and reuses the same user_id shuffle the
+    * sessionizer needs; the transition aggregate is O(types²) rows — a
+    * constant — so the final normalization join broadcasts by statistics.
+    */
+  def markov(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+    val counts = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("total"))
+    counts.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("p"))
+  }
+
+  val markovSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  round(n * 1.0 / (CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)), 4) AS p
+      |FROM c""".stripMargin
+
+  /** ev_rolling — per-user trailing-24h activity via a RANGE window frame
+    * (time-based, not row-based: the frame holds whatever falls in the
+    * interval, including ties). Partitioned by user_id like the other
+    * per-user windows — the frame scan is linear per partition (sliding
+    * two-pointer inside the window exec), so cost is O(events), and no
+    * global ordering exists anywhere in the plan.
+    */
+  def rolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 24L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        round(sum(col("value")).over(w), 2).as("value_24h"))
+  }
+
+  val rollingSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_24h,
+      |  round(sum(value) OVER w, 2) AS value_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val funnelSql: String =
     """WITH v AS (
       |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
