@@ -76,6 +76,52 @@ class EventsSpec extends SparkSuite {
     assert(rows.length < total / 20, "3-sigma flags should be rare")
   }
 
+  test("markov transition probabilities sum to 1 per source state") {
+    val rows = Events.markov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      val pSum = ts.map(_._4).sum
+      // p is rounded to 4dp per row; tolerance scales with fan-out.
+      assert(math.abs(pSum - 1.0) <= 1e-4 * ts.length + 1e-9,
+        s"src $src probabilities sum to $pSum")
+      assert(ts.map(_._2).distinct.length == ts.length, s"dup (src,dst) under $src")
+    }
+    // Transition counts conserve the total number of consecutive pairs:
+    // every event with a successor contributes exactly one transition.
+    val nPairs = rows.map(_._3).sum
+    val events = graft.Tables.events(spark, sf)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(nPairs == expected, s"pair count $nPairs != events-users $expected")
+  }
+
+  test("rolling 24h frame includes self and matches a per-user replay") {
+    val out = Events.rolling(spark, sf)
+    assert(out.filter(col("n_24h") < 1).isEmpty, "every event is in its own frame")
+    // Replay one mid-sized user sequentially with a two-pointer window.
+    val uid = graft.Tables.events(spark, sf).groupBy("user_id").count()
+      .orderBy(col("count").desc).limit(1).collect().head.getLong(0)
+    val evs = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._2, e._1))
+    val dayUs = 24L * 3600 * 1000000
+    val expect = evs.map { case (id, us, _) =>
+      val frame = evs.filter(e => e._2 >= us - dayUs && e._2 <= us)
+      id -> ((frame.length.toLong,
+        BigDecimal(frame.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = out.filter(col("user_id") === uid).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, v)) =>
+      val (en, ev2) = expect(id)
+      assert(n == en, s"event $id n_24h $n != $en")
+      assert(math.abs(v - ev2) <= 0.011, s"event $id value_24h $v != $ev2")
+    }
+  }
+
   test("sessions per user are non-overlapping and gap-separated") {
     val byUser = Events.sessionize(spark, sf).collect()
       .groupBy(_.getLong(0))
