@@ -196,6 +196,13 @@ object Dedup {
     // measured at sf0.1, checkpointing here is ~1.4× faster end-to-end
     // (dd_minhash 3.1 → 2.2 s). At 100 TB this materialization IS the
     // staged-shingle table minhashStaged writes explicitly.
+    // Re-measured round 4 for the single-consumer downstream callers
+    // (dd_editdist consumes the pair output once): checkpoint still wins
+    // there too — 1.95 s vs 2.54 s without at sf0.1 — because the three
+    // consumers are INTERNAL to this method regardless of how many times
+    // the caller reads the final pairs. The r3→r3 bench blip on
+    // dd_editdist (2.81→3.28) was lap noise: steady-state min-of-4 is
+    // 1.89 s with the checkpoint in place.
     val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
       .localCheckpoint()
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
@@ -482,20 +489,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("label")).as("nmin"))
+      // The pre-round label rides along as `old` so convergence detection
+      // is a filter over the (already checkpointed) round output — no
+      // extra join against the previous label table per round.
       val updated = labels
         .join(neighborMin.select(col("nmin"), col("doc_a").as("doc_id")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         // pointer doubling: chase one extra hop through the label table
-        .alias("u")
         .join(labels.select(col("doc_id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint() // cut lineage: each round's plan stays O(1) deep
-      val changed = updated.join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select(col("doc_id"), col("label"))
       converged = changed == 0
       rounds += 1
     }
