@@ -9,10 +9,15 @@ import graft.Tables
   * frame-sample stages.
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * processing, metadata propagation — is real and tested. The pixel/sample
-  * DECODE ITSELF IS A STUB (this container ships no image/audio codecs):
-  * `stubDecodeFeatures` derives deterministic pseudo-features from the
-  * payload bytes. Swapping in a real codec touches exactly one function.
+  * processing, metadata propagation — is real and tested. The IMAGE path
+  * is fully real: ingest synthesizes valid PNG payloads (JDK ImageIO,
+  * headless-safe, no external codec) and `features` decodes them back to
+  * pixels and computes channel statistics — the encode→decode round trip
+  * is cross-checked against a plain-Scala pixel-function golden. The
+  * audio/video sample DECODE REMAINS A STUB (no audio/video codecs in the
+  * JDK): `stubDecodeFeatures` derives deterministic pseudo-features from
+  * the payload bytes. Swapping in a real codec touches exactly one
+  * function per kind.
   *
   * At scale: payloads stay opaque bytes end-to-end (no row-level object
   * churn), per-partition processing amortizes any codec init cost across
@@ -46,9 +51,123 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            feature: Array[Float])
 
-  /** STUB decode: deterministic 8-dim pseudo-embedding from payload bytes.
-    * A real implementation would decode pixels/samples here; everything
-    * around it (batching, schema, parallelism) is production-shaped.
+  /** Deterministic synthetic pixel: channel values are integer functions
+    * of (x, y, media_id). Shared by the PNG ingest synthesizer and (in
+    * MultimodalSpec) the plain-Scala golden — the ONLY shared code between
+    * the two, so the BufferedImage→PNG→ImageIO.read round trip is fully
+    * cross-checked at the pixel level.
+    */
+  private[multimodal] def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7 + y * 13 + id * 31) % 256).toInt,
+    ((x * 3 + y * 5 + id * 17) % 256).toInt,
+    ((x * 11 + y * 2 + id * 23) % 256).toInt)
+
+  /** A REAL PNG payload for the synthetic image (JDK-only encode). Stands
+    * in for the object-store bytes a `binaryFile` ingest would read.
+    */
+  private def synthImagePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Bulk row-major transfer: per-pixel setRGB pays a ColorModel
+    // conversion per call (~3× the whole encode cost at sf0.1).
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The media table at the INGEST boundary: image rows carry a valid PNG
+    * payload (what a production pipeline gets from a `binaryFile` read of
+    * an object-store prefix); audio/video keep the opaque stand-in bytes.
+    * Metadata-only queries (frames/windows/resize_meta) deliberately stay
+    * on the columnar `mediaTable` so their scans remain pruned — this
+    * stage exists for consumers that actually open payloads.
+    *
+    * The synthesized objects are STAGED to a parquet table once per corpus
+    * (keyed by sfDir, `_SUCCESS`-guarded) and every read comes from the
+    * staged table — in production these bytes exist on the object store
+    * before any query runs, so charging the one-time PNG ENCODE to each
+    * query would measure data generation, not the engine (encode was 4.7 s
+    * of a 5.4 s mm_features lap at sf0.1; the decode the engine actually
+    * owns is ~0.6 s).
+    */
+  def mediaIngest(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_media_v1_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      mediaTable(spark, sfDir).select(
+        col("media_id"), col("kind"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.map { r =>
+            if (r.kind == "image")
+              r.copy(payload = synthImagePng(r.media_id, r.width, r.height))
+            else r
+          }
+        }
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+    }
+    spark.read.parquet(out.getAbsolutePath).as[MediaRow]
+  }
+
+  /** REAL image decode via JDK ImageIO: 8 statistics over the decoded
+    * pixel grid — per-channel mean (f0..f2) and population variance
+    * (f3..f5), mean BT.601 luma (f6), bright-pixel fraction (f7), all on
+    * the [0,1] scale. Sequential y→x accumulation keeps double summation
+    * order deterministic (the spec golden replays the identical order).
+    */
+  private def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    // Bulk row-major transfer (see synthImagePng); the scan order over the
+    // returned array is identical to a y-outer/x-inner pixel loop, so the
+    // double accumulation order the spec golden replays is unchanged.
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = new Array[Double](3)
+    val sqs = new Array[Double](3)
+    var lumaSum = 0.0
+    var bright = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val r = ((rgb >> 16) & 0xff) / 255.0
+      val g = ((rgb >> 8) & 0xff) / 255.0
+      val b = (rgb & 0xff) / 255.0
+      sums(0) += r; sums(1) += g; sums(2) += b
+      sqs(0) += r * r; sqs(1) += g * g; sqs(2) += b * b
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      lumaSum += luma
+      if (luma > 0.5) bright += 1
+      i += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mean = sums.map(_ / n)
+    Array(
+      mean(0).toFloat, mean(1).toFloat, mean(2).toFloat,
+      (sqs(0) / n - mean(0) * mean(0)).toFloat,
+      (sqs(1) / n - mean(1) * mean(1)).toFloat,
+      (sqs(2) / n - mean(2) * mean(2)).toFloat,
+      (lumaSum / n).toFloat, (bright / n).toFloat)
+  }
+
+  /** STUB decode for audio/video: deterministic 8-dim pseudo-embedding
+    * from payload bytes. A real implementation would decode samples here;
+    * everything around it (batching, schema, parallelism) is
+    * production-shaped.
     */
   private def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -73,17 +192,18 @@ object Multimodal {
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, sfDir).select(
-      col("media_id"), col("kind"), col("payload"),
-      col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[MediaRow]
+    val media = mediaIngest(spark, sfDir)
     val scalars = (0 until 8).map(i =>
       round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i"))
     media.mapPartitions { rows =>
-      // (real codecs would initialize HERE, once per partition)
+      // codec init, once per partition: keep ImageIO off its disk cache
+      // (per-image temp files would serialize the partition on IO).
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          stubDecodeFeatures(r.payload))
+        val feats =
+          if (r.kind == "image") decodeImageFeatures(r.payload)
+          else stubDecodeFeatures(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, feats)
       }
     }.toDF()
       .select(col("media_id") +: col("kind") +: col("n_bytes") +: scalars: _*)

@@ -50,31 +50,87 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.values.exists(_.exists(_ > 0d)))
   }
 
-  test("mm_features values match an independent plain-Scala byte-fold golden") {
+  test("mm_features values match an independent plain-Scala golden") {
     // Value-level anchor (same pattern as DedupSpec's all-pairs reference):
-    // recompute every feature row with an independent fold over the raw
-    // documents parquet, so a silent change to the stub decode, the
-    // mapPartitions plumbing, or the scalar projection fails loudly —
-    // determinism alone can't catch a deterministic-but-wrong refactor.
+    // recompute every feature row independently of the engine path, so a
+    // silent change to the decode, the mapPartitions plumbing, or the
+    // scalar projection fails loudly. For IMAGES the golden computes the
+    // statistics straight from the synthetic pixel function — NOT via
+    // BufferedImage/PNG/ImageIO — so the engine's encode→decode round trip
+    // is proven to recover the exact pixels (PNG is lossless). Audio/video
+    // stay on the byte-fold stub golden over the raw document bytes.
     import scala.math.BigDecimal.RoundingMode
+    def round4(f: Float): Double =  // Spark round() = HALF_UP on the double cast
+      BigDecimal(f.toDouble).setScale(4, RoundingMode.HALF_UP).toDouble
     def goldenFold(payload: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](8)
       payload.indices.foreach(i => acc(i % 8) += (payload(i) & 0xff) / 255.0f)
       val n = math.max(1, payload.length / 8)
       acc.map(_ / n)
     }
+    // Identical accumulation order (y outer, x inner) to the engine's
+    // decodeImageFeatures, so double summation is bit-equal.
+    def goldenImageStats(id: Long, w: Int, h: Int): Array[Float] = {
+      val sums = new Array[Double](3); val sqs = new Array[Double](3)
+      var lumaSum = 0.0; var bright = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (ri, gi, bi) = Multimodal.synthPixel(id, x, y)
+        val r = ri / 255.0; val g = gi / 255.0; val b = bi / 255.0
+        sums(0) += r; sums(1) += g; sums(2) += b
+        sqs(0) += r * r; sqs(1) += g * g; sqs(2) += b * b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        lumaSum += luma
+        if (luma > 0.5) bright += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val mean = sums.map(_ / n)
+      Array(mean(0).toFloat, mean(1).toFloat, mean(2).toFloat,
+        (sqs(0) / n - mean(0) * mean(0)).toFloat,
+        (sqs(1) / n - mean(1) * mean(1)).toFloat,
+        (sqs(2) / n - mean(2) * mean(2)).toFloat,
+        (lumaSum / n).toFloat, (bright / n).toFloat)
+    }
     val kinds = Array("image", "audio", "video")
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).collect().map { r =>
-        val payload = r.getString(1).getBytes("UTF-8")
-        (r.getLong(0), kinds((r.getLong(0) % 3).toInt), payload.length,
-          goldenFold(payload).map(f =>  // Spark round() = HALF_UP on the double cast
-            BigDecimal(f.toDouble).setScale(4, RoundingMode.HALF_UP).toDouble).toSeq)
-      }.toSet
-    val got = Multimodal.features(spark, sf).collect().map(r =>
-      (r.getLong(0), r.getString(1), r.getInt(2), (3 until 11).map(r.getDouble).toSeq)).toSet
-    assert(got == expected, "Spark mm_features diverged from the plain-Scala golden")
-    assert(expected.nonEmpty)
+        val id = r.getLong(0)
+        val kind = kinds((id % 3).toInt)
+        val feats =
+          if (kind == "image")
+            goldenImageStats(id, 64 + (id % 193).toInt, 64 + (id % 129).toInt)
+          else goldenFold(r.getString(1).getBytes("UTF-8"))
+        (id, kind) -> feats.map(round4).toSeq
+      }.toMap
+    val rows = Multimodal.features(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val got = (3 until 11).map(r.getDouble)
+      assert(expected(key) == got, s"media $key diverged from the golden")
+      // n_bytes: exact UTF-8 length for the stub kinds; for images it is
+      // the PNG encoding length — assert it's a real PNG-sized payload.
+      if (r.getString(1) == "image") assert(r.getInt(2) > 8)
+    }
+    val stubBytes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.filter(_.getString(1) != "image").foreach { r =>
+      assert(r.getInt(2) == stubBytes(r.getLong(0)))
+    }
+  }
+
+  test("image payloads are valid PNGs and decode to the synthesized dimensions") {
+    val img = Multimodal.mediaIngest(spark, sf)
+      .filter(col("kind") === "image").limit(3).collect()
+    img.foreach { r =>
+      val payload = r.payload
+      // PNG magic
+      assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N')
+      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(decoded.getWidth == r.width)
+      assert(decoded.getHeight == r.height)
+    }
+    assert(img.nonEmpty)
   }
 
   test("resize preserves payload and shrinks only oversized images") {
