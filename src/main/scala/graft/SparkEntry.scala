@@ -89,7 +89,8 @@ object SparkEntry {
     "ta_scrub" -> (TextAnalysis.scrub _),
     "q26_grouping_sets" -> (Relational.q26GroupingSets _),
     "ev_markov" -> (Events.markov _),
-    "ev_rolling" -> (Events.rolling _)
+    "ev_rolling" -> (Events.rolling _),
+    "dd_winnow" -> (Dedup.winnowPairs _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -124,8 +125,21 @@ object SparkEntry {
     "dd_embed_bucketed" -> Dedup.embedCosineSql,
     "dd_clusters" -> Dedup.clustersSql,
     "ann_topk" -> Similarity.annTopKSql,
-    // ann_ivf: approximate — driver rows-only check; recall asserted in
-    // SimilaritySpec against ann_topk
+    // ann_ivf / ann_ivf_kmeans / ann_lsh: approximate BY CONSTRUCTION — an
+    // exact SQL restatement would be ann_topk's oracle, which they must
+    // NOT equal (that's the speed/recall trade). Driver rows-only;
+    // SimilaritySpec asserts recall@5 floors (0.75/0.8/0.85) vs ann_topk.
+    // q16_sketch: HyperLogLog estimate — no deterministic SQL equivalent
+    // (DuckDB's approx_count_distinct uses a different sketch/seed);
+    // EventsSpec bounds the error vs exact counts.
+    // q17b_approx_percentile: Greenwald-Khanna sketch — engine-specific
+    // quantile estimates differ by design; RelationalSpec bounds it <=5%
+    // off the exact percentile.
+    // ta_winnow / dd_winnow: xxhash64 rolling fingerprints — no DuckDB
+    // xxhash64; TextAnalysisSpec replays an independent plain-Scala
+    // winnowing reference, DedupSpec pins dd_winnow pairs ≡ dd_minhash.
+    // dd_simhash: 64-bit xxhash bit-fold signatures — same missing-hash
+    // reason; DedupSpec replays a plain-Scala all-pairs reference.
     "ev_window_agg" -> Events.windowAggSql,
     "ev_sessionize" -> Events.sessionizeSql,
     "ev_json" -> Events.jsonExtractSql,
@@ -172,5 +186,8 @@ object SparkEntry {
     "q26_grouping_sets" -> Relational.q26GroupingSetsSql,
     "ev_markov" -> Events.markovSql,
     "ev_rolling" -> Events.rollingSql
+    // dd_winnow: xxhash64 rolling fingerprints not SQL-expressible —
+    // driver rows-only; DedupSpec pins pairs ≡ dd_minhash on the planted
+    // corpus
   )
 }

