@@ -145,6 +145,48 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"decontamination degenerated:\n$p")
   }
 
+  test("catch-all: no query degenerates to a cartesian or nested-loop join") {
+    // Every entry in the driver surface, present and future: a
+    // CartesianProduct or BroadcastNestedLoopJoin anywhere in the plan is
+    // O(n²) data movement at corpus scale. Exceptions are enumerated WITH
+    // their reasons — anything new that degenerates fails here before the
+    // driver ever sees it.
+    val allowed: Map[String, String] = Map(
+      // deliberate quadratic ORACLE form; real callers go through
+      // dd_embed_auto, which dispatches to the bucketed path past 30k rows
+      "dd_embed_cosine" -> "all-pairs oracle form",
+      // below the 30k crossover the dispatcher CHOOSES the all-pairs
+      // branch — that's the contract; the bucketed branch it takes at
+      // scale is asserted cartesian-free separately
+      "dd_embed_auto" -> "small-corpus branch of the cost dispatch",
+      // the uncorrelated scalar-subquery average joins as a 1-row
+      // broadcast — constant size at any corpus scale
+      "q12_subquery" -> "1-row scalar subquery cross",
+      // bounded-|Q| probe side (<=1024 by pushed-predicate contract)
+      // against per-query candidate lists — the BNLJ input is O(|Q|)
+      "ann_topk" -> "bounded query-side broadcast",
+      // IVF assignment is |corpus| x k dot products by definition; the
+      // BNLJ broadcasts the CONSTANT-size centroid table, never the corpus
+      "ann_ivf" -> "constant centroid-table broadcast",
+      "ann_ivf_kmeans" -> "constant centroid-table broadcast",
+      // crosses of 1-row global aggregates (stage counts / corpus totals)
+      // — constant broadcast at any scale
+      "ev_funnel" -> "1-row stage-count crosses",
+      "ta_perplexity" -> "1-row corpus-total cross",
+      "ta_tfidf" -> "1-row n_docs cross"
+    )
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (allowed.contains(name)) None
+      else {
+        val p = plan(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(bad.isEmpty, s"queries degenerated to cartesian/nested-loop: $bad")
+  }
+
   test("ANN family: ranking is bounded aggregation, never a window rank") {
     // A row_number window would shuffle+sort EVERY candidate row per
     // query/vector; TopKAgg keeps shuffles at k rows per group. Assert the
