@@ -622,29 +622,78 @@ object Dedup {
     * 0.77, best unrelated pair < 0.3), so the 0.5 threshold sits in open
     * water.
     *
-    * Scale shape is dd_ngram_jaccard's: equality join on fingerprint
-    * hashes with the same df cap bounding per-key cost (a fingerprint
-    * shared by everyone — boilerplate headers — carries no near-dup
-    * signal). Fingerprint sets are ~1/w the size of the shingle sets, so
-    * the join is proportionally lighter. xxhash64 has no DuckDB equivalent
-    * → rows-only for the driver; DedupSpec pins the output to the minhash
-    * pair set on the planted corpus.
+    * Scale shape: the same banded-LSH candidate funnel dd_minhash and
+    * dd_embed_bucketed use, applied to the fingerprint SETS — candidates
+    * from a (band, key) bucket join over per-row banded minhash signatures
+    * (BandedMinHash, codegen), each candidate verified EXACTLY with one
+    * codegen merge-intersect over the two sorted fingerprint arrays
+    * (SortedLongIntersect). Output values are exact Jaccard of the capped
+    * sets; only recall is probabilistic, with the miss bound documented
+    * inline. The df cap still removes corpus-wide boilerplate before both
+    * signatures and verification (same full-input-basis argument as
+    * minhashFrom). xxhash64 has no DuckDB equivalent → rows-only for the
+    * driver; DedupSpec pins the output to the minhash pair set on the
+    * planted corpus.
     */
-  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val threshold = 0.5
+  /** Per-doc CAPPED, sorted winnow fingerprint sets — one linear shuffle
+    * (broadcast anti-join on the df-capped hot list, then a per-doc
+    * collect). This is dd_winnow's staged table: at 100 TB it would be
+    * materialized once at corpus-ingest time (the minhashStaged pattern);
+    * winnowPairs localCheckpoints it because three consumers branch off
+    * it. Split out so PlanSpec can gate the cap's anti-join shape, which
+    * the checkpoint boundary hides from the pair-join plan.
+    */
+  def winnowDocSets(spark: SparkSession, sfDir: String): DataFrame = {
     val fpsRaw = TextAnalysis.winnowSets(spark, sfDir)
     val hot = fpsRaw.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select(col("wmin"))
-    val fps = fpsRaw.join(broadcast(hot), Seq("wmin"), "left_anti")
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = fps.select(col("doc_id").as("doc_a"), col("wmin"))
-    val b = fps.select(col("doc_id").as("doc_b"), col("wmin"))
-    val common = a.join(b, Seq("wmin"))
+    fpsRaw.join(broadcast(hot), Seq("wmin"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("wmin"))).as("set"))
+      .select(col("doc_id"), col("set"), size(col("set")).as("n"))
+  }
+
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val threshold = 0.5
+    // Why LSH and not an exact set-similarity join: winnow fingerprints on
+    // this corpus shape are HEAVILY shared (measured at sf0.1: 543k
+    // fingerprint rows but only 7k distinct values, mean df 78; 10.8M of
+    // the 12.5M doc pairs share ≥1 fingerprint). The naive count-shared
+    // join fans out to 134M rows and a 58M-group partial aggregate that
+    // spills 570 MB; prefix filtering (Bayardo WWW'07) was measured too —
+    // with df that uniform its "rare" prefixes still yield 7.4M candidate
+    // pairs. No exact candidate generator prunes here, because the
+    // pair-sharing graph genuinely is dense — only a signature that sees
+    // the WHOLE set (minhash) separates J≈0.05 noise from J≥0.5 dups.
+    // Parameters: 96 perms, 32 bands × 3 rows. Measured distribution at
+    // sf0.1: non-dup max J = 0.212, planted-dup min J = 0.737 — so
+    // P(miss planted pair) = (1−0.737³)^32 ≈ 8e-8, and expected false
+    // candidates ≈ 32·ΣJ³ over the 1.1M pairs at J≈0.05–0.2 ≈ 10k rows,
+    // each dismissed by one merge-intersect. At the 0.5 threshold itself
+    // recall is (1−(1−0.125)^32) ≈ 0.986 — the corpus keeps that boundary
+    // in open water (no pair within 0.3 of it on either side).
+    // The per-doc set table is localCheckpoint'ed because THREE consumers
+    // branch off it (signature pass + both verify attaches) and each
+    // recompute would re-scan and re-fingerprint the corpus (same
+    // justification as minhashFrom's capped-shingle checkpoint; the
+    // checkpoint is |docs| rows — the per-doc summary, not the corpus).
+    val docSets = winnowDocSets(spark, sfDir).localCheckpoint()
+    val buckets = docSets.select(col("doc_id"),
+      posexplode(graft.functions.BandedMinHash.bandedMinHash(col("set"), 96, 3))
+        .as(Seq("band", "bh")))
+    val candidates = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val c = graft.functions.SortedLongIntersect
+      .sortedIntersectCount(col("set_a"), col("set_b"))
+    candidates
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("set").as("set_a"), col("n").as("na")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("set").as("set_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("c", c)
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
           .as("overlap"))

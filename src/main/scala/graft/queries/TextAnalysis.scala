@@ -160,37 +160,32 @@ object TextAnalysis {
   def winnow(spark: SparkSession, sfDir: String): DataFrame = {
     val K = 8 // k-gram length in chars
     val W = 4 // winnow window in positions
-    val grams = Tables.documents(spark, sfDir)
+    // The whole winnowing pass (hash → window-min → distinct) runs inside
+    // the row via a codegen expression: no posexplode, no per-doc Window,
+    // no shuffle at all — the per-doc summary is a pure projection over
+    // the already-distinct fingerprint array. (The old explode+Window form
+    // shuffled one row per character position; see WinnowFingerprints.)
+    val fps = graft.functions.WinnowFingerprints
+      .winnowFingerprints(col("text"), K, W)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fps.as("fps"))
+      .filter(size(col("fps")) > 0)
       .select(col("doc_id"),
-        posexplode(graft.functions.CharShingles.charShingles(col("text"), K))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, W - 1)
-    val selected = grams
-      .withColumn("wmin", min(col("h")).over(w))
-      .select(col("doc_id"), col("wmin"))
-      .distinct()
-    selected.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"),
-        min(col("wmin")).as("fp_min"),
-        expr("bit_xor(wmin)").as("fp_xor"))
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
   }
 
-  /** Fingerprint sets per doc — used by the overlap spec. */
+  /** Fingerprint sets per doc — used by dd_winnow and the overlap spec.
+    * The expression already dedupes per doc, so explode emits exactly the
+    * distinct (doc_id, wmin) pairs with no window and no distinct shuffle.
+    */
   def winnowSets(spark: SparkSession, sfDir: String): DataFrame = {
     val K = 8; val W = 4
-    val grams = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        posexplode(graft.functions.CharShingles.charShingles(col("text"), K))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, W - 1)
-    grams.withColumn("wmin", min(col("h")).over(w))
-      .select(col("doc_id"), col("wmin")).distinct()
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col("text"), K, W)).as("wmin"))
   }
 
   /** ta_profile — column-level data profiling of the documents table:

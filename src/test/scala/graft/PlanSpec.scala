@@ -187,6 +187,54 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"queries degenerated to cartesian/nested-loop: $bad")
   }
 
+  test("dd_winnow: df-capped anti-join, no cartesian, and no window anywhere") {
+    // Fingerprint generation runs INSIDE the scan row (WinnowFingerprints
+    // codegen expression) — the old posexplode+Window form shuffled one row
+    // per character position. The pair join must stay the LSH funnel:
+    // banded signatures computed in-row, candidates from a hash bucket
+    // join, one codegen merge-intersect per candidate — and the df cap's
+    // broadcast anti-join gates the doc-set table it consumes (asserted on
+    // winnowDocSets, since winnowPairs' checkpoint hides that subtree
+    // behind a Scan ExistingRDD).
+    val p = plan("dd_winnow")
+    assert(!p.contains("Window"), s"dd_winnow reintroduced the per-char window:\n$p")
+    assert(p.contains("bandedminhash"), s"LSH candidate funnel missing:\n$p")
+    assert(p.contains("sortedlongintersect"), s"codegen merge-intersect verify missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair join degenerated:\n$p")
+    val sets = graft.queries.Dedup.winnowDocSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sets.contains("LeftAnti"), s"hot-fingerprint df cap missing:\n$sets")
+    assert(!sets.contains("Window"), s"winnowDocSets reintroduced the per-char window:\n$sets")
+  }
+
+  test("ta_winnow: pure per-row projection — no shuffle at all") {
+    // The per-doc summary is a projection over the expression's output
+    // array; any Exchange or Window here means the per-char shuffle is back.
+    val p = plan("ta_winnow")
+    assert(!p.contains("Window"), s"ta_winnow reintroduced the per-char window:\n$p")
+    assert(!p.contains("Exchange"), s"ta_winnow shuffles a per-row computation:\n$p")
+  }
+
+  test("ev_rolling: RANGE frame partitioned by user_id, no global sort") {
+    val p = plan("ev_rolling")
+    assert(p.contains("RangeFrame"), s"rolling frame not RANGE-based:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user_id:\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort present:\n$p")
+  }
+
+  test("ev_markov: lead window on user_id; normalization joins a constant table") {
+    val p = plan("ev_markov")
+    assert(p.contains("lead(src"), s"transition pairing not a lead window:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user_id:\n$p")
+    // The (src) totals side is O(types) rows — statistics must broadcast it
+    // rather than shuffling the (constant-size) counts table a second time.
+    assert(p.contains("BroadcastHashJoin"),
+      s"constant-size normalization join not broadcast:\n$p")
+  }
+
   test("ANN family: ranking is bounded aggregation, never a window rank") {
     // A row_number window would shuffle+sort EVERY candidate row per
     // query/vector; TopKAgg keeps shuffles at k rows per group. Assert the

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** WinnowFingerprints carries dd_winnow's and ta_winnow's entire fingerprint
+  * pass — both its interpreted eval and its codegen path must equal an
+  * independent plain-Scala winnowing reference on arbitrary strings,
+  * including the truncated-tail windows and the length-&lt;k empty case.
+  */
+class WinnowFingerprintsSpec extends SparkSuite {
+
+  private val K = 8
+  private val W = 4
+
+  private def xx(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64(Seq(Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+  }
+
+  private def referenceFps(text: String): Set[Long] =
+    if (text.length < K) Set.empty
+    else {
+      val hs = (0 to text.length - K).map(i => xx(text.substring(i, i + K)))
+      hs.indices.map(i => hs.slice(i, math.min(i + W, hs.length)).min).toSet
+    }
+
+  test("codegen and interpreted fingerprints equal the plain-Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alpha = "ab cdef ghij"
+    // Lengths straddle k (empty case), k..k+w (truncated windows), and long.
+    val texts = (0 until 150).map { i =>
+      val len = Seq(0, 3, K - 1, K, K + 1, K + W - 1, K + W, 40, 200)(i % 9) + i / 9
+      (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    def collect(codegen: Boolean): Map[Long, Set[Long]] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select(col("id"),
+          WinnowFingerprints.winnowFingerprints(col("text"), K, W).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val want = texts.map { case (id, t) => id -> referenceFps(t) }.toMap
+    assert(collect(codegen = true) == want, "codegen path diverges from reference")
+    assert(collect(codegen = false) == want, "interpreted path diverges from reference")
+  }
+
+  test("output arrays are sorted and duplicate-free") {
+    import spark.implicits._
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog " * 20))
+    val got = texts.toDF("id", "text")
+      .select(WinnowFingerprints.winnowFingerprints(col("text"), K, W).as("fps"))
+      .collect().head.getSeq[Long](0)
+    assert(got == got.sorted, "fingerprints not sorted")
+    assert(got.size == got.toSet.size, "fingerprints contain duplicates")
+    assert(got.nonEmpty)
+  }
+}
