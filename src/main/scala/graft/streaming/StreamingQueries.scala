@@ -19,6 +19,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Memory-sink temp-view names are per-invocation: the returned DataFrame
+    * reads the sink view lazily, so a FIXED name would let a second
+    * invocation clobber the first's still-unread result (two bench laps, or
+    * windowAgg over two corpora in one session). A monotone counter keeps
+    * names unique for the lifetime of the JVM; the per-run views are tiny
+    * (aggregated rows only) and die with the session.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def freshSink(prefix: String): String =
+    s"${prefix}_${sinkCounter.incrementAndGet()}"
+
   private def deleteRecursively(root: Path): Unit = {
     val ls = Files.walk(root)
     try ls.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -35,8 +46,7 @@ object StreamingQueries {
     * oracle; the batch ev_window_agg checks the exact variant).
     */
   def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val sink = "st_window_agg_sink"
-    spark.catalog.dropTempView(sink)
+    val sink = freshSink("st_window_agg_sink")
     // 8 state partitions for the bounded replay — see sessionize.
     val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
@@ -72,8 +82,7 @@ object StreamingQueries {
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sink = "st_sessionize_sink"
-    spark.catalog.dropTempView(sink)
+    val sink = freshSink("st_sessionize_sink")
 
     val real = Streaming.eventsStream(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

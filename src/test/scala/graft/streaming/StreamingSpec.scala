@@ -229,6 +229,31 @@ class StreamingSpec extends SparkSuite {
     assert(s == sBatch)
   }
 
+  test("interleaved invocations keep distinct sinks — no temp-view clobber") {
+    // The returned DataFrames read their memory-sink temp views LAZILY: with
+    // a fixed sink name, running the same entry again before reading the
+    // first result re-pointed the first DataFrame at the SECOND corpus's
+    // rows. Both results are held unread across the second run, then checked
+    // against their own batch forms.
+    val sfBig = "/root/testdata/sf0.01"
+    val wSmall = StreamingQueries.windowAgg(spark, sf)   // unread…
+    val wBig = StreamingQueries.windowAgg(spark, sfBig)  // …while this runs
+    val sSmall = StreamingQueries.sessionize(spark, sf)
+    val sBig = StreamingQueries.sessionize(spark, sfBig)
+    def winSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+    assert(winSet(wSmall) == winSet(Events.windowAgg(spark, sf)),
+      "first windowAgg result was clobbered by the second invocation")
+    assert(winSet(wBig) == winSet(Events.windowAgg(spark, sfBig)))
+    def sessSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+    assert(sessSet(sSmall) == sessSet(Events.sessionize(spark, sf)),
+      "first sessionize result was clobbered by the second invocation")
+    assert(sessSet(sBig) == sessSet(Events.sessionize(spark, sfBig)))
+  }
+
   test("streaming sessionization equals batch sessionize after watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
