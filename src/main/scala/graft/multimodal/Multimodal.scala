@@ -95,7 +95,9 @@ object Multimodal {
     * stage exists for consumers that actually open payloads.
     *
     * The synthesized objects are STAGED to a parquet table once per corpus
-    * (keyed by sfDir, `_SUCCESS`-guarded) and every read comes from the
+    * (keyed by source path + content fingerprint via Staging.stagedDir, so
+    * a corpus regenerated in place restages instead of serving stale
+    * payloads; `_SUCCESS`-guarded) and every read comes from the
     * staged table — in production these bytes exist on the object store
     * before any query runs, so charging the one-time PNG ENCODE to each
     * query would measure data generation, not the engine (encode was 4.7 s
@@ -104,8 +106,8 @@ object Multimodal {
     */
   def mediaIngest(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_media_v1_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val out = graft.sources.Staging.stagedDir(
+      "graft_media_v2", s"$sfDir/documents.parquet")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       mediaTable(spark, sfDir).select(
         col("media_id"), col("kind"), col("payload"),

@@ -89,11 +89,14 @@ object StreamingQueries {
 
     // The sentinel files are a pure function of the corpus (two 1-row
     // parquet files at max(ts)+12h/13h), so they are staged ONCE per
-    // sfDir — re-deriving max(ts) and running two write jobs per
-    // invocation charged ~1 s of pure setup to every bench lap. A fixed
-    // per-corpus directory also cannot accrete /tmp across runs.
-    val sentinelDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_sentinel_v1_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    // corpus — re-deriving max(ts) and running two write jobs per
+    // invocation charged ~1 s of pure setup to every bench lap. The stage
+    // is keyed by the events file's content fingerprint (Staging.stagedDir):
+    // the sentinel BAKES IN max(ts), so serving it for a regenerated corpus
+    // whose events run later would leave the watermark short of the real
+    // timeouts and silently drop sessions.
+    val sentinelDir = graft.sources.Staging.stagedDir(
+      "graft_sentinel_v2", s"$sfDir/events.parquet").toPath
     if (!Files.exists(sentinelDir.resolve("_STAGED"))) {
       Files.createDirectories(sentinelDir)
       // Max event time from parquet column statistics (min/max per row
