@@ -22,6 +22,34 @@ import graft.Tables
 object Pipeline {
 
   def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = exactKept(spark, sfDir)
+
+    // Stage 3: near-dup removal among survivors — drop doc_b of each
+    // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
+    // their minimum via repeated pair membership). Runs the dd_minhash
+    // funnel (banded LSH candidates → df-capped exact verification), NOT
+    // the exact shingle self-join: identical output at J ≥ 0.8 (candidates
+    // are exact-verified; P(miss) ≈ 2e-4 — same reroute argument as
+    // dd_editdist), but candidate generation stays hash-join-shaped at
+    // corpus scale instead of quadratic in shingle-sharing docs. The
+    // oracle states the exact form, so the equivalence is hash-checked
+    // end-to-end every round, and PipelineEquivalenceSpec re-proves
+    // minhashFrom ≡ jaccardPairs on THIS survivor set (not just the raw
+    // corpus) so threshold-adjacent drift in the survivors can't silently
+    // void the reroute argument.
+    val losers = Dedup.minhashFrom(survivorShingles(spark, sfDir))
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    kept.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"), col("fp"))
+  }
+
+  /** Stages 1+2 (quality gate, exact dedup) — the survivor corpus stage 3
+    * deduplicates. Package-visible so the equivalence spec runs the LSH
+    * funnel and the exact self-join over the same survivor basis.
+    */
+  private[queries] def exactKept(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
 
     // Stage 1: quality gate (subset of ta_quality's score formula).
@@ -39,34 +67,22 @@ object Pipeline {
 
     // Stage 2: exact dedup — keep the minimum doc_id per fingerprint.
     val fp = md5(regexp_replace(lower(col("text")), "[^a-z]", ""))
-    val exactKept = quality
+    quality
       .withColumn("fp", fp)
       .withColumn("min_id", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("min_id"))
       .drop("min_id")
+  }
 
-    // Stage 3: near-dup removal among survivors — drop doc_b of each
-    // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
-    // their minimum via repeated pair membership). Runs the dd_minhash
-    // funnel (banded LSH candidates → df-capped exact verification), NOT
-    // the exact shingle self-join: identical output at J ≥ 0.8 (candidates
-    // are exact-verified; P(miss) ≈ 2e-4 — same reroute argument as
-    // dd_editdist), but candidate generation stays hash-join-shaped at
-    // corpus scale instead of quadratic in shingle-sharing docs. The
-    // oracle states the exact form, so the equivalence is hash-checked
-    // end-to-end every round.
-    val sh = exactKept
+  /** The stage-3 dedup basis: distinct word-3-gram shingles of the
+    * stage-1+2 survivors.
+    */
+  private[queries] def survivorShingles(spark: SparkSession, sfDir: String): DataFrame =
+    exactKept(spark, sfDir)
       .select(col("doc_id"),
         explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
       .distinct()
-    val losers = Dedup.minhashFrom(sh)
-      .select(col("doc_b").as("doc_id")).distinct()
-
-    exactKept.join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("quality_score"), col("fp"))
-  }
 
   val cleanCorpusSql: String =
     raw"""WITH quality AS (
