@@ -163,8 +163,9 @@ object SparkEntry {
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
     "mm_audio_windows" -> graft.multimodal.Multimodal.audioWindowsSql,
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql,
-    // mm_features: real ImageIO pixel decode for images (plain-Scala
-    // pixel golden in MultimodalSpec), byte-fold stub for audio/video —
+    // mm_features: real ImageIO pixel decode for images and real
+    // AudioSystem PCM decode for audio (plain-Scala pixel/sample goldens
+    // in MultimodalSpec), byte-fold stub for video only (no JDK codec) —
     // no SQL engine can restate the decode, so driver rows-only check
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
     "ta_tfidf" -> CorpusOps.tfidfSql,

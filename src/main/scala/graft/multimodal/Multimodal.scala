@@ -14,10 +14,13 @@ import graft.Tables
   * headless-safe, no external codec) and `features` decodes them back to
   * pixels and computes channel statistics — the encode→decode round trip
   * is cross-checked against a plain-Scala pixel-function golden. The
-  * audio/video sample DECODE REMAINS A STUB (no audio/video codecs in the
-  * JDK): `stubDecodeFeatures` derives deterministic pseudo-features from
-  * the payload bytes. Swapping in a real codec touches exactly one
-  * function per kind.
+  * AUDIO path is real the same way: ingest synthesizes valid WAV/PCM
+  * payloads (javax.sound.sampled, also JDK-only) and `features` decodes
+  * them back to samples for RMS/peak/zero-crossing statistics, golden-
+  * checked against the plain-Scala sample function. Only VIDEO decode
+  * remains a stub — the JDK ships no video codec: `stubDecodeFeatures`
+  * derives deterministic pseudo-features from the payload bytes, and
+  * swapping in a real codec touches exactly that one function.
   *
   * At scale: payloads stay opaque bytes end-to-end (no row-level object
   * churn), per-partition processing amortizes any codec init cost across
@@ -87,9 +90,53 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic audio sample: an id-pitched sawtooth plus
+    * hash noise, full 16-bit range. Shared by the WAV ingest synthesizer
+    * and (in MultimodalSpec) the plain-Scala golden — the ONLY shared code
+    * between the two, so the PCM→WAV→AudioSystem.read round trip is fully
+    * cross-checked at the sample level (WAV PCM is lossless).
+    */
+  private[multimodal] def synthSample(id: Long, i: Int): Short = {
+    val period = 16 + (id % 48).toInt
+    val saw = (i % period) * 60000 / period - 30000
+    val noise = (((i * 2654435761L + id * 40503L) >>> 20) % 2000L - 1000L).toInt
+    (saw + noise).toShort // |saw| ≤ 30000, |noise| ≤ 1000 — never clips
+  }
+
+  /** Synthesized clip length: bounded (a test corpus can't stage the full
+    * metadata duration at 40 kHz), varied per id so per-window features
+    * differ across media.
+    */
+  private[multimodal] def synthAudioNumSamples(id: Long): Int =
+    2048 + (id % 7).toInt * 512
+
+  /** A REAL 16-bit mono PCM WAV payload for the synthetic clip (JDK-only
+    * encode via javax.sound.sampled — the audio sibling of synthImagePng).
+    */
+  private def synthAudioWav(id: Long, sampleRate: Int): Array[Byte] = {
+    val n = synthAudioNumSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) { // little-endian, matching the AudioFormat below
+      val s = synthSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** The media table at the INGEST boundary: image rows carry a valid PNG
-    * payload (what a production pipeline gets from a `binaryFile` read of
-    * an object-store prefix); audio/video keep the opaque stand-in bytes.
+    * payload, audio rows a valid WAV/PCM payload (what a production
+    * pipeline gets from a `binaryFile` read of an object-store prefix);
+    * video keeps the opaque stand-in bytes (no JDK codec).
     * Metadata-only queries (frames/windows/resize_meta) deliberately stay
     * on the columnar `mediaTable` so their scans remain pruned — this
     * stage exists for consumers that actually open payloads.
@@ -106,8 +153,11 @@ object Multimodal {
     */
   def mediaIngest(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // v3: bump the prefix whenever the synthesized payload FORMAT changes
+    // (v2→v3 added real WAV audio) — the content fingerprint tracks corpus
+    // regeneration, the version tracks synthesizer changes.
     val out = graft.sources.Staging.stagedDir(
-      "graft_media_v2", s"$sfDir/documents.parquet")
+      "graft_media_v3", s"$sfDir/documents.parquet")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       mediaTable(spark, sfDir).select(
         col("media_id"), col("kind"), col("payload"),
@@ -115,9 +165,15 @@ object Multimodal {
         .as[MediaRow]
         .mapPartitions { rows =>
           rows.map { r =>
-            if (r.kind == "image")
-              r.copy(payload = synthImagePng(r.media_id, r.width, r.height))
-            else r
+            r.kind match {
+              case "image" =>
+                r.copy(payload = synthImagePng(r.media_id, r.width, r.height))
+              case "audio" =>
+                // Same sample_rate formula as mediaTable's meta struct.
+                r.copy(payload = synthAudioWav(r.media_id,
+                  8000 + (r.media_id % 5).toInt * 8000))
+              case _ => r
+            }
           }
         }
         .write.mode("overwrite").parquet(out.getAbsolutePath)
@@ -166,10 +222,58 @@ object Multimodal {
       (lumaSum / n).toFloat, (bright / n).toFloat)
   }
 
-  /** STUB decode for audio/video: deterministic 8-dim pseudo-embedding
-    * from payload bytes. A real implementation would decode samples here;
-    * everything around it (batching, schema, parallelism) is
-    * production-shaped.
+  /** REAL audio decode via JDK javax.sound.sampled: 8 statistics over the
+    * decoded 16-bit mono PCM samples, all on the [-1,1) normalized scale —
+    * overall RMS (f0), peak |sample| (f1), zero-crossing rate (f2), mean /
+    * DC offset (f3), and per-quarter-window RMS (f4..f7) — the windowed
+    * energy profile an audio quality filter keys on. Single ascending pass
+    * keeps double summation order deterministic (the spec golden replays
+    * the identical order from the sample function, proving the WAV
+    * encode→decode round trip recovers the exact samples).
+    */
+  private def decodeAudioFeatures(payload: Array[Byte]): Array[Float] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16
+      && !fmt.isBigEndian, s"unexpected audio format: $fmt")
+    val bytes = try ais.readAllBytes() finally ais.close()
+    val n = bytes.length / 2
+    val qsq = new Array[Double](4) // per-quarter sum of squares
+    var sum = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val raw = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      val s = raw / 32768.0
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      sum += s
+      qsq(i * 4 / n min 3) += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
+    val nd = math.max(1, n).toDouble
+    val qn = new Array[Double](4) // quarter sizes (n may not divide by 4)
+    (0 until n).foreach(i => qn(i * 4 / n min 3) += 1)
+    Array(
+      math.sqrt((qsq(0) + qsq(1) + qsq(2) + qsq(3)) / nd).toFloat,
+      peak.toFloat,
+      (crossings / math.max(1, n - 1).toDouble).toFloat,
+      (sum / nd).toFloat,
+      math.sqrt(qsq(0) / math.max(1.0, qn(0))).toFloat,
+      math.sqrt(qsq(1) / math.max(1.0, qn(1))).toFloat,
+      math.sqrt(qsq(2) / math.max(1.0, qn(2))).toFloat,
+      math.sqrt(qsq(3) / math.max(1.0, qn(3))).toFloat)
+  }
+
+  /** STUB decode for video only: deterministic 8-dim pseudo-embedding from
+    * payload bytes. A real implementation would decode frames here (no JDK
+    * video codec exists); everything around it (batching, schema,
+    * parallelism) is production-shaped.
     */
   private def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -202,9 +306,11 @@ object Multimodal {
       // (per-image temp files would serialize the partition on IO).
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val feats =
-          if (r.kind == "image") decodeImageFeatures(r.payload)
-          else stubDecodeFeatures(r.payload)
+        val feats = r.kind match {
+          case "image" => decodeImageFeatures(r.payload)
+          case "audio" => decodeAudioFeatures(r.payload)
+          case _ => stubDecodeFeatures(r.payload)
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length, feats)
       }
     }.toDF()

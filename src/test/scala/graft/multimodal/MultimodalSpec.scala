@@ -57,8 +57,11 @@ class MultimodalSpec extends SparkSuite {
     // scalar projection fails loudly. For IMAGES the golden computes the
     // statistics straight from the synthetic pixel function — NOT via
     // BufferedImage/PNG/ImageIO — so the engine's encode→decode round trip
-    // is proven to recover the exact pixels (PNG is lossless). Audio/video
-    // stay on the byte-fold stub golden over the raw document bytes.
+    // is proven to recover the exact pixels (PNG is lossless). For AUDIO
+    // the golden computes the statistics straight from the synthetic
+    // sample function — NOT via WAV/AudioSystem — same round-trip proof
+    // (PCM is lossless). Video stays on the byte-fold stub golden over
+    // the raw document bytes.
     import scala.math.BigDecimal.RoundingMode
     def round4(f: Float): Double =  // Spark round() = HALF_UP on the double cast
       BigDecimal(f.toDouble).setScale(4, RoundingMode.HALF_UP).toDouble
@@ -90,15 +93,41 @@ class MultimodalSpec extends SparkSuite {
         (sqs(2) / n - mean(2) * mean(2)).toFloat,
         (lumaSum / n).toFloat, (bright / n).toFloat)
     }
+    // Identical accumulation order (single ascending pass, same double
+    // ops) to the engine's decodeAudioFeatures, so summation is bit-equal.
+    def goldenAudioStats(id: Long): Array[Float] = {
+      val n = Multimodal.synthAudioNumSamples(id)
+      val qsq = new Array[Double](4); val qn = new Array[Double](4)
+      var sum = 0.0; var peak = 0.0; var crossings = 0L; var prevNeg = false
+      for (i <- 0 until n) {
+        val s = Multimodal.synthSample(id, i) / 32768.0
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        sum += s
+        qsq((i * 4 / n) min 3) += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+      }
+      (0 until n).foreach(i => qn((i * 4 / n) min 3) += 1)
+      Array(
+        math.sqrt((qsq(0) + qsq(1) + qsq(2) + qsq(3)) / n).toFloat,
+        peak.toFloat,
+        (crossings / (n - 1).toDouble).toFloat,
+        (sum / n).toFloat,
+        math.sqrt(qsq(0) / qn(0)).toFloat, math.sqrt(qsq(1) / qn(1)).toFloat,
+        math.sqrt(qsq(2) / qn(2)).toFloat, math.sqrt(qsq(3) / qn(3)).toFloat)
+    }
     val kinds = Array("image", "audio", "video")
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).collect().map { r =>
         val id = r.getLong(0)
         val kind = kinds((id % 3).toInt)
-        val feats =
-          if (kind == "image")
+        val feats = kind match {
+          case "image" =>
             goldenImageStats(id, 64 + (id % 193).toInt, 64 + (id % 129).toInt)
-          else goldenFold(r.getString(1).getBytes("UTF-8"))
+          case "audio" => goldenAudioStats(id)
+          case _ => goldenFold(r.getString(1).getBytes("UTF-8"))
+        }
         (id, kind) -> feats.map(round4).toSeq
       }.toMap
     val rows = Multimodal.features(spark, sf).collect()
@@ -107,16 +136,47 @@ class MultimodalSpec extends SparkSuite {
       val key = (r.getLong(0), r.getString(1))
       val got = (3 until 11).map(r.getDouble)
       assert(expected(key) == got, s"media $key diverged from the golden")
-      // n_bytes: exact UTF-8 length for the stub kinds; for images it is
-      // the PNG encoding length — assert it's a real PNG-sized payload.
-      if (r.getString(1) == "image") assert(r.getInt(2) > 8)
+      r.getString(1) match {
+        // images: n_bytes is the PNG encoding length — a real payload.
+        case "image" => assert(r.getInt(2) > 8)
+        // audio: canonical RIFF/WAVE PCM = 44-byte header + 2 bytes/sample.
+        case "audio" =>
+          assert(r.getInt(2) == 44 + 2 * Multimodal.synthAudioNumSamples(r.getLong(0)))
+        case _ =>
+      }
     }
+    // video (the only remaining stub): n_bytes is the exact UTF-8 length.
     val stubBytes = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    rows.filter(_.getString(1) != "image").foreach { r =>
+    rows.filter(_.getString(1) == "video").foreach { r =>
       assert(r.getInt(2) == stubBytes(r.getLong(0)))
     }
+  }
+
+  test("audio payloads are valid WAVs and decode to the synthesized samples") {
+    val clips = Multimodal.mediaIngest(spark, sf)
+      .filter(col("kind") === "audio").limit(3).collect()
+    clips.foreach { r =>
+      val payload = r.payload
+      assert(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F'
+        && payload(3) == 'F', "not a RIFF container")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == 8000 + (r.media_id % 5).toInt * 8000)
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      val bytes = try ais.readAllBytes() finally ais.close()
+      val n = Multimodal.synthAudioNumSamples(r.media_id)
+      assert(bytes.length == 2 * n)
+      // Decoded samples must equal the synthesizer's, bit for bit.
+      (0 until n).foreach { i =>
+        val raw = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        assert(raw == Multimodal.synthSample(r.media_id, i),
+          s"sample $i of media ${r.media_id} corrupted in the WAV round trip")
+      }
+    }
+    assert(clips.nonEmpty)
   }
 
   test("image payloads are valid PNGs and decode to the synthesized dimensions") {
