@@ -90,7 +90,9 @@ object SparkEntry {
     "q26_grouping_sets" -> (Relational.q26GroupingSets _),
     "ev_markov" -> (Events.markov _),
     "ev_rolling" -> (Events.rolling _),
-    "dd_winnow" -> (Dedup.winnowPairs _)
+    "dd_winnow" -> (Dedup.winnowPairs _),
+    "dd_substring" -> (Dedup.substringDup _),
+    "st_dedup" -> (graft.streaming.StreamingQueries.dedup _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -186,9 +188,11 @@ object SparkEntry {
     "ta_scrub" -> TextAnalysis.scrubSql,
     "q26_grouping_sets" -> Relational.q26GroupingSetsSql,
     "ev_markov" -> Events.markovSql,
-    "ev_rolling" -> Events.rollingSql
+    "ev_rolling" -> Events.rollingSql,
     // dd_winnow: xxhash64 rolling fingerprints not SQL-expressible —
     // driver rows-only; DedupSpec pins pairs ≡ dd_minhash on the planted
     // corpus
+    "dd_substring" -> Dedup.substringDupSql,
+    "st_dedup" -> graft.streaming.StreamingQueries.dedupSql
   )
 }

@@ -65,7 +65,7 @@ object Dedup {
     * states the uncapped form — is identical there; at 100 TB it is the
     * difference between a skew bomb and a bounded key.
     */
-  private val ShingleDfCap = 1000
+  private[queries] val ShingleDfCap = 1000
 
   /** Shingles with document frequency above the cap, computed over `sh`.
     * Tiny by construction (few shingles clear the cap) → broadcast
@@ -91,7 +91,7 @@ object Dedup {
     * re-cap aggregation over the full shingle table (measured ~1.5 s per
     * consumer at sf0.1).
     */
-  private def jaccardPairsCapped(sh: DataFrame, threshold: Double): DataFrame = {
+  private[queries] def jaccardPairsCapped(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -699,4 +699,76 @@ object Dedup {
           .as("overlap"))
       .filter(col("overlap") >= threshold)
   }
+
+  // --- Exact duplicated-substring detection --------------------------------
+
+  /** Window length for dd_substring. 40 chars ≈ 7 words on this corpus —
+    * long enough that an exact match across documents is never coincidence
+    * (the generator's word salad has ~27k distinct trigrams; a 40-char
+    * verbatim collision between unrelated docs is ~impossible), short
+    * enough that locally-edited near-dups still share many windows.
+    */
+  private val SubstrWindow = 40
+  /** A pair must share this many distinct windows to count — one window is
+    * a 40-char run; 3 windows ≥ 42 shared chars spread across the doc.
+    */
+  private val SubstrMinShared = 3
+
+  /** dd_substring — exact duplicated-substring detection, the FOURTH
+    * near-dup family and the only EXACT one at substring granularity
+    * (minhash/simhash/winnow are all set-similarity families). The
+    * suffix-array approach of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2022) re-expressed as a distributed
+    * hash-join: every doc emits the md5 of each sliding 40-char window;
+    * two docs sharing a window hash share that exact 40-char substring
+    * (md5 collisions at corpus scale: ~n²/2¹²⁸ ≈ 0). Pairs sharing ≥ 3
+    * distinct windows are reported with the shared-window count — exactly
+    * the "duplicated span" evidence a substring-dedup pass acts on.
+    *
+    * Scale shape: window generation is linear per input char and stays in
+    * whole-stage codegen (transform over sequence — no UDF); the pair join
+    * is hash-shaped on the window hash with the same df-cap discipline as
+    * every other family (a boilerplate window shared by >1000 docs carries
+    * no pair signal but would fan the join out quadratically — the
+    * license-header problem at 100 TB). Unlike a true suffix array this
+    * finds fixed-length windows, not maximal repeats — the right trade for
+    * a shuffle-based engine: windows of a fixed length are join keys;
+    * maximal repeats need global suffix order, which doesn't shard.
+    *
+    * Fully oracle-checked: md5 + substr agree between Spark and DuckDB, so
+    * unlike the xxhash64 families this one gets a value-level driver gate.
+    */
+  def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= SubstrWindow)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, length(text) - ${SubstrWindow - 1}),
+             |          i -> md5(substring(text, i, $SubstrWindow)))""".stripMargin))
+          .as("g"))
+      .distinct()
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("g"))
+    val cool = grams.join(broadcast(hot), Seq("g"), "left_anti")
+    cool.select(col("doc_id").as("doc_a"), col("g"))
+      .join(cool.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= SubstrMinShared)
+  }
+
+  val substringDupSql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, md5(substr(text, i, $SubstrWindow)) AS g
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+       |    length(text) - ${SubstrWindow - 1})) AS i)
+       |  WHERE length(text) >= $SubstrWindow),
+       |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > $ShingleDfCap),
+       |cool AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM cool a JOIN cool b ON a.g = b.g AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $SubstrMinShared""".stripMargin
 }

@@ -157,6 +157,42 @@ object StreamingQueries {
         col("duration_us"))
   }
 
+  /** st_dedup — streaming exact dedup run as a driver query: distinct
+    * (user_id, event_type, hour) via `dropDuplicatesWithinWatermark` over
+    * the events file stream. The state-scale story is the point: seen-key
+    * state is evicted once the watermark passes a key's event time + 1 h,
+    * so an unbounded at-least-once ingest holds O(keys-per-watermark-
+    * horizon) state, not O(stream). Determinism: the pre-dedup projection
+    * carries ONLY the dedup key columns (plus the watermark column, which
+    * the key subsumes via date_trunc), so whichever physical row arrives
+    * first per key yields the same output row — arrival order can't leak
+    * into results, and the bounded single-batch replay equals batch
+    * DISTINCT exactly (watermark starts at 0, so nothing in batch 0 is
+    * late-dropped).
+    */
+  def dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = freshSink("st_dedup_sink")
+    val keyed = Streaming.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .select(col("user_id"), col("event_type"), col("hour"))
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      keyed.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  val dedupSql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+      |FROM events""".stripMargin
+
   /** Same session semantics as ev_sessionize's oracle, without the
     * session_no bookkeeping column (the streaming form identifies sessions
     * by their bounds, not an ordinal).

@@ -183,6 +183,30 @@ class DedupSpec extends SparkSuite {
       s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
   }
 
+  test("substring-dup pairs equal a plain-Scala sliding-window reference") {
+    // Independent reference: raw 40-char sliding windows per doc (no
+    // hashing at all — set equality over substrings is what the md5 join
+    // keys stand in for), all-pairs intersection counts, threshold 3.
+    // The df cap cannot fire at 50 docs (cap = 1000), so the capped and
+    // uncapped contracts coincide here; CapBindingSpec covers cap firing.
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val winSets = docs.map { case (id, t) =>
+      id -> (if (t.length < 40) Set.empty[String]
+             else (0 to t.length - 40).map(i => t.substring(i, i + 40)).toSet)
+    }
+    val want = (for {
+      (a, sa) <- winSets; (b, sb) <- winSets if a < b
+      n = (sa & sb).size if n >= 3
+    } yield (a, b, n.toLong)).toSet
+    val got = Dedup.substringDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"substring pairs diverge (missing ${want -- got}, extra ${got -- want})")
+    assert(got.nonEmpty, "planted near-dups should share 40-char windows")
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap

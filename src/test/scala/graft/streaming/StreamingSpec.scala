@@ -229,6 +229,23 @@ class StreamingSpec extends SparkSuite {
     assert(s == sBatch)
   }
 
+  test("st_dedup equals batch DISTINCT and actually drops duplicate keys") {
+    val got = StreamingQueries.dedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val want = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(got == want, s"streaming distinct diverges from batch " +
+      s"(missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)})")
+    // The dedup must be load-bearing: the corpus has multiple events per
+    // (user, type, hour), so output < input proves state actually dropped
+    // rows rather than passing the stream through.
+    val total = graft.Tables.events(spark, sf).count()
+    assert(got.size < total, "no duplicates dropped — dedup state inert")
+  }
+
   test("interleaved invocations keep distinct sinks — no temp-view clobber") {
     // The returned DataFrames read their memory-sink temp views LAZILY: with
     // a fixed sink name, running the same entry again before reading the
