@@ -17,10 +17,13 @@ import graft.Tables
   * AUDIO path is real the same way: ingest synthesizes valid WAV/PCM
   * payloads (javax.sound.sampled, also JDK-only) and `features` decodes
   * them back to samples for RMS/peak/zero-crossing statistics, golden-
-  * checked against the plain-Scala sample function. Only VIDEO decode
-  * remains a stub — the JDK ships no video codec: `stubDecodeFeatures`
-  * derives deterministic pseudo-features from the payload bytes, and
-  * swapping in a real codec touches exactly that one function.
+  * checked against the plain-Scala sample function. The VIDEO path is
+  * real the same way: ingest synthesizes valid AVI containers carrying
+  * uncompressed bottom-up BGR24 DIB frames (the RIFF sibling of WAV —
+  * raw payload in a standard public container, no codec required, fully
+  * lossless) and `features` demuxes the RIFF chunk tree and decodes each
+  * frame back to pixels for luma/motion statistics, golden-checked
+  * against the plain-Scala frame-pixel function.
   *
   * At scale: payloads stay opaque bytes end-to-end (no row-level object
   * churn), per-partition processing amortizes any codec init cost across
@@ -133,10 +136,96 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic video frame pixel — the video sibling of
+    * synthPixel, with the frame index folded into the id so consecutive
+    * frames differ (giving the motion statistic something real to
+    * measure). Shared by the AVI ingest synthesizer and (in
+    * MultimodalSpec) the plain-Scala golden — the ONLY shared code between
+    * the two, so the DIB→AVI→demux round trip is cross-checked at the
+    * pixel level (uncompressed BGR24 is lossless).
+    */
+  private[multimodal] def synthVideoPixel(id: Long, frame: Int, x: Int, y: Int): (Int, Int, Int) =
+    synthPixel(id + 1000003L * (frame + 1), x, y)
+
+  /** Synthesized clip shape: a short bounded thumbnail stream (a test
+    * corpus can't stage full-duration video), ≥4 frames so the per-frame
+    * feature slots f4..f7 are always populated, small varied dims so row
+    * padding (stride alignment) is exercised across media.
+    */
+  private[multimodal] def synthVideoNumFrames(id: Long): Int = 4 + (id % 5).toInt
+  private[multimodal] def synthVideoDims(id: Long): (Int, Int) =
+    (32 + (id % 29).toInt, 24 + (id % 19).toInt)
+
+  /** A REAL AVI payload for the synthetic clip: RIFF 'AVI ' container with
+    * an 'hdrl' header list (avih + one 'vids'/'DIB ' stream) and a 'movi'
+    * list of uncompressed '00db' frames — bottom-up BGR24 rows padded to
+    * 4-byte stride, i.e. BI_RGB DIB, the raw-frame layout every AVI
+    * demuxer ships. Plain-Scala writer (the container format is public and
+    * simple); no codec involved, so the round trip is bit-lossless.
+    * Layout per the public RIFF/AVI spec (see also reference mr/files.go
+    * for the reference engine's whole-file ingest this stands in for).
+    */
+  private def synthVideoAvi(id: Long): Array[Byte] = {
+    val n = synthVideoNumFrames(id)
+    val (fw, fh) = synthVideoDims(id)
+    val stride = (fw * 3 + 3) / 4 * 4
+    val frameBytes = stride * fh
+    // hdrl list data = 'hdrl' + avih(8+56) + LIST strl(8 + 4+strh(8+56)+strf(8+40))
+    val strlSize = 4 + 64 + 48
+    val hdrlSize = 4 + 64 + (8 + strlSize)
+    val moviSize = 4 + n * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bos = new java.io.ByteArrayOutputStream(8 + riffSize)
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    cc("RIFF"); le32(riffSize); cc("AVI ")
+    cc("LIST"); le32(hdrlSize); cc("hdrl")
+    cc("avih"); le32(56)
+    le32(100000); le32(0); le32(0); le32(0) // usec/frame, maxBps, padding, flags
+    le32(n); le32(0); le32(1); le32(frameBytes) // totalFrames, initial, streams, bufSize
+    le32(fw); le32(fh); le32(0); le32(0); le32(0); le32(0) // w, h, reserved[4]
+    cc("LIST"); le32(strlSize); cc("strl")
+    cc("strh"); le32(56)
+    cc("vids"); cc("DIB ")
+    le32(0); le16(0); le16(0) // flags, priority, language
+    le32(0); le32(1); le32(10) // initialFrames, scale, rate (10 fps)
+    le32(0); le32(n); le32(frameBytes) // start, length, bufSize
+    le32(0); le32(0) // quality, sampleSize
+    le16(0); le16(0); le16(fw); le16(fh) // rcFrame
+    cc("strf"); le32(40) // BITMAPINFOHEADER
+    le32(40); le32(fw); le32(fh); le16(1); le16(24) // size, w, h(+ = bottom-up), planes, bpp
+    le32(0); le32(frameBytes) // BI_RGB, sizeImage
+    le32(0); le32(0); le32(0); le32(0) // pels/meter ×2, clrUsed, clrImportant
+    cc("LIST"); le32(moviSize); cc("movi")
+    val row = new Array[Byte](stride)
+    var f = 0
+    while (f < n) {
+      cc("00db"); le32(frameBytes)
+      var r = 0
+      while (r < fh) { // bottom-up: stored row r is logical y = fh-1-r
+        val y = fh - 1 - r
+        var x = 0
+        while (x < fw) {
+          val (pr, pg, pb) = synthVideoPixel(id, f, x, y)
+          row(3 * x) = pb.toByte; row(3 * x + 1) = pg.toByte; row(3 * x + 2) = pr.toByte
+          x += 1
+        }
+        bos.write(row, 0, stride)
+        r += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   /** The media table at the INGEST boundary: image rows carry a valid PNG
     * payload, audio rows a valid WAV/PCM payload (what a production
-    * pipeline gets from a `binaryFile` read of an object-store prefix);
-    * video keeps the opaque stand-in bytes (no JDK codec).
+    * pipeline gets from a `binaryFile` read of an object-store prefix),
+    * and video rows a valid AVI with uncompressed DIB frames.
     * Metadata-only queries (frames/windows/resize_meta) deliberately stay
     * on the columnar `mediaTable` so their scans remain pruned — this
     * stage exists for consumers that actually open payloads.
@@ -153,11 +242,12 @@ object Multimodal {
     */
   def mediaIngest(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    // v3: bump the prefix whenever the synthesized payload FORMAT changes
-    // (v2→v3 added real WAV audio) — the content fingerprint tracks corpus
-    // regeneration, the version tracks synthesizer changes.
+    // v4: bump the prefix whenever the synthesized payload FORMAT changes
+    // (v2→v3 added real WAV audio, v3→v4 real DIB-AVI video) — the content
+    // fingerprint tracks corpus regeneration, the version tracks
+    // synthesizer changes.
     val out = graft.sources.Staging.stagedDir(
-      "graft_media_v3", s"$sfDir/documents.parquet")
+      "graft_media_v4", s"$sfDir/documents.parquet")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       mediaTable(spark, sfDir).select(
         col("media_id"), col("kind"), col("payload"),
@@ -172,7 +262,9 @@ object Multimodal {
                 // Same sample_rate formula as mediaTable's meta struct.
                 r.copy(payload = synthAudioWav(r.media_id,
                   8000 + (r.media_id % 5).toInt * 8000))
-              case _ => r
+              case "video" =>
+                r.copy(payload = synthVideoAvi(r.media_id))
+              case other => sys.error(s"unknown media kind: $other")
             }
           }
         }
@@ -270,20 +362,83 @@ object Multimodal {
       math.sqrt(qsq(3) / math.max(1.0, qn(3))).toFloat)
   }
 
-  /** STUB decode for video only: deterministic 8-dim pseudo-embedding from
-    * payload bytes. A real implementation would decode frames here (no JDK
-    * video codec exists); everything around it (batching, schema,
-    * parallelism) is production-shaped.
+  /** REAL video demux + decode: walk the RIFF chunk tree (plain Scala —
+    * the container format is public; this is the demux every AVI reader
+    * performs), take frame dimensions from the strf BITMAPINFOHEADER,
+    * decode each uncompressed '00db' DIB frame (bottom-up BGR24, 4-byte
+    * row stride), and compute 8 statistics on the [0,1] luma scale:
+    * mean luma over all frames (f0), motion = mean |Δ per-frame luma|
+    * between consecutive frames (f1), bright-pixel fraction (f2), frame
+    * count (f3), and the first four per-frame lumas (f4..f7) — the
+    * scene-change / black-frame profile a video quality filter keys on.
+    * Frame-outer, y-top-down, x-inner accumulation keeps double summation
+    * order deterministic (the spec golden replays the identical order).
     */
-  private def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  private def decodeVideoFeatures(payload: Array[Byte]): Array[Float] = {
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def cc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI payload")
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = cc(p); val sz = le32(p + 4)
+        if (id == "LIST") walk(p + 12, p + 8 + sz)
+        else if (id == "strf") {
+          require(sz >= 40 && le16(p + 8 + 14) == 24 && le32(p + 8 + 16) == 0,
+            "expected uncompressed 24-bit DIB frames")
+          w = le32(p + 8 + 4); h = le32(p + 8 + 8)
+        } else if (id.endsWith("db")) frames += (p + 8)
+        p += 8 + sz + (sz & 1) // RIFF chunks pad to even
+      }
     }
-    val n = math.max(1, payload.length / 8)
-    out.map(_ / n)
+    walk(12, 8 + le32(4))
+    require(w > 0 && h > 0 && frames.nonEmpty, "no decodable frames")
+    val stride = (w * 3 + 3) / 4 * 4
+    val n = frames.length
+    val frameLuma = new Array[Double](n)
+    var lumaSum = 0.0
+    var bright = 0L
+    var f = 0
+    while (f < n) {
+      val base = frames(f)
+      var fSum = 0.0
+      var y = 0
+      while (y < h) {
+        val rowOff = base + (h - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val b = (payload(rowOff + 3 * x) & 0xff) / 255.0
+          val g = (payload(rowOff + 3 * x + 1) & 0xff) / 255.0
+          val r = (payload(rowOff + 3 * x + 2) & 0xff) / 255.0
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          fSum += luma
+          if (luma > 0.5) bright += 1
+          x += 1
+        }
+        y += 1
+      }
+      frameLuma(f) = fSum / (w.toLong * h)
+      lumaSum += fSum
+      f += 1
+    }
+    val px = w.toLong * h * n
+    var motion = 0.0
+    (1 until n).foreach(i => motion += math.abs(frameLuma(i) - frameLuma(i - 1)))
+    Array(
+      (lumaSum / px).toFloat,
+      (if (n > 1) motion / (n - 1) else 0.0).toFloat,
+      (bright.toDouble / px).toFloat,
+      n.toFloat,
+      frameLuma(0).toFloat,
+      (if (n > 1) frameLuma(1) else 0.0).toFloat,
+      (if (n > 2) frameLuma(2) else 0.0).toFloat,
+      (if (n > 3) frameLuma(3) else 0.0).toFloat)
   }
 
   /** mm_features — per-partition feature extraction over binary payloads.
@@ -309,7 +464,8 @@ object Multimodal {
         val feats = r.kind match {
           case "image" => decodeImageFeatures(r.payload)
           case "audio" => decodeAudioFeatures(r.payload)
-          case _ => stubDecodeFeatures(r.payload)
+          case "video" => decodeVideoFeatures(r.payload)
+          case other => sys.error(s"unknown media kind: $other")
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length, feats)
       }

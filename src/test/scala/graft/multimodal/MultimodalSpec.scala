@@ -44,7 +44,7 @@ class MultimodalSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (3 until 11).map(r.getDouble)).toMap
     val f1 = grab()
     val f2 = grab()
-    assert(f1 == f2, "stub decode must be deterministic")
+    assert(f1 == f2, "decode must be deterministic")
     assert(f1.values.forall(_.length == 8))
     // payload bytes actually flowed through (nonzero features)
     assert(f1.values.exists(_.exists(_ > 0d)))
@@ -60,16 +60,45 @@ class MultimodalSpec extends SparkSuite {
     // is proven to recover the exact pixels (PNG is lossless). For AUDIO
     // the golden computes the statistics straight from the synthetic
     // sample function — NOT via WAV/AudioSystem — same round-trip proof
-    // (PCM is lossless). Video stays on the byte-fold stub golden over
-    // the raw document bytes.
+    // (PCM is lossless). For VIDEO the golden computes the statistics
+    // straight from the synthetic frame-pixel function — NOT via the
+    // AVI writer/demuxer — same round-trip proof (uncompressed DIB is
+    // lossless).
     import scala.math.BigDecimal.RoundingMode
     def round4(f: Float): Double =  // Spark round() = HALF_UP on the double cast
       BigDecimal(f.toDouble).setScale(4, RoundingMode.HALF_UP).toDouble
-    def goldenFold(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](8)
-      payload.indices.foreach(i => acc(i % 8) += (payload(i) & 0xff) / 255.0f)
-      val n = math.max(1, payload.length / 8)
-      acc.map(_ / n)
+    // Identical accumulation order (frame outer, y top-down, x inner) to
+    // the engine's decodeVideoFeatures, so double summation is bit-equal.
+    def goldenVideoStats(id: Long): Array[Float] = {
+      val n = Multimodal.synthVideoNumFrames(id)
+      val (w, h) = Multimodal.synthVideoDims(id)
+      val frameLuma = new Array[Double](n)
+      var lumaSum = 0.0; var bright = 0L
+      for (f <- 0 until n) {
+        var fSum = 0.0
+        for (y <- 0 until h; x <- 0 until w) {
+          val (ri, gi, bi) = Multimodal.synthVideoPixel(id, f, x, y)
+          // the writer truncates channel ints to bytes; decode masks back
+          val luma = 0.299 * ((ri & 0xff) / 255.0) +
+            0.587 * ((gi & 0xff) / 255.0) + 0.114 * ((bi & 0xff) / 255.0)
+          fSum += luma
+          if (luma > 0.5) bright += 1
+        }
+        frameLuma(f) = fSum / (w.toLong * h)
+        lumaSum += fSum
+      }
+      val px = w.toLong * h * n
+      var motion = 0.0
+      (1 until n).foreach(i => motion += math.abs(frameLuma(i) - frameLuma(i - 1)))
+      Array(
+        (lumaSum / px).toFloat,
+        (if (n > 1) motion / (n - 1) else 0.0).toFloat,
+        (bright.toDouble / px).toFloat,
+        n.toFloat,
+        frameLuma(0).toFloat,
+        (if (n > 1) frameLuma(1) else 0.0).toFloat,
+        (if (n > 2) frameLuma(2) else 0.0).toFloat,
+        (if (n > 3) frameLuma(3) else 0.0).toFloat)
     }
     // Identical accumulation order (y outer, x inner) to the engine's
     // decodeImageFeatures, so double summation is bit-equal.
@@ -117,21 +146,31 @@ class MultimodalSpec extends SparkSuite {
         math.sqrt(qsq(0) / qn(0)).toFloat, math.sqrt(qsq(1) / qn(1)).toFloat,
         math.sqrt(qsq(2) / qn(2)).toFloat, math.sqrt(qsq(3) / qn(3)).toFloat)
     }
+    // Exact AVI container size: RIFF header + hdrl (avih + strl) + movi.
+    def aviBytes(id: Long): Int = {
+      val n = Multimodal.synthVideoNumFrames(id)
+      val (w, h) = Multimodal.synthVideoDims(id)
+      val frameBytes = (w * 3 + 3) / 4 * 4 * h
+      val hdrlSize = 4 + 64 + (8 + 4 + 64 + 48)
+      val moviSize = 4 + n * (8 + frameBytes)
+      8 + 4 + (8 + hdrlSize) + (8 + moviSize)
+    }
     val kinds = Array("image", "audio", "video")
     val expected = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("text")).collect().map { r =>
+      .select(col("doc_id")).collect().map { r =>
         val id = r.getLong(0)
         val kind = kinds((id % 3).toInt)
         val feats = kind match {
           case "image" =>
             goldenImageStats(id, 64 + (id % 193).toInt, 64 + (id % 129).toInt)
           case "audio" => goldenAudioStats(id)
-          case _ => goldenFold(r.getString(1).getBytes("UTF-8"))
+          case _ => goldenVideoStats(id)
         }
         (id, kind) -> feats.map(round4).toSeq
       }.toMap
     val rows = Multimodal.features(spark, sf).collect()
     assert(rows.nonEmpty)
+    assert(rows.map(_.getString(1)).toSet == Set("image", "audio", "video"))
     rows.foreach { r =>
       val key = (r.getLong(0), r.getString(1))
       val got = (3 until 11).map(r.getDouble)
@@ -142,15 +181,9 @@ class MultimodalSpec extends SparkSuite {
         // audio: canonical RIFF/WAVE PCM = 44-byte header + 2 bytes/sample.
         case "audio" =>
           assert(r.getInt(2) == 44 + 2 * Multimodal.synthAudioNumSamples(r.getLong(0)))
-        case _ =>
+        // video: the exact RIFF/AVI container size — a real payload.
+        case _ => assert(r.getInt(2) == aviBytes(r.getLong(0)))
       }
-    }
-    // video (the only remaining stub): n_bytes is the exact UTF-8 length.
-    val stubBytes = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("len"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    rows.filter(_.getString(1) == "video").foreach { r =>
-      assert(r.getInt(2) == stubBytes(r.getLong(0)))
     }
   }
 
@@ -175,6 +208,54 @@ class MultimodalSpec extends SparkSuite {
         assert(raw == Multimodal.synthSample(r.media_id, i),
           s"sample $i of media ${r.media_id} corrupted in the WAV round trip")
       }
+    }
+    assert(clips.nonEmpty)
+  }
+
+  test("video payloads are valid AVIs and demux to the synthesized frame pixels") {
+    // INDEPENDENT plain-Scala RIFF walk (not the engine's demuxer), the
+    // same rigor as goldenImageStats being independent of ImageIO: a bug
+    // shared by the writer and the engine parser cannot hide here.
+    val clips = Multimodal.mediaIngest(spark, sf)
+      .filter(col("kind") === "video").limit(3).collect()
+    clips.foreach { r =>
+      val p = r.payload
+      def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      def cc(off: Int): String = new String(p, off, 4, "US-ASCII")
+      assert(cc(0) == "RIFF" && cc(8) == "AVI ", "not a RIFF/AVI container")
+      assert(le32(4) == p.length - 8, "RIFF size must cover the payload")
+      // hdrl is the first LIST; avih dwTotalFrames sits 24 bytes into it
+      assert(cc(12) == "LIST" && cc(20) == "hdrl")
+      assert(cc(24) == "avih")
+      val nFrames = le32(24 + 8 + 16)
+      assert(nFrames == Multimodal.synthVideoNumFrames(r.media_id))
+      val (w, h) = Multimodal.synthVideoDims(r.media_id)
+      // find the movi list by scanning top-level chunks, then check every
+      // 00db frame against the synthesizer pixel-for-pixel
+      var off = 12
+      var moviAt = -1
+      while (off + 8 <= p.length && moviAt < 0) {
+        if (cc(off) == "LIST" && cc(off + 8) == "movi") moviAt = off
+        else off += 8 + le32(off + 4) + (le32(off + 4) & 1)
+      }
+      assert(moviAt > 0, "no movi list found")
+      val stride = (w * 3 + 3) / 4 * 4
+      var q = moviAt + 12
+      var frame = 0
+      while (q + 8 <= moviAt + 8 + le32(moviAt + 4)) {
+        assert(cc(q) == "00db" && le32(q + 4) == stride * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rowOff = q + 8 + (h - 1 - y) * stride + 3 * x
+          val (er, eg, eb) = Multimodal.synthVideoPixel(r.media_id, frame, x, y)
+          assert((p(rowOff) & 0xff) == eb && (p(rowOff + 1) & 0xff) == eg
+            && (p(rowOff + 2) & 0xff) == er,
+            s"pixel ($x,$y) of frame $frame, media ${r.media_id} corrupted")
+        }
+        frame += 1
+        q += 8 + stride * h
+      }
+      assert(frame == nFrames, "frame count in movi must match avih")
     }
     assert(clips.nonEmpty)
   }
