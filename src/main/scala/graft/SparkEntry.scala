@@ -92,7 +92,15 @@ object SparkEntry {
     "ev_rolling" -> (Events.rolling _),
     "dd_winnow" -> (Dedup.winnowPairs _),
     "dd_substring" -> (Dedup.substringDup _),
-    "st_dedup" -> (graft.streaming.StreamingQueries.dedup _)
+    "st_dedup" -> (graft.streaming.StreamingQueries.dedup _),
+    "ev_paths" -> (Events.paths _),
+    "ev_histogram" -> (Events.histogram _),
+    "ds_buckets" -> (CorpusOps.buckets _),
+    "ds_curriculum" -> (CorpusOps.curriculum _),
+    "ds_weights" -> (CorpusOps.weights _),
+    "ta_readability" -> (TextAnalysis.readability _),
+    "ann_range" -> (Similarity.annRange _),
+    "q27_salted_agg" -> (Relational.q27SaltedAgg _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -165,9 +173,9 @@ object SparkEntry {
     "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql,
     "mm_audio_windows" -> graft.multimodal.Multimodal.audioWindowsSql,
     "mm_resize_meta" -> graft.multimodal.Multimodal.resizeMetaSql,
-    // mm_features: real ImageIO pixel decode for images and real
-    // AudioSystem PCM decode for audio (plain-Scala pixel/sample goldens
-    // in MultimodalSpec), byte-fold stub for video only (no JDK codec) —
+    // mm_features: real ImageIO pixel decode for images, real AudioSystem
+    // PCM decode for audio, real RIFF demux + DIB frame decode for video
+    // (plain-Scala pixel/sample/frame goldens in MultimodalSpec) —
     // no SQL engine can restate the decode, so driver rows-only check
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
     "ta_tfidf" -> CorpusOps.tfidfSql,
@@ -193,6 +201,14 @@ object SparkEntry {
     // driver rows-only; DedupSpec pins pairs ≡ dd_minhash on the planted
     // corpus
     "dd_substring" -> Dedup.substringDupSql,
-    "st_dedup" -> graft.streaming.StreamingQueries.dedupSql
+    "st_dedup" -> graft.streaming.StreamingQueries.dedupSql,
+    "ev_paths" -> Events.pathsSql,
+    "ev_histogram" -> Events.histogramSql,
+    "ds_buckets" -> CorpusOps.bucketsSql,
+    "ds_curriculum" -> CorpusOps.curriculumSql,
+    "ds_weights" -> CorpusOps.weightsSql,
+    "ta_readability" -> TextAnalysis.readabilitySql,
+    "ann_range" -> Similarity.annRangeSql,
+    "q27_salted_agg" -> Relational.q27SaltedAggSql
   )
 }

@@ -274,4 +274,107 @@ object CorpusOps {
       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
+
+  /** ds_buckets — length-bucketed batch planning: documents are grouped
+    * into fixed-width token-length buckets (the length-grouped batching a
+    * training loader uses to avoid padding waste), and each bucket reports
+    * its batch count at a fixed per-batch token budget. All arithmetic is
+    * INTEGER (fixed-width buckets, ceil via (a+b-1)/b) — exact and
+    * bit-identical in any engine, unlike a floor(log2(n)) bucket whose
+    * ln-division can land either side of an exact power of two. One O(n)
+    * hash aggregation on a small bounded key (≤ BucketCap+1 buckets).
+    */
+  private val BucketWidthToks = 16
+  private val BucketCap = 31
+  private val BatchTokenBudget = 16384
+
+  def buckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), "\\s+")).cast("long")
+    // `div`, not `/`: Column./ is DOUBLE division (the bug class the
+    // round-5 organic probe caught in its mosaic stride) — div keeps the
+    // arithmetic integral end to end.
+    Tables.documents(spark, sfDir)
+      .select(nTok.as("n_tokens"))
+      .select(expr(s"CAST(least(n_tokens div $BucketWidthToks, $BucketCap) AS INT)")
+        .as("len_bucket"), col("n_tokens"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("n_batches",
+        expr(s"(total_tokens + ${BatchTokenBudget - 1}) div $BatchTokenBudget"))
+  }
+
+  val bucketsSql: String =
+    raw"""SELECT CAST(least(len(regexp_split_to_array(text, '\s+')) // 16, 31) AS INT)
+         |    AS len_bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,
+         |  CAST((sum(len(regexp_split_to_array(text, '\s+'))) + 16383) // 16384 AS BIGINT)
+         |    AS n_batches
+         |FROM documents GROUP BY 1""".stripMargin
+
+  /** ds_curriculum — curriculum phase assignment: within each source,
+    * documents are ranked by a cheap quality signal (alpha ratio — the
+    * int/int division is bit-identical across engines, so the ordering
+    * can't flake at double edges) and cut into 4 phases with ntile. The
+    * window is PARTITIONED BY SOURCE — each shard orders independently
+    * (what a per-domain curriculum wants) and no global sort exists in
+    * the plan, so the operator scales with the largest source, not the
+    * corpus.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), alpha.as("score"))
+      .withColumn("phase", ntile(4).over(w).cast("int"))
+      .select(col("doc_id"), col("source"),
+        round(col("score"), 4).as("score"), col("phase"))
+  }
+
+  val curriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)
+      |      AS score
+      |  FROM documents)
+      |SELECT doc_id, source, round(score, 4) AS score,
+      |  CAST(ntile(4) OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+      |    AS INT) AS phase
+      |FROM scored""".stripMargin
+
+  /** ds_weights — source-mixture reweighting: each source's token share
+    * vs the uniform target, and the sampling weight that would equalize
+    * the mix (the knob a data-mixture recipe turns). Shape: one O(n)
+    * aggregation down to |sources| rows, then a broadcast of the 1-row
+    * total — nothing here grows with corpus bytes except the first scan.
+    */
+  def weights(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(split(col("text"), "\\s+")).cast("long")
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), nTok.as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = bySrc.agg(sum(col("tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total_tokens"), 6).as("share"),
+        round(col("total_tokens").cast("double")
+          / (col("n_sources") * col("tokens")), 6).as("weight"))
+  }
+
+  val weightsSql: String =
+    raw"""WITH by_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM by_src)
+         |SELECT source, n_docs, tokens,
+         |  round(tokens * 1.0 / total_tokens, 6) AS share,
+         |  round(total_tokens * 1.0 / (n_sources * tokens), 6) AS weight
+         |FROM by_src CROSS JOIN tot""".stripMargin
 }

@@ -425,4 +425,57 @@ object Events {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |  (SELECT count(*) FROM c) AS n_click_after_view,
       |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
+  /** ev_paths — top-25 three-step behavior paths (the path-analysis query
+    * behind "what do users do before purchasing"). Two leads over the same
+    * per-user window ev_markov already uses (one window exec, bounded
+    * per-user partitions), then a hash aggregation on the path string —
+    * path cardinality is |event_types|³, a constant, so the final
+    * top-25 is a TakeOrdered over a tiny aggregate, not a global sort of
+    * event rows.
+    */
+  def paths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(byUser))
+      .withColumn("s3", lead(col("s1"), 2).over(byUser))
+      .filter(col("s3").isNotNull)
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+  }
+
+  val pathsSql: String =
+    """WITH w AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER uw AS s2,
+      |    lead(event_type, 2) OVER uw AS s3
+      |  FROM events
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT s1 || '>' || s2 || '>' || s3 AS path, count(*) AS n
+      |FROM w WHERE s3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
+
+  /** ev_histogram — fixed-bin value histogram per event type (the
+    * distribution profile a monitoring dashboard draws). Bin assignment is
+    * INTEGER arithmetic on a clamped fixed range — exact in any engine —
+    * and the aggregate key (event_type, bin) is bounded at
+    * |event_types| · 20 rows, so the shuffle is constant-size regardless
+    * of corpus scale. Counts only: exact under any row order.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        least(floor(col("value") / 25.0), lit(19.0)).cast("int").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  val histogramSql: String =
+    """SELECT event_type,
+      |  CAST(least(floor(value / 25.0), 19.0) AS INT) AS bin,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

@@ -588,4 +588,36 @@ object Relational {
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** q27_salted_agg — explicit two-phase SALTED aggregation on a skewed
+    * key (l_returnflag: 3 values over the whole fact table — the worst
+    * aggregation skew shape, every row funneling into 3 reducers).
+    * Phase 1 groups by (key, salt₁₆) so partial sums spread over 48
+    * reducers; phase 2 combines 48 rows per key. The oracle states the
+    * plain GROUP BY — salting is a physical rewrite and must be
+    * output-invariant (sums of in-range integers and counts re-associate
+    * exactly). Spark's own map-side partial aggregation makes this
+    * pattern redundant for built-in aggregates (the partial agg IS phase
+    * 1) — the operator exists for the aggregates that DON'T combine
+    * map-side (exact distincts, collect-style buffers) and as the
+    * measured template for them; PlanSpec pins both hash-agg phases.
+    */
+  def q27SaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        pmod(xxhash64(col("l_orderkey")), lit(16)).as("salt"))
+    val partial = salted.groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("part_qty"), count(lit(1)).as("part_n"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("part_qty")), 2).as("sum_qty"),
+        sum(col("part_n")).as("n_lines"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("n_lines"), 4))
+  }
+
+  val q27SaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
 }

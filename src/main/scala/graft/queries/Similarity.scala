@@ -122,6 +122,40 @@ object Similarity {
        |  WHERE q.vec_id % 50 = 0 AND q.vec_id < ${MaxQueries * 50L}) t
        |WHERE rank <= $K""".stripMargin
 
+  /** ann_range — radius search: every corpus vector within cosine ≥
+    * RangeTau of each query (the calibration query behind choosing a
+    * dedup threshold: "how many neighbors does τ admit"). Same bounded-|Q|
+    * broadcast contract as ann_topk — the probe side is ≤ MaxQueries rows
+    * at any corpus size; the corpus side streams through one codegen'd
+    * dot product per pair and never shuffles. Deliberately the EXACT
+    * (no-miss) form: a radius query is the instrument that measures LSH
+    * recall, so it must not itself be approximate. Output is bounded by
+    * neighborhood density at τ, not by N². τ = 0.30 sits in this
+    * embedding space's near-neighbor band (the 99.9th percentile of
+    * query-pair cosine is ≈0.37–0.41 at test SFs; the dedup threshold
+    * 0.45 admits ≤1 pair, too sparse to exercise anything).
+    */
+  private val RangeTau = 0.30
+
+  def annRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = normed(Tables.embeddings(spark, sfDir))
+    val q = queries(Tables.embeddings(spark, sfDir))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cs_raw", pairCosine)
+      .filter(col("cs_raw") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cs_raw"), 6).as("cs"))
+  }
+
+  val annRangeSql: String =
+    s"""SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(e.embedding AS DOUBLE[])), 6) AS cs
+       |FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |WHERE q.vec_id % 50 = 0 AND q.vec_id < ${MaxQueries * 50L}
+       |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(e.embedding AS DOUBLE[])) >= 0.30""".stripMargin
+
   /** Index-entry replication: each vector is indexed under its top
     * `CellReplicas` nearest cells (standard IVF multi-assignment) — 2×
     * index entries buys back the recall that √N-many narrow cells cost,

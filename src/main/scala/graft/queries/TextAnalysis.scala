@@ -313,4 +313,40 @@ object TextAnalysis {
          |    PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank
          |  FROM counts) t
          |WHERE rank <= 5""".stripMargin
+
+  /** ta_readability — Flesch reading-ease with the standard cheap proxies:
+    * sentences ≈ terminal-punctuation runs ([.!?]+, floor 1), syllables ≈
+    * vowel-group runs ([aeiouy]+) — the doc-level approximation a corpus
+    * quality filter uses (per-word syllable counting buys nothing at
+    * filter granularity). Pure per-row codegen column arithmetic, no
+    * shuffle; the ratios divide exact integers so the score is
+    * bit-identical across engines before the final round.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = size(split(col("text"), "\\s+")).cast("double")
+    val sentences = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long")).cast("double")
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("double")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words), 4).as("flesch"))
+  }
+
+  val readabilitySql: String =
+    raw"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+         |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+         |    AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |    AS n_syllables,
+         |  round(206.835
+         |    - 1.015 * (len(regexp_split_to_array(text, '\s+'))
+         |        * 1.0 / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+         |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |        * 1.0 / len(regexp_split_to_array(text, '\s+'))), 4) AS flesch
+         |FROM documents""".stripMargin
 }

@@ -165,6 +165,12 @@ class PlanSpec extends SparkSuite {
       // bounded-|Q| probe side (<=1024 by pushed-predicate contract)
       // against per-query candidate lists — the BNLJ input is O(|Q|)
       "ann_topk" -> "bounded query-side broadcast",
+      // same bounded-|Q| contract as ann_topk; exact radius form is the
+      // LSH-recall measurement instrument, deliberately no-miss
+      "ann_range" -> "bounded query-side broadcast",
+      // per-source aggregate crossed with the 1-row corpus total —
+      // both sides constant-or-|sources| sized at any corpus scale
+      "ds_weights" -> "1-row corpus-total cross",
       // IVF assignment is |corpus| x k dot products by definition; the
       // BNLJ broadcasts the CONSTANT-size centroid table, never the corpus
       "ann_ivf" -> "constant centroid-table broadcast",
@@ -245,5 +251,47 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("ObjectHashAggregate"),
         s"$q top-k not running as an object-hash aggregate:\n$p")
     }
+  }
+
+  test("q27_salted_agg: salt spreads phase 1, phase 2 combines per key") {
+    val p = plan("q27_salted_agg")
+    // phase 1 must group by (key, salt) — the salt column in a hash
+    // aggregate's keys is the whole point of the operator
+    assert(p.contains("salt"), s"salted phase missing:\n$p")
+    // both phases are hash aggregates with map-side partials
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"expected two 2-phase hash aggregates:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Sort "),
+      s"salted agg must stay pure hash shapes:\n$p")
+  }
+
+  test("ev_paths: per-user window, then TakeOrdered — never a global sort") {
+    val p = plan("ev_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 not heap-based:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"path window not partitioned by user_id:\n$p")
+  }
+
+  test("ev_histogram / ds_buckets: bounded-key aggregates with partials") {
+    Seq("ev_histogram", "ds_buckets").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        s"$q missing map-side partial aggregation:\n$p")
+      assert(!p.contains("Window") && !p.contains("Sort "),
+        s"$q should be a pure hash aggregate:\n$p")
+    }
+  }
+
+  test("ds_curriculum: window partitioned by source, no global sort") {
+    val p = plan("ds_curriculum")
+    assert(p.contains("hashpartitioning(source"),
+      s"curriculum window not partitioned by source:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort crept into curriculum assignment:\n$p")
+  }
+
+  test("ta_readability: pure per-row projection — no shuffle at all") {
+    val p = plan("ta_readability")
+    assert(!p.contains("Exchange"), s"readability should not shuffle:\n$p")
   }
 }

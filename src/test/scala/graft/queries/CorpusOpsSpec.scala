@@ -104,4 +104,54 @@ class CorpusOpsSpec extends SparkSuite {
       else assert(k < tot, s"$s should subsample, kept $k/$tot")
     }
   }
+
+  test("buckets: docs partition exactly, batch counts replay ceil division") {
+    val rows = CorpusOps.buckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc lands in one bucket")
+    rows.foreach { r =>
+      val (bucket, docs, toks, batches) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bucket >= 0 && bucket <= 31)
+      assert(batches == (toks + 16383) / 16384,
+        s"bucket $bucket batch count is not ceil(tokens/budget)")
+      // every doc in the bucket has >= bucket*16 tokens, so the bucket's
+      // token total can't fall below that floor
+      assert(toks >= docs * bucket * 16L, s"bucket $bucket tokens below floor")
+    }
+  }
+
+  test("curriculum: per-source balanced quartiles ordered by score") {
+    val rows = CorpusOps.curriculum(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sizes = docs.groupBy(_._4).map { case (p, d) => p -> d.length }
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)), s"$src phases out of range")
+      // ntile balance: sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src unbalanced: $sizes")
+      // phase 1 holds the highest-quality docs (boundary ties aside, the
+      // phase MEANS must be monotone non-increasing)
+      val means = (1 to 4).flatMap(p => sizes.get(p).map(_ =>
+        p -> docs.filter(_._4 == p).map(_._3).sum / sizes(p)))
+      means.zip(means.tail).foreach { case ((_, a), (_, b)) =>
+        assert(a >= b - 1e-9, s"$src phase means not ordered: $means")
+      }
+    }
+  }
+
+  test("weights: shares sum to 1 and weight equalizes the mix") {
+    val rows = CorpusOps.weights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum to ${shares.sum}")
+    val n = rows.length
+    rows.foreach { r =>
+      // weight · share · n_sources ≈ 1: applying the weight makes every
+      // source contribute the uniform target share
+      val prod = r.getDouble(4) * r.getDouble(3) * n
+      assert(math.abs(prod - 1.0) < 1e-3, s"${r.getString(0)}: $prod")
+    }
+  }
 }

@@ -136,4 +136,28 @@ class EventsSpec extends SparkSuite {
       }
     }
   }
+
+  test("paths: <=25 rows of valid 3-step paths, counts non-increasing") {
+    val types = Set("view", "click", "purchase", "signup", "error")
+    val rows = Events.paths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length == 3 && steps.forall(types), s"bad path ${r.getString(0)}")
+    }
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ranked by n")
+  }
+
+  test("histogram: per-type bin counts partition the events exactly") {
+    val rows = Events.histogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 19))
+    val byType = rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      t -> rs.map(_.getLong(2)).sum
+    }
+    val expected = graft.Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == expected, "histogram bins must partition each type's rows")
+  }
 }

@@ -60,4 +60,35 @@ class SimilaritySpec extends SparkSuite {
     // Measured 0.90 (fixed KMeans seed); tight floor per above.
     assert(trained >= 0.8, f"trained IVF recall too low: $trained%.2f")
   }
+
+  test("ann_range equals an independent plain-Scala brute-force radius scan") {
+    // Same rigor as the goldens elsewhere: recompute every admitted pair
+    // from the raw vectors, independent of vec.dot/l2norm and the join
+    // shape — a no-miss radius search must agree exactly at the rounded
+    // precision on both membership and score.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (q, qv) <- vecs.toSeq if q % 50 == 0 && q < 1024L * 50
+      (v, ev) <- vecs.toSeq if v != q
+      cs = cos(qv, ev) if cs >= 0.30
+    } yield (q, v) -> round6(cs)).toMap
+    val got = Similarity.annRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "τ admits no pairs at test scale — retune τ")
+    assert(got == expected,
+      s"radius search diverged; symmetric diff keys: " +
+        s"${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
+  }
 }

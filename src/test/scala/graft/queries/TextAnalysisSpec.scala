@@ -108,4 +108,18 @@ class TextAnalysisSpec extends SparkSuite {
       assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("readability: flesch replays from its own counts, sentences >= 1") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, syl, flesch) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(s >= 1, s"doc ${r.getLong(0)} has no sentence floor")
+      assert(w >= 1 && syl >= 0)
+      val replay = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+      assert(math.abs(flesch - replay) < 5e-4,
+        s"doc ${r.getLong(0)}: $flesch vs replayed $replay")
+    }
+  }
 }
