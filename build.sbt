@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // timed laps) — headroom for the accumulated codegen/broadcast state of
   // the 54-query suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~90 queries × 3 laps of whole-stage-codegen classes overflow the
+  // default 240 MB code cache; flushing then evicts HOT methods and the
+  // JIT recompiles them in a storm (measured: cumulative JIT time ramping
+  // 17 s → 360 s across one Bench-shaped run, later laps 2-4× slower).
+  // One JVM, many plans — size the cache for the suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

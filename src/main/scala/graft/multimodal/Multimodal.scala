@@ -242,16 +242,25 @@ object Multimodal {
     */
   def mediaIngest(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    // v4: bump the prefix whenever the synthesized payload FORMAT changes
-    // (v2→v3 added real WAV audio, v3→v4 real DIB-AVI video) — the content
+    // v5: bump the prefix whenever the synthesized payload FORMAT or the
+    // staged LAYOUT changes (v2→v3 added real WAV audio, v3→v4 real
+    // DIB-AVI video, v4→v5 core-wide staging layout) — the content
     // fingerprint tracks corpus regeneration, the version tracks
     // synthesizer changes.
     val out = graft.sources.Staging.stagedDir(
-      "graft_media_v4", s"$sfDir/documents.parquet")
+      "graft_media_v5", s"$sfDir/documents.parquet")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
+      // Stage across all cores: the source corpus is ONE parquet split at
+      // test SFs, and the staged table's file count becomes the DECODE
+      // stage's parallelism for every consumer — a 1-file stage made
+      // mm_features decode 1667 images + clips in a single task (measured
+      // 7.4 s at sf0.1). An object store holds media as many objects, so
+      // at scale both sides are naturally wide and this repartition of the
+      // tiny synthetic payload table is a test-SF artifact.
       mediaTable(spark, sfDir).select(
         col("media_id"), col("kind"), col("payload"),
         col("meta.width").as("width"), col("meta.height").as("height"))
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[MediaRow]
         .mapPartitions { rows =>
           rows.map { r =>

@@ -739,14 +739,36 @@ object Dedup {
     * unlike the xxhash64 families this one gets a value-level driver gate.
     */
   def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= SubstrWindow)
+      .select(col("doc_id"), col("text"))
+    // Window generation is ~40× the scan bytes in md5 CPU, so it must run
+    // on every core. A test corpus arrives as ONE parquet split (the scan
+    // task would hash 1.3M windows alone — measured 18 s at sf0.1); spread
+    // it first. At production scale input splits ≫ cores and this branch
+    // never fires, so nothing is shuffled there.
+    val spread =
+      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    // Positions explode FIRST, md5 as a TOP-LEVEL projection: inside a
+    // `transform(...)` lambda the md5 runs on the interpreted
+    // higher-order-function path (HOFs don't participate in whole-stage
+    // codegen) — ~14 µs/window vs ~1 µs compiled. Generate + project stay
+    // in one codegen stage, so `text` never crosses an exchange.
+    val grams = spread
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SubstrWindow - 1)))
+          .as("i"))
       .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(1, length(text) - ${SubstrWindow - 1}),
-             |          i -> md5(substring(text, i, $SubstrWindow)))""".stripMargin))
-          .as("g"))
+        md5(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
       .distinct()
+      // Four consumers below (df agg + anti-join + both join sides):
+      // without a barrier the 1.3M-window generation replays per consumer
+      // (measured 4× at sf0.1). Same justification as the minhash family's
+      // capped shingle set; at 100 TB this is the staging table an ingest
+      // pipeline materializes once per corpus.
+      .localCheckpoint()
     val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select(col("g"))
