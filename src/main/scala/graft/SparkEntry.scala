@@ -99,8 +99,10 @@ object SparkEntry {
     "ds_curriculum" -> (CorpusOps.curriculum _),
     "ds_weights" -> (CorpusOps.weights _),
     "ta_readability" -> (TextAnalysis.readability _),
+    "ta_entropy" -> (TextAnalysis.entropy _),
     "ann_range" -> (Similarity.annRange _),
-    "q27_salted_agg" -> (Relational.q27SaltedAgg _)
+    "q27_salted_agg" -> (Relational.q27SaltedAgg _),
+    "st_sliding" -> (graft.streaming.StreamingQueries.sliding _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -208,7 +210,9 @@ object SparkEntry {
     "ds_curriculum" -> CorpusOps.curriculumSql,
     "ds_weights" -> CorpusOps.weightsSql,
     "ta_readability" -> TextAnalysis.readabilitySql,
+    "ta_entropy" -> TextAnalysis.entropySql,
     "ann_range" -> Similarity.annRangeSql,
-    "q27_salted_agg" -> Relational.q27SaltedAggSql
+    "q27_salted_agg" -> Relational.q27SaltedAggSql,
+    "st_sliding" -> graft.streaming.StreamingQueries.slidingSql
   )
 }

@@ -336,6 +336,38 @@ object TextAnalysis {
         - lit(84.6) * (syllables / words), 4).as("flesch"))
   }
 
+  /** ta_entropy — codepoint-distribution Shannon entropy per document (the
+    * randomness filter that drops base64/minified noise and padding junk).
+    * The entropy itself runs in-row via the CharEntropy codegen expression
+    * — no explode, no per-character shuffle (the WinnowFingerprints
+    * argument, one operator earlier in the pipeline). n_distinct_chars
+    * rides the built-in array functions: a per-row array over the doc's
+    * own chars, never materialized across rows.
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(array_distinct(split(col("text"), ""))).cast("int")
+        .as("n_distinct_chars"),
+      round(graft.functions.CharEntropy.charEntropy(col("text")), 4)
+        .as("entropy"))
+
+  val entropySql: String =
+    """WITH freq AS (
+      |  SELECT doc_id, ch, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM freq GROUP BY 1),
+      |ent AS (
+      |  SELECT f.doc_id, CAST(count(*) AS INT) AS n_distinct_chars,
+      |    round(-sum((f.c / t.n) * log2(f.c / t.n)), 4) AS entropy
+      |  FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+      |  GROUP BY f.doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  e.n_distinct_chars, e.entropy
+      |FROM documents d JOIN ent e ON d.doc_id = e.doc_id""".stripMargin
+
   val readabilitySql: String =
     raw"""SELECT doc_id,
          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,

@@ -65,6 +65,23 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("n_users_approx"))
 
+  /** Incremental SLIDING-window aggregation: 1-hour windows advancing every
+    * 30 minutes, so each event lands in exactly 2 overlapping windows (the
+    * smoothed rate/volume profile a monitoring pipeline charts). Same
+    * bounded-state story as the tumbling form — the watermark finalizes and
+    * evicts windows once they can no longer receive rows; the 2× row
+    * amplification happens INSIDE the stateful aggregate's Expand, never as
+    * a shuffle of duplicated raw events.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (ids older than the
     * watermark are evicted — the streaming form of dd_exact for an

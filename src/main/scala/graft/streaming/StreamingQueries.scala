@@ -65,6 +65,36 @@ object StreamingQueries {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** st_sliding — the sliding-window variant (1 h window, 30 min slide)
+    * run to completion the same way as st_window_agg. The oracle restates
+    * the overlap directly: each event belongs to the two epoch-aligned
+    * 30-minute-start windows that cover it.
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = freshSink("st_sliding_sink")
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      Streaming.slidingAgg(Streaming.eventsStream(spark, sfDir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  val slidingSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (
+      |  SELECT event_type, value,
+      |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+      |      AS window_start
+      |  FROM e)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** st_sessionize — the flatMapGroupsWithState sessionizer over the events
     * file stream, run to completion with every session CLOSED, so output
     * equals the batch form exactly.

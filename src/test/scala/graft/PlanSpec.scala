@@ -294,4 +294,10 @@ class PlanSpec extends SparkSuite {
     val p = plan("ta_readability")
     assert(!p.contains("Exchange"), s"readability should not shuffle:\n$p")
   }
+
+  test("ta_entropy: in-row entropy expression — no explode, no shuffle") {
+    val p = plan("ta_entropy")
+    assert(!p.contains("Exchange"), s"entropy should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"entropy must not explode chars:\n$p")
+  }
 }

@@ -109,6 +109,19 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("entropy: bounded by log2(distinct chars), zero only for 1-char docs") {
+    val rows = TextAnalysis.entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nChars, k, h) = (r.getLong(1), r.getInt(2), r.getDouble(3))
+      assert(nChars >= 1 && k >= 1)
+      val hi = math.log(k.toDouble) / math.log(2.0)
+      assert(h >= 0.0 && h <= hi + 5e-4,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($k)=$hi]")
+      if (k == 1) assert(h == 0.0) else assert(h > 0.0)
+    }
+  }
+
   test("readability: flesch replays from its own counts, sentences >= 1") {
     val rows = TextAnalysis.readability(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -229,6 +229,31 @@ class StreamingSpec extends SparkSuite {
     assert(s == sBatch)
   }
 
+  test("st_sliding equals a batch replay and every event lands in 2 windows") {
+    val got = StreamingQueries.sliding(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // Batch replay of the overlap: each event belongs to the two
+    // epoch-aligned 30-min-start windows covering it. DIV, not `/` —
+    // Column./ is double division and can land on the wrong side of a
+    // bucket boundary.
+    val e = graft.Tables.events(spark, sf)
+    val win30 = expr("unix_micros(ts) DIV 1800000000 * 1800000000")
+    val batch = e.select(col("event_type"), col("value"),
+      explode(array(timestamp_micros(win30),
+        timestamp_micros(win30 - lit(1800000000L)))).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch, s"sliding agg diverges from the batch replay " +
+      s"(missing ${(batch -- got).take(3)}, extra ${(got -- batch).take(3)})")
+    // conservation: each event counted exactly twice across all windows
+    val totalCounted = got.toSeq.map(_._3).sum
+    assert(totalCounted == 2 * e.count(), "events must land in exactly 2 windows")
+  }
+
   test("st_dedup equals batch DISTINCT and actually drops duplicate keys") {
     val got = StreamingQueries.dedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
