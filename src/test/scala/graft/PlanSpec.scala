@@ -300,4 +300,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"entropy should not shuffle:\n$p")
     assert(!p.contains("Generate"), s"entropy must not explode chars:\n$p")
   }
+
+  test("dd_substring: codegen window generation with the df-cap anti-join") {
+    // The 133 s regression shape: md5 inside a transform() lambda runs on
+    // the interpreted HOF path. The plan must carry md5 as a top-level
+    // projection over an exploded position sequence — no lambda anywhere.
+    val p = plan("dd_substring")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"window hashing fell back to an interpreted higher-order function:\n$p")
+    assert(p.contains("LeftAnti"), s"hot-window df cap missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+  }
 }

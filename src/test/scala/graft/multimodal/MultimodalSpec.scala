@@ -212,6 +212,15 @@ class MultimodalSpec extends SparkSuite {
     assert(clips.nonEmpty)
   }
 
+  test("staged media table is wide enough to parallelize the decode stage") {
+    // The 165 s regression shape: a 1-file stage made every consumer
+    // decode all payloads in one task. The staged table's partition count
+    // IS the decode parallelism — pin it to the session's core count.
+    val parts = Multimodal.mediaIngest(spark, sf).rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"staged media has $parts partition(s) — decode would serialize")
+  }
+
   test("video payloads are valid AVIs and demux to the synthesized frame pixels") {
     // INDEPENDENT plain-Scala RIFF walk (not the engine's demuxer), the
     // same rigor as goldenImageStats being independent of ImageIO: a bug
