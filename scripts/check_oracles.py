@@ -19,7 +19,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            # + 0.0 normalizes -0.0 (formats as "-0.000000" otherwise)
+            df[c] = df[c].round(6) + 0.0
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
