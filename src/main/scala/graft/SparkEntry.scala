@@ -102,7 +102,8 @@ object SparkEntry {
     "ta_entropy" -> (TextAnalysis.entropy _),
     "ann_range" -> (Similarity.annRange _),
     "q27_salted_agg" -> (Relational.q27SaltedAgg _),
-    "st_sliding" -> (graft.streaming.StreamingQueries.sliding _)
+    "st_sliding" -> (graft.streaming.StreamingQueries.sliding _),
+    "ev_ab_test" -> (Events.abTest _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -213,6 +214,7 @@ object SparkEntry {
     "ta_entropy" -> TextAnalysis.entropySql,
     "ann_range" -> Similarity.annRangeSql,
     "q27_salted_agg" -> Relational.q27SaltedAggSql,
-    "st_sliding" -> graft.streaming.StreamingQueries.slidingSql
+    "st_sliding" -> graft.streaming.StreamingQueries.slidingSql,
+    "ev_ab_test" -> Events.abTestSql
   )
 }

@@ -459,6 +459,47 @@ object Events {
       |FROM w WHERE s3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin
 
+  /** ev_ab_test — two-cohort comparison per event type: Welch z-score of
+    * the value means between the deterministic user_id-parity cohorts
+    * (the guardrail-metric readout of an experimentation pipeline; the
+    * parity split stands in for a real assignment table). ONE pass, ONE
+    * shuffle on a |event_types|-bounded key: both cohorts' count/mean/
+    * variance ride conditional aggregates (the langid trick) instead of
+    * two scans or a self-join. Means/variances round at the edge; z is
+    * computed from the unrounded moments in both engines.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val isA = col("user_id") % 2 === 0
+    val agg = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(isA, 1)).as("n_a"),
+        count(when(!isA, 1)).as("n_b"),
+        avg(when(isA, col("value"))).as("m_a"),
+        avg(when(!isA, col("value"))).as("m_b"),
+        var_samp(when(isA, col("value"))).as("v_a"),
+        var_samp(when(!isA, col("value"))).as("v_b"))
+    agg.select(col("event_type"), col("n_a"), col("n_b"),
+      round(col("m_a"), 4).as("mean_a"),
+      round(col("m_b"), 4).as("mean_b"),
+      round((col("m_a") - col("m_b"))
+        / sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4).as("z"))
+  }
+
+  val abTestSql: String =
+    """SELECT event_type,
+      |  count(*) FILTER (user_id % 2 = 0) AS n_a,
+      |  count(*) FILTER (user_id % 2 != 0) AS n_b,
+      |  round(avg(value) FILTER (user_id % 2 = 0), 4) AS mean_a,
+      |  round(avg(value) FILTER (user_id % 2 != 0), 4) AS mean_b,
+      |  round((avg(value) FILTER (user_id % 2 = 0)
+      |      - avg(value) FILTER (user_id % 2 != 0))
+      |    / sqrt(var_samp(value) FILTER (user_id % 2 = 0)
+      |        / count(*) FILTER (user_id % 2 = 0)
+      |      + var_samp(value) FILTER (user_id % 2 != 0)
+      |        / count(*) FILTER (user_id % 2 != 0)), 4) AS z
+      |FROM events GROUP BY 1""".stripMargin
+
   /** ev_histogram — fixed-bin value histogram per event type (the
     * distribution profile a monitoring dashboard draws). Bin assignment is
     * INTEGER arithmetic on a clamped fixed range — exact in any engine —

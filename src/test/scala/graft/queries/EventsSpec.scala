@@ -149,6 +149,34 @@ class EventsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ranked by n")
   }
 
+  test("ab_test: z replays from a plain-Scala Welch computation per type") {
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0, r.getDouble(2)))
+    def welch(xs: Array[Double], ys: Array[Double]): (Double, Double, Double) = {
+      def meanVar(a: Array[Double]) = {
+        val m = a.sum / a.length
+        (m, a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+      }
+      val (ma, va) = meanVar(xs); val (mb, vb) = meanVar(ys)
+      (ma, mb, (ma - mb) / math.sqrt(va / xs.length + vb / ys.length))
+    }
+    val expected = raw.groupBy(_._1).map { case (t, rows) =>
+      val (a, b) = rows.partition(_._2)
+      val (ma, mb, z) = welch(a.map(_._3), b.map(_._3))
+      t -> (a.length.toLong, b.length.toLong, ma, mb, z)
+    }
+    val got = Events.abTest(spark, sf).collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { r =>
+      val (na, nb, ma, mb, z) = expected(r.getString(0))
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      assert(math.abs(r.getDouble(3) - ma) < 5e-4, s"${r.getString(0)} mean_a")
+      assert(math.abs(r.getDouble(4) - mb) < 5e-4, s"${r.getString(0)} mean_b")
+      assert(math.abs(r.getDouble(5) - z) < 5e-4, s"${r.getString(0)} z")
+    }
+  }
+
   test("histogram: per-type bin counts partition the events exactly") {
     val rows = Events.histogram(spark, sf).collect()
     assert(rows.nonEmpty)
