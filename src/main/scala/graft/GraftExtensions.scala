@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharEntropy, DotProduct, L2Norm, TopKAgg, WordShingles}
+import graft.functions.{CharEntropy, DotProduct, L2Norm, Md5Long64, TopKAgg, WordShingles}
 
 /** SparkSessionExtensions hook: registers graft's native expressions as
   * SQL functions at session build (`.withExtensions(new GraftExtensions)`
@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"vec_topk k must be an integer literal, got $other")
         }).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("md5_long64"),
+      info("md5_long64", "md5_long64(s) - low 64 bits of md5(s) as a long (DuckDB md5_number_lower's bit pattern)"),
+      (exprs: Seq[Expression]) => Md5Long64(exprs.head)))
     e.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", "char_entropy(text) - Shannon entropy (bits) of the codepoint distribution"),
       (exprs: Seq[Expression]) => CharEntropy(exprs.head)))

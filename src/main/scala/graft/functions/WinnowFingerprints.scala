@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -9,11 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** winnow_fingerprints(text, k, w): the full winnowing pass (Schleimer et
-  * al.'s MOSS scheme — hash every k-char gram with xxhash64(seed 42), keep
-  * each w-position forward window's minimum, return the distinct minima,
-  * sorted) computed INSIDE the row.
+  * al.'s MOSS scheme — hash every k-char gram, keep each w-position
+  * forward window's minimum, return the distinct minima, sorted) computed
+  * INSIDE the row.
   *
-  * Replaces `posexplode(char_shingles) → xxhash64 → Window(partitionBy
+  * Replaces `posexplode(char_shingles) → hash → Window(partitionBy
   * doc_id, rowsBetween(0, w-1)) → distinct`: that pipeline shuffled one
   * (doc_id, pos, hash) row per character position across the cluster just
   * to compute a value that is a pure per-row function of `text` — at 100 TB
@@ -22,12 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle left in the winnow queries is the one that carries signal (the
   * fingerprint equality join / the final per-doc aggregate).
   *
-  * Semantics are pinned byte-for-byte to the old pipeline (and to
-  * TextAnalysisSpec's independent plain-Scala reference): hash is Spark's
-  * `xxhash64` column function (XxHash64Function, seed 42) over the UTF-8
-  * bytes of each char-offset substring; the window at the tail truncates
+  * The gram hash is the low 64 bits of md5 masked to 63 bits (see
+  * Md5Long64 for the DuckDB contract): `md5_number_lower(substr(text, i,
+  * k)) & Long.MaxValue` restates it exactly in oracle SQL, which is what
+  * gives ta_winnow and dd_winnow value-level driver gates (xxhash64, the
+  * round-5 hash, had no DuckDB equivalent). The mask matters because
+  * winnowing ORDERS hashes (window minima): DuckDB compares UBIGINT
+  * unsigned, the JVM compares long signed — clearing the sign bit makes
+  * the two orders identical. Grams are k consecutive UTF-8 code points
+  * (what DuckDB `substr` counts); the window at the tail truncates
   * (`min(h[i..min(i+w-1, L-1)])` for every start i), matching
-  * `rowsBetween(0, w-1)` over a bounded partition.
+  * `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING` over a bounded partition.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -61,18 +66,44 @@ object WinnowFingerprints {
     * dominates anyway. Dedup is sort + in-place unique — no boxing until
     * the final array, and the sorted output makes downstream results
     * order-stable for free.
+    *
+    * Grams are hashed as byte ranges of the row's UTF-8 buffer (one
+    * `getBytes` per document, a code-point offset table only when the text
+    * is non-ASCII) — the round-5 form allocated a String + UTF8String per
+    * gram POSITION, O(L·k) transient garbage per document in the hottest
+    * scan of the winnow family.
     */
   def make(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val L = s.length - k + 1
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    val L = nChars - k + 1
     if (L <= 0) return new GenericArrayData(Array.empty[Any])
+    // Byte offset of each code point. ASCII (the overwhelming corpus case)
+    // is identity — skip the table and index the buffer directly.
+    val offs: Array[Int] =
+      if (bytes.length == nChars) null
+      else {
+        val o = new Array[Int](nChars + 1)
+        var b = 0; var c = 0
+        while (c < nChars) {
+          o(c) = b
+          b += UTF8String.numBytesForFirstByte(bytes(b))
+          c += 1
+        }
+        o(nChars) = bytes.length
+        o
+      }
+    val (md, dig) = Md5Long64.threadLocalDigest()
     val h = new Array[Long](L)
     var i = 0
     while (i < L) {
-      // Exactly Spark's xxhash64 column: seed 42 over the UTF-8 bytes of
-      // the char-offset substring (what the old xxhash64(gram) computed).
-      h(i) = XxHash64Function.hash(
-        UTF8String.fromString(s.substring(i, i + k)), StringType, 42L)
+      val from = if (offs == null) i else offs(i)
+      val until = if (offs == null) i + k else offs(i + k)
+      md.update(bytes, from, until - from)
+      md.digest(dig, 0, 16)
+      // Masked to 63 bits so the signed window-min below agrees with the
+      // oracle's unsigned UBIGINT min — see the class doc.
+      h(i) = Md5Long64.low64(dig) & Long.MaxValue
       i += 1
     }
     val mins = new Array[Long](L)

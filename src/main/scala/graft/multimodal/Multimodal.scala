@@ -162,7 +162,7 @@ object Multimodal {
     * 4-byte stride, i.e. BI_RGB DIB, the raw-frame layout every AVI
     * demuxer ships. Plain-Scala writer (the container format is public and
     * simple); no codec involved, so the round trip is bit-lossless.
-    * Layout per the public RIFF/AVI spec (see also reference mr/files.go
+    * Layout per the public RIFF/AVI spec (see also reference mr/worker.go
     * for the reference engine's whole-file ingest this stands in for).
     */
   private def synthVideoAvi(id: Long): Array[Byte] = {

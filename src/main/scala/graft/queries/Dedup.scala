@@ -260,9 +260,13 @@ object Dedup {
     * as the corpus grows, at the cost of 20 index rows per doc instead
     * of 4 (the Manku/Jain/Sarma block-permutation trade, re-expressed as
     * a hash join).
-    * No SQL oracle (bit-level fold not expressible cleanly) — rows-only
-    * check by the driver; DedupSpec asserts consistency with dd_exact and
-    * the planted J=1.0 pairs.
+    * Token hash is md5_long64 (low 64 bits of md5 — the hash both engines
+    * share, see Md5Long64), so since round 6 the whole signature fold IS
+    * SQL-expressible: the oracle recomputes per-bit votes and signatures
+    * in DuckDB over UBIGINT and states the exact all-pairs hamming form —
+    * pigeonhole is complete, so the funnel's output equals it row-for-row.
+    * DedupSpec additionally pins an independent plain-Scala all-pairs
+    * reference and consistency with dd_exact on the planted J=1.0 pairs.
     */
   private val SimhashBlockOffsets = Array(0, 11, 22, 33, 44, 54)
   private val SimhashBlockWidths = Array(11, 11, 11, 11, 10, 10)
@@ -271,7 +275,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .select(col("doc_id"), graft.functions.Md5Long64.md5Long64(col("tok")).as("th"))
     // One-pass signature via the custom TypedImperativeAggregate (bit-for-
     // bit identical to the 64-column sum(when(...)) formulation).
     val sigs = toks.groupBy(col("doc_id"))
@@ -298,6 +302,35 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
   }
+
+  /** Oracle: the exact all-pairs form over DuckDB-computed signatures.
+    * Signatures are rebuilt from scratch in SQL — md5_number_lower per
+    * token (the same 64-bit pattern md5_long64 emits, as UBIGINT), 64
+    * per-bit ±1 votes, `1 << b` reassembly — and pairs filtered by
+    * bit_count(xor) ≤ 3 directly. The Spark side's pigeonhole block join
+    * is complete for hamming ≤ 3 (≥3 clean blocks ⇒ ≥1 shared 3-block
+    * combo), so the funnel output equals the all-pairs form exactly; the
+    * arithmetic is unsigned on both sides (UBIGINT there, `>>>` here).
+    */
+  val simhashSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN 1::UBIGINT << b
+         |             ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
 
   // --- Embedding near-dup ---------------------------------------------------
 
@@ -631,9 +664,14 @@ object Dedup {
     * sets; only recall is probabilistic, with the miss bound documented
     * inline. The df cap still removes corpus-wide boilerplate before both
     * signatures and verification (same full-input-basis argument as
-    * minhashFrom). xxhash64 has no DuckDB equivalent → rows-only for the
-    * driver; DedupSpec pins the output to the minhash pair set on the
-    * planted corpus.
+    * minhashFrom). Gram hashes are sign-masked md5 low-64 (Md5Long64's
+    * DuckDB contract), so the oracle rebuilds the fingerprint sets in SQL
+    * and states the EXACT capped-overlap pair form — the LSH funnel's
+    * recall argument (P(miss) ≈ 8e-8 at the corpus margin, candidates
+    * exact-verified) makes the two forms row-identical, the same
+    * exact-form-oracle pattern dd_minhash has used since round 3.
+    * DedupSpec additionally pins the output to the minhash pair set on
+    * the planted corpus.
     */
   /** Per-doc CAPPED, sorted winnow fingerprint sets — one linear shuffle
     * (broadcast anti-join on the df-capped hot list, then a per-doc
@@ -700,6 +738,49 @@ object Dedup {
       .filter(col("overlap") >= threshold)
   }
 
+  /** The winnowing pass (K=8, W=4) restated in DuckDB: every 8-code-point
+    * gram hashed with the shared sign-masked md5 low-64, window minima via
+    * `ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING` (truncating at the tail
+    * exactly like WinnowFingerprints.make), DISTINCT per doc. Shared by
+    * the dd_winnow and ta_winnow oracles.
+    */
+  private[queries] val winnowFragmentSql: String =
+    """g AS (
+      |  SELECT doc_id, i,
+      |    CAST(md5_number_lower(substr(text, CAST(i AS INT), 8))
+      |      & 9223372036854775807 AS BIGINT) AS gh
+      |  FROM documents
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+      |    length(text) - 7)) AS i)
+      |  WHERE length(text) >= 8),
+      |wm AS (
+      |  SELECT DISTINCT doc_id,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM g)""".stripMargin
+
+  /** Oracle: the exact capped-overlap pair form over DuckDB-rebuilt
+    * fingerprint sets — same df cap, same rounded-threshold admission as
+    * the Spark side (the filter compares the ROUNDED overlap in both
+    * engines so a boundary-adjacent pair can't flip membership on ulp
+    * differences).
+    */
+  val winnowPairsSql: String =
+    s"""WITH $winnowFragmentSql,
+       |hot AS (SELECT wmin FROM wm GROUP BY wmin HAVING count(*) > $ShingleDfCap),
+       |cool AS (SELECT * FROM wm WHERE wmin NOT IN (SELECT wmin FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM cool GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM cool a JOIN cool b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS overlap
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin
+
   // --- Exact duplicated-substring detection --------------------------------
 
   /** Window length for dd_substring. 40 chars ≈ 7 words on this corpus —
@@ -721,22 +802,34 @@ object Dedup {
     * Models Better" (Lee et al. 2022) re-expressed as a distributed
     * hash-join: every doc emits the md5 of each sliding 40-char window;
     * two docs sharing a window hash share that exact 40-char substring
-    * (md5 collisions at corpus scale: ~n²/2¹²⁸ ≈ 0). Pairs sharing ≥ 3
-    * distinct windows are reported with the shared-window count — exactly
-    * the "duplicated span" evidence a substring-dedup pass acts on.
+    * (md5 collisions at corpus scale: ~n²/2¹²⁸ ≈ 0).
+    *
+    * Since round 6 the output is Lee et al.'s actual deliverable — the
+    * MAXIMAL duplicated spans, not just window counts: window POSITIONS
+    * survive the join, and runs of consecutive doc_a positions whose
+    * window also occurs in doc_b merge via the islands trick (pos −
+    * row_number() per pair is constant within a run) into one
+    * (span_start, span_len) row. A maximal run of m consecutive shared
+    * windows is one shared substring of m+39 chars — exactly the span a
+    * substring-dedup pass would cut. Pair admission is unchanged: ≥ 3
+    * distinct shared window hashes (one window is never evidence; the cap
+    * below removes boilerplate first).
     *
     * Scale shape: window generation is linear per input char and stays in
-    * whole-stage codegen (transform over sequence — no UDF); the pair join
+    * whole-stage codegen (explode over sequence — no UDF); the pair join
     * is hash-shaped on the window hash with the same df-cap discipline as
     * every other family (a boilerplate window shared by >1000 docs carries
     * no pair signal but would fan the join out quadratically — the
-    * license-header problem at 100 TB). Unlike a true suffix array this
-    * finds fixed-length windows, not maximal repeats — the right trade for
-    * a shuffle-based engine: windows of a fixed length are join keys;
-    * maximal repeats need global suffix order, which doesn't shard.
+    * license-header problem at 100 TB). Positions add no new shuffle
+    * class: the islands window partitions by (doc_a, doc_b) — bounded by
+    * the shorter doc's window count, never by corpus size. Fixed-length
+    * windows (not true maximal repeats) remain the right trade for a
+    * shuffle-based engine: fixed windows are join keys; maximal repeats
+    * need global suffix order, which doesn't shard.
     *
     * Fully oracle-checked: md5 + substr agree between Spark and DuckDB, so
-    * unlike the xxhash64 families this one gets a value-level driver gate.
+    * unlike the pre-round-6 xxhash64 families this always had a
+    * value-level driver gate — including, now, the span arithmetic.
     */
   def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -756,41 +849,79 @@ object Dedup {
     // higher-order-function path (HOFs don't participate in whole-stage
     // codegen) — ~14 µs/window vs ~1 µs compiled. Generate + project stay
     // in one codegen stage, so `text` never crosses an exchange.
-    val grams = spread
+    val gramsPos = spread
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (SubstrWindow - 1)))
           .as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i").cast("long").as("i"),
         md5(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
-      .distinct()
-      // Four consumers below (df agg + anti-join + both join sides):
+      // Many consumers below (df agg + anti-join + both join sides):
       // without a barrier the 1.3M-window generation replays per consumer
       // (measured 4× at sf0.1). Same justification as the minhash family's
       // capped shingle set; at 100 TB this is the staging table an ingest
       // pipeline materializes once per corpus.
       .localCheckpoint()
-    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Distinct (doc, hash) view: df counts each doc once however often a
+    // window repeats INSIDE it, and pair admission counts distinct shared
+    // substrings, exactly as in round 5.
+    val docGrams = gramsPos.select(col("doc_id"), col("g")).distinct()
+    val hot = docGrams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select(col("g"))
-    val cool = grams.join(broadcast(hot), Seq("g"), "left_anti")
-    cool.select(col("doc_id").as("doc_a"), col("g"))
-      .join(cool.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    val coolDoc = docGrams.join(broadcast(hot), Seq("g"), "left_anti")
+    val coolPos = gramsPos.join(broadcast(hot), Seq("g"), "left_anti")
+    val admitted = coolDoc.select(col("doc_id").as("doc_a"), col("g"))
+      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SubstrMinShared)
+      .select(col("doc_a"), col("doc_b"))
+    // doc_a positions whose window occurs ANYWHERE in doc_b (distinct: a
+    // window repeated in doc_b must not duplicate the position row), then
+    // islands: consecutive positions share (i − row_number) and collapse
+    // to one maximal span.
+    val sharedPos = coolPos.select(col("doc_id").as("doc_a"), col("i"), col("g"))
+      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("i")).distinct()
+      .join(admitted, Seq("doc_a", "doc_b"), "left_semi")
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b")).orderBy(col("i"))
+    sharedPos
+      .withColumn("grp", col("i") - row_number().over(byPair))
+      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) - min(col("i")) + SubstrWindow).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_a"), col("doc_b"), col("span_start"),
+        col("span_len"), col("n_windows"))
   }
 
   val substringDupSql: String =
     s"""WITH grams AS (
-       |  SELECT DISTINCT doc_id, md5(substr(text, i, $SubstrWindow)) AS g
+       |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), $SubstrWindow)) AS g
        |  FROM documents
        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
        |    length(text) - ${SubstrWindow - 1})) AS i)
        |  WHERE length(text) >= $SubstrWindow),
-       |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > $ShingleDfCap),
-       |cool AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot))
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-       |FROM cool a JOIN cool b ON a.g = b.g AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= $SubstrMinShared""".stripMargin
+       |docg AS (SELECT DISTINCT doc_id, g FROM grams),
+       |hot AS (SELECT g FROM docg GROUP BY g HAVING count(*) > $ShingleDfCap),
+       |coolpos AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+       |cooldoc AS (SELECT * FROM docg WHERE g NOT IN (SELECT g FROM hot)),
+       |admit AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cooldoc a JOIN cooldoc b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $SubstrMinShared),
+       |shared AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i
+       |  FROM coolpos a JOIN cooldoc b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, i,
+       |    i - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY i) AS grp
+       |  FROM shared JOIN admit USING (doc_a, doc_b))
+       |SELECT doc_a, doc_b, min(i) AS span_start,
+       |  max(i) - min(i) + $SubstrWindow AS span_len,
+       |  count(*) AS n_windows
+       |FROM isl GROUP BY doc_a, doc_b, grp""".stripMargin
 }

@@ -253,31 +253,46 @@ object Events {
 
   /** ev_funnel — sequential conversion funnel: users whose first view is
     * followed by a click, then by a purchase, in strict event-time order.
-    * Three aggregation passes, each partitioned on user_id: stage n's
-    * first-timestamp table joins stage n+1's candidate events on user_id
-    * and the time predicate, then re-aggregates. All three shuffles hash
-    * on the SAME key, so at cluster scale the exchanges reuse the
-    * partitioning (no re-shuffle between stages under AQE); per-stage
-    * state is one row per surviving user — the funnel narrows, the data
-    * volume shrinks monotonically. The final three counts cross-join as
-    * 1-row aggregates.
+    *
+    * ONE events scan, one exchange: the three funnel stages are chained
+    * whole-partition window minima over the same user_id partitioning
+    * (v_ts = first view; c_ts = first click after v_ts; p_ts = first
+    * purchase after c_ts — each refers to the previous, so the three
+    * Window nodes stack on one exchange with no re-shuffle), then a
+    * per-user collapse and one 1-row count. The round-5 form expressed
+    * the same logic as three filtered aggregate+join passes — correct and
+    * bounded-state, but it read the events table THREE times; at 100 TB
+    * the scans dominate and one scan replaces three.
+    *
+    * Why a window and not a pure aggregate: "first click after the first
+    * view" is not order-insensitively mergeable with bounded state (a
+    * partial aggregate that has discarded clicks below ITS OWN v_ts can't
+    * recover them when a merge lowers v_ts — the sequential pattern
+    * genuinely needs the user's events co-located). Per-user buffering is
+    * the engine's established contract for behavioral queries
+    * (ev_sessionize, ev_paths partition the same way); a pathological
+    * bot-user partition is the sessionize skew case, not a new one.
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val firstView = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val firstClick = e.filter(col("event_type") === "click")
-      .join(firstView, Seq("user_id"))
-      .filter(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val firstPurchase = e.filter(col("event_type") === "purchase")
-      .join(firstClick, Seq("user_id"))
-      .filter(col("ts") > col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    firstView.agg(count(lit(1)).as("n_view"))
-      .crossJoin(firstClick.agg(count(lit(1)).as("n_click_after_view")))
-      .crossJoin(firstPurchase.agg(count(lit(1)).as("n_purchase_after_click")))
+    val staged = e
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(byUser))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(first(col("v_ts")).as("v_ts"), first(col("c_ts")).as("c_ts"),
+        first(col("p_ts")).as("p_ts"))
+    staged.agg(
+      count(col("v_ts")).as("n_view"),
+      count(col("c_ts")).as("n_click_after_view"),
+      count(col("p_ts")).as("n_purchase_after_click"))
   }
 
   /** ev_retention — daily cohort retention: users grouped by first-seen

@@ -22,7 +22,18 @@ import graft.Tables
 object Pipeline {
 
   def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val kept = exactKept(spark, sfDir)
+    // Stages 1+2 run ONCE: the survivor table is localCheckpoint'ed and
+    // BOTH stage-3 branches (the shingle basis feeding the LSH funnel and
+    // the anti-join base emitting the output) derive from the checkpoint.
+    // Round 5 built each branch from its own exactKept call — two full
+    // corpus scans and two fp-window shuffles per run; at 100 TB that
+    // doubles the quality-gate + exact-dedup cost of the flagship
+    // pipeline. The checkpoint is the survivor corpus (text included,
+    // which stage 3 shingles) — exactly the intermediate table a real
+    // ingest pipeline materializes between its dedup passes; PlanSpec
+    // gates that the final plan reads no parquet at all and that the
+    // stage-1+2 subtree scans `documents` exactly once.
+    val kept = exactKept(spark, sfDir).localCheckpoint()
 
     // Stage 3: near-dup removal among survivors — drop doc_b of each
     // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
@@ -37,7 +48,7 @@ object Pipeline {
     // minhashFrom ≡ jaccardPairs on THIS survivor set (not just the raw
     // corpus) so threshold-adjacent drift in the survivors can't silently
     // void the reroute argument.
-    val losers = Dedup.minhashFrom(survivorShingles(spark, sfDir))
+    val losers = Dedup.minhashFrom(shinglesOf(kept))
       .select(col("doc_b").as("doc_id")).distinct()
 
     kept.join(losers, Seq("doc_id"), "left_anti")
@@ -49,7 +60,7 @@ object Pipeline {
     * deduplicates. Package-visible so the equivalence spec runs the LSH
     * funnel and the exact self-join over the same survivor basis.
     */
-  private[queries] def exactKept(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def exactKept(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
 
     // Stage 1: quality gate (subset of ta_quality's score formula).
@@ -75,14 +86,20 @@ object Pipeline {
       .drop("min_id")
   }
 
-  /** The stage-3 dedup basis: distinct word-3-gram shingles of the
-    * stage-1+2 survivors.
+  /** Distinct word-3-gram shingles of a survivor table — the stage-3
+    * dedup basis, parameterized on the table so cleanCorpus feeds it the
+    * checkpointed survivors instead of recomputing them.
     */
-  private[queries] def survivorShingles(spark: SparkSession, sfDir: String): DataFrame =
-    exactKept(spark, sfDir)
-      .select(col("doc_id"),
+  private[graft] def shinglesOf(kept: DataFrame): DataFrame =
+    kept.select(col("doc_id"),
         explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
       .distinct()
+
+  /** The stage-3 dedup basis from scratch — used by the equivalence spec,
+    * which needs the survivor shingles without the checkpoint boundary.
+    */
+  private[queries] def survivorShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(exactKept(spark, sfDir))
 
   val cleanCorpusSql: String =
     raw"""WITH quality AS (

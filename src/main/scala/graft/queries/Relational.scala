@@ -593,7 +593,7 @@ object Relational {
     * key (l_returnflag: 3 values over the whole fact table — the worst
     * aggregation skew shape, every row funneling into 3 reducers).
     * Phase 1 groups by (key, salt₁₆) so partial sums spread over 48
-    * reducers; phase 2 combines 48 rows per key. The oracle states the
+    * reducers; phase 2 combines 16 rows per key (48 total). The oracle states the
     * plain GROUP BY — salting is a physical rewrite and must be
     * output-invariant (sums of in-range integers and counts re-associate
     * exactly). Spark's own map-side partial aggregation makes this

@@ -140,11 +140,16 @@ object Similarity {
   def annRange(spark: SparkSession, sfDir: String): DataFrame = {
     val e = normed(Tables.embeddings(spark, sfDir))
     val q = queries(Tables.embeddings(spark, sfDir))
+    // Admission filters on the ROUNDED cosine: the raw value is computed
+    // differently in each engine (precomputed norms here, DuckDB's
+    // list_cosine_similarity in the oracle), so a pair within ~1 ulp of
+    // tau would flip membership between the two if the boundary used the
+    // unrounded value. Rounding to the same 6 digits the output hashes on
+    // makes the admission boundary bit-identical across engines.
     broadcast(q).join(e, col("vec_id") =!= col("q_id"))
-      .withColumn("cs_raw", pairCosine)
-      .filter(col("cs_raw") >= RangeTau)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cs_raw"), 6).as("cs"))
+      .withColumn("cs", round(pairCosine, 6))
+      .filter(col("cs") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cs"))
   }
 
   val annRangeSql: String =
@@ -153,8 +158,8 @@ object Similarity {
        |    CAST(e.embedding AS DOUBLE[])), 6) AS cs
        |FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
        |WHERE q.vec_id % 50 = 0 AND q.vec_id < ${MaxQueries * 50L}
-       |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-       |    CAST(e.embedding AS DOUBLE[])) >= 0.30""".stripMargin
+       |  AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(e.embedding AS DOUBLE[])), 6) >= 0.30""".stripMargin
 
   /** Index-entry replication: each vector is indexed under its top
     * `CellReplicas` nearest cells (standard IVF multi-assignment) — 2×

@@ -152,10 +152,12 @@ object TextAnalysis {
     * rolling-hash fingerprint scheme MOSS uses): hash every k-char gram,
     * slide a w-position window, keep each window's minimum — a document's
     * fingerprint set is robust to local edits. Emitted here as a per-doc
-    * summary (count + xor + min of the selected hashes). Hash is xxhash64
-    * (no DuckDB equivalent) → rows-only for the driver; TextAnalysisSpec
-    * asserts determinism and that near-duplicate docs overlap far more
-    * than random pairs.
+    * summary (count + xor + min of the selected hashes). Gram hash is the
+    * sign-masked md5 low-64 both engines share (Md5Long64), so the whole
+    * pass — including the exact fingerprint VALUES the summary folds —
+    * is restated in oracle SQL; TextAnalysisSpec additionally asserts
+    * determinism and that near-duplicate docs overlap far more than
+    * random pairs.
     */
   def winnow(spark: SparkSession, sfDir: String): DataFrame = {
     val K = 8 // k-gram length in chars
@@ -175,6 +177,17 @@ object TextAnalysis {
         array_min(col("fps")).as("fp_min"),
         aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
   }
+
+  /** Oracle: per-doc count/min/xor over the DuckDB-rebuilt fingerprint
+    * sets (Dedup.winnowFragmentSql — the shared winnow restatement).
+    * bit_xor over the 63-bit masked values stays in BIGINT range, so the
+    * fold is value-exact, not just cardinality-exact.
+    */
+  val winnowSql: String =
+    s"""WITH ${Dedup.winnowFragmentSql}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |  min(wmin) AS fp_min, bit_xor(wmin) AS fp_xor
+       |FROM wm GROUP BY doc_id""".stripMargin
 
   /** Fingerprint sets per doc — used by dd_winnow and the overlap spec.
     * The expression already dedupes per doc, so explode emits exactly the
@@ -353,6 +366,11 @@ object TextAnalysis {
       round(graft.functions.CharEntropy.charEntropy(col("text")), 4)
         .as("entropy"))
 
+  // LEFT JOIN + COALESCE so an empty-text document doesn't vanish from
+  // the oracle (its chars unnest to zero freq rows): the Spark side keeps
+  // such a row with entropy 0.0 and one distinct "char" (Java
+  // "".split("") is [""]), which the defaults below restate. NULL text
+  // stays a documented corpus invariant (the generator emits non-null).
   val entropySql: String =
     """WITH freq AS (
       |  SELECT doc_id, ch, count(*) AS c
@@ -365,8 +383,9 @@ object TextAnalysis {
       |  FROM freq f JOIN tot t ON f.doc_id = t.doc_id
       |  GROUP BY f.doc_id)
       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
-      |  e.n_distinct_chars, e.entropy
-      |FROM documents d JOIN ent e ON d.doc_id = e.doc_id""".stripMargin
+      |  COALESCE(e.n_distinct_chars, 1) AS n_distinct_chars,
+      |  COALESCE(e.entropy, 0.0) AS entropy
+      |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin
 
   val readabilitySql: String =
     raw"""SELECT doc_id,

@@ -72,7 +72,35 @@ class PlanSpec extends SparkSuite {
     val p = plan("pipeline_clean_corpus")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"composite pipeline degenerated:\n$p")
-    assert(p.contains("Window"), "exact-dedup window stage missing")
+  }
+
+  test("pipeline_clean_corpus: documents scanned exactly once (stages 1+2 shared)") {
+    // Both stage-3 branches must feed off the ONE checkpointed survivor
+    // table: the final plan reads no parquet at all (every leaf is a
+    // checkpoint RDD or a literal), and the stage-1+2 subtree that built
+    // the checkpoint scans `documents` exactly once with its exact-dedup
+    // window intact. Together these pin "one corpus scan per run" — the
+    // round-5 plan ran the quality gate + fp window twice.
+    val p = plan("pipeline_clean_corpus")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"pipeline re-reads parquet past the survivor checkpoint:\n$p")
+    val kept = graft.queries.Pipeline.exactKept(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(kept.split("Scan parquet").length - 1 == 1,
+      s"stage 1+2 must scan documents exactly once:\n$kept")
+    assert(kept.contains("Window"), "exact-dedup window stage missing")
+  }
+
+  test("ev_funnel: one events scan, one user_id exchange, chained windows") {
+    val p = plan("ev_funnel")
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"funnel must read events exactly once (round-5 form read it 3×):\n$p")
+    // The three stage minima stack as Window nodes over ONE hashpartitioning
+    // exchange; only the final 1-row collapse adds its tiny single-partition
+    // exchange.
+    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1,
+      s"expected exactly one user_id exchange:\n$p")
+    assert(p.contains("Window"), s"funnel stages not window-chained:\n$p")
   }
 
   test("ann_topk: query side broadcast, no shuffle of the corpus") {
@@ -123,12 +151,15 @@ class PlanSpec extends SparkSuite {
       s"grouping sets must share a single fact scan:\n$p")
   }
 
-  test("ev_retention and ev_funnel: aggregation-join shape, no windows") {
-    Seq("ev_retention", "ev_funnel").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("Window"), s"$q uses a window it doesn't need:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$q degenerated:\n$p")
-    }
+  test("ev_retention: aggregation-join shape, no windows") {
+    // ev_funnel left this gate in round 6: its sequential stage logic is
+    // now three chained per-user window minima over ONE events scan (see
+    // the ev_funnel gate above) — the window is the price of not reading
+    // events three times, and retention (no sequential dependency) stays
+    // window-free.
+    val p = plan("ev_retention")
+    assert(!p.contains("Window"), s"ev_retention uses a window it doesn't need:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ev_retention degenerated:\n$p")
   }
 
   test("ds_mix: text column pruned from the scan") {

@@ -13,11 +13,15 @@ class WinnowFingerprintsSpec extends SparkSuite {
   private val K = 8
   private val W = 4
 
+  // Independent restatement of the gram hash (Md5Long64's contract,
+  // sign-masked): digest bytes 8..15 little-endian, derived here by HEX
+  // STRING reversal + parseUnsignedLong rather than the main code's byte
+  // shifts, so an assembly bug can't hide in both.
   private def xx(s: String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.unsafe.types.UTF8String
-    XxHash64(Seq(Literal(UTF8String.fromString(s),
-      org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val le = hex.substring(16).grouped(2).toSeq.reverse.mkString
+    java.lang.Long.parseUnsignedLong(le, 16) & Long.MaxValue
   }
 
   private def referenceFps(text: String): Set[Long] =

@@ -100,11 +100,15 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simhash end-to-end equals a plain-Scala signature + all-pairs reference") {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.unsafe.types.UTF8String
-    def xx(s: String): Long =
-      XxHash64(Seq(Literal(UTF8String.fromString(s),
-        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    // Independent restatement of the token hash (Md5Long64, UNMASKED —
+    // simhash only tests bits, never orders): hex-string reversal +
+    // parseUnsignedLong, not the main code's byte shifts.
+    def xx(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val le = hex.substring(16).grouped(2).toSeq.reverse.mkString
+      java.lang.Long.parseUnsignedLong(le, 16)
+    }
     def refSig(text: String): Long = {
       val counts = new Array[Int](64)
       text.split("\\s+").foreach { tok =>
@@ -183,12 +187,15 @@ class DedupSpec extends SparkSuite {
       s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
   }
 
-  test("substring-dup pairs equal a plain-Scala sliding-window reference") {
+  test("substring-dup spans equal a plain-Scala sliding-window reference") {
     // Independent reference: raw 40-char sliding windows per doc (no
     // hashing at all — set equality over substrings is what the md5 join
-    // keys stand in for), all-pairs intersection counts, threshold 3.
-    // The df cap cannot fire at 50 docs (cap = 1000), so the capped and
-    // uncapped contracts coincide here; CapBindingSpec covers cap firing.
+    // keys stand in for). Pairs admitted at ≥3 distinct shared windows;
+    // for each, doc_a's matching positions merge into maximal runs the
+    // dumb way (fold over sorted positions) — independently of the
+    // islands row_number trick under test. The df cap cannot fire at 50
+    // docs (cap = 1000), so the capped and uncapped contracts coincide
+    // here; CapBindingSpec covers cap firing.
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -196,15 +203,28 @@ class DedupSpec extends SparkSuite {
       id -> (if (t.length < 40) Set.empty[String]
              else (0 to t.length - 40).map(i => t.substring(i, i + 40)).toSet)
     }
+    val texts = docs.toMap
     val want = (for {
       (a, sa) <- winSets; (b, sb) <- winSets if a < b
-      n = (sa & sb).size if n >= 3
-    } yield (a, b, n.toLong)).toSet
+      if (sa & sb).size >= 3
+      ta = texts(a)
+      pos = (0 to ta.length - 40)
+        .filter(i => sb.contains(ta.substring(i, i + 40))).map(_ + 1)
+      runs = pos.foldLeft(List.empty[List[Int]]) {
+        case (run :: rest, p) if run.head == p - 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      run <- runs
+    } yield (a, b, run.min.toLong, (run.max - run.min + 40).toLong,
+      run.size.toLong)).toSet
     val got = Dedup.substringDup(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
     assert(got == want,
-      s"substring pairs diverge (missing ${want -- got}, extra ${got -- want})")
+      s"substring spans diverge (missing ${want -- got}, extra ${got -- want})")
     assert(got.nonEmpty, "planted near-dups should share 40-char windows")
+    assert(got.exists(_._5 > 1),
+      "planted near-dups should yield at least one multi-window span")
   }
 
   test("langid is deterministic and confident on stopword-bearing docs") {

@@ -15,14 +15,16 @@ class TextAnalysisSpec extends SparkSuite {
   }
 
   test("winnow fingerprint sets equal an independent plain-Scala winnowing reference") {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.unsafe.types.UTF8String
     val K = 8; val W = 4
-    // Same hash primitive Spark's xxhash64 column uses (seed 42); the
-    // windowing/dedup logic under test is re-derived independently.
-    def xx(s: String): Long =
-      XxHash64(Seq(Literal(UTF8String.fromString(s),
-        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    // Independent restatement of the gram hash (Md5Long64, sign-masked):
+    // hex-string reversal + parseUnsignedLong, not the main code's byte
+    // shifts; the windowing/dedup logic is also re-derived independently.
+    def xx(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val le = hex.substring(16).grouped(2).toSeq.reverse.mkString
+      java.lang.Long.parseUnsignedLong(le, 16) & Long.MaxValue
+    }
     def referenceFps(text: String): Set[Long] =
       if (text.length < K) Set.empty
       else {
