@@ -17,7 +17,8 @@ first=1
 for q in "$@"; do
   echo "[probes] $q ..." >&2
   line=$(GRAFT_BENCH_ISOLATE="$q" SPARK_GRAFT_SF_DIR="$sf" \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"isolate"')
+    sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep -o '{"isolate".*')   # strip sbt's [info] prefix — keep pure JSON
   if [ -z "$line" ]; then
     echo "[probes] $q produced no JSON line" >&2
     line='{"isolate":"'$q'","error":"no output"}'
