@@ -387,6 +387,62 @@ object TextAnalysis {
       |  COALESCE(e.entropy, 0.0) AS entropy
       |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin
 
+  /** ta_zipf — per-language Zipf's-law fit: rank the vocabulary by
+    * frequency, regress log10(freq) on log10(rank) over the top
+    * `ZipfTopK` terms (OLS), report slope / intercept / r². A clean
+    * natural-language corpus sits near slope −1 (Zipf 1949); boilerplate
+    * flattens the head, spam/templating steepens it — the single-number
+    * corpus-mix diagnostic a pretraining ingest tracks per shard.
+    *
+    * Scale shape: the token explode feeds ONE partial+final hash agg on
+    * (lang, token) — shuffle volume is O(distinct vocabulary), not corpus
+    * tokens; the rank window runs over the PRE-AGGREGATED vocab (the
+    * ta_charngrams pattern — per-language partitions bounded by vocab
+    * size), and the regression is an algebraic 1-row-per-lang aggregate,
+    * so nothing downstream of the first agg scales with corpus bytes.
+    * Ties rank deterministically ((n DESC, tok) — binary string order in
+    * both engines); log10(rank) of rank 1 anchors the fit at 0.
+    */
+  private val ZipfTopK = 500
+
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    val ranked = vocab.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ZipfTopK)
+      .select(col("lang"),
+        log10(col("rnk").cast("double")).as("lr"),
+        log10(col("n").cast("double")).as("lf"))
+    ranked.groupBy(col("lang")).agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      round(regr_slope(col("lf"), col("lr")), 4).as("slope"),
+      round(regr_intercept(col("lf"), col("lr")), 4).as("intercept"),
+      round(regr_r2(col("lf"), col("lr")), 4).as("r2"))
+  }
+
+  val zipfSql: String =
+    raw"""WITH toks AS (
+         |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, log10(CAST(rnk AS DOUBLE)) AS lr,
+         |    log10(CAST(n AS DOUBLE)) AS lf
+         |  FROM (
+         |    SELECT lang, n,
+         |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+         |    FROM vocab) t
+         |  WHERE rnk <= 500)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(regr_slope(lf, lr), 4) AS slope,
+         |  round(regr_intercept(lf, lr), 4) AS intercept,
+         |  round(regr_r2(lf, lr), 4) AS r2
+         |FROM ranked GROUP BY lang""".stripMargin
+
   val readabilitySql: String =
     raw"""SELECT doc_id,
          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,

@@ -137,4 +137,53 @@ class TextAnalysisSpec extends SparkSuite {
         s"doc ${r.getLong(0)}: $flesch vs replayed $replay")
     }
   }
+
+  test("zipf fit replays from a plain-Scala OLS over the ranked vocabulary") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, rows) =>
+      val counts = rows.flatMap(_._2.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.length).toSeq
+      val top = counts.sortBy { case (t, n) => (-n, t) }.take(500)
+      val pts = top.zipWithIndex.map { case ((_, n), i) =>
+        (math.log10((i + 1).toDouble), math.log10(n.toDouble))
+      }
+      val m = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+      val icept = sy / m - slope * sx / m
+      val num = m * sxy - sx * sy
+      val r2 = num * num / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+      lang -> (pts.size.toLong, r4(slope), r4(icept), r4(r2))
+    }
+    val got = TextAnalysis.zipf(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet)
+    // Slope/intercept/r2 to the same 4 decimals the oracle hashes on;
+    // the replay derives OLS from raw moments, independently of both
+    // engines' regr_* aggregates.
+    got.foreach { case (lang, g) =>
+      val w = want(lang)
+      assert(g._1 == w._1, s"$lang n_terms: $g vs $w")
+      assert(math.abs(g._2 - w._2) <= 1e-4 && math.abs(g._3 - w._3) <= 1e-4 &&
+        math.abs(g._4 - w._4) <= 1e-4, s"$lang fit diverges: $g vs $w")
+    }
+    // Sanity only — the synthetic word-salad corpus has a ~31-term
+    // near-uniform vocabulary per language, so it fits FAR from the
+    // natural-language slope ≈ −1 / r² ≈ 0.9 (measured here: slope ≈
+    // −0.2, r² ≈ 0.1). That IS the diagnostic doing its job: ta_zipf
+    // exists to flag exactly this kind of unnatural token distribution.
+    // Frequencies must still trend down (negative slope) and r² must be
+    // a valid coefficient.
+    got.values.foreach { case (_, slope, _, r2) =>
+      assert(slope < 0 && r2 >= 0 && r2 <= 1, s"invalid Zipf fit: $got")
+    }
+  }
 }
