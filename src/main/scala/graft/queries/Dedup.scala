@@ -870,6 +870,10 @@ object Dedup {
       .select(col("g"))
     val coolDoc = docGrams.join(broadcast(hot), Seq("g"), "left_anti")
     val coolPos = gramsPos.join(broadcast(hot), Seq("g"), "left_anti")
+    // Three consumers below (two doc-id prefilters + the final pair
+    // gate): checkpointed so the admission join runs once. The table is
+    // the admitted PAIR LIST — output-sized, the smallest thing in the
+    // query.
     val admitted = coolDoc.select(col("doc_id").as("doc_a"), col("g"))
       .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -877,12 +881,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SubstrMinShared)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     // doc_a positions whose window occurs ANYWHERE in doc_b (distinct: a
     // window repeated in doc_b must not duplicate the position row), then
     // islands: consecutive positions share (i − row_number) and collapse
-    // to one maximal span.
-    val sharedPos = coolPos.select(col("doc_id").as("doc_a"), col("i"), col("g"))
-      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    // to one maximal span. Both position-join inputs are PRE-FILTERED to
+    // docs that appear in an admitted pair — a semi-join pushdown Catalyst
+    // cannot derive itself (it would have to push a semi through a join):
+    // without it the position join re-fans out over every pair sharing
+    // ANY window, i.e. the full admission-join volume again; with it the
+    // join touches only the admitted docs, which at corpus scale are the
+    // tiny surviving fraction. Exact pair membership still gates at the
+    // end (a doc can be admitted with one partner yet share windows with
+    // a non-admitted third).
+    val sharedPos = coolPos
+      .join(admitted.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("i"), col("g"))
+      .join(coolDoc
+          .join(admitted.select(col("doc_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("doc_b"), col("g")),
+        Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("i")).distinct()
       .join(admitted, Seq("doc_a", "doc_b"), "left_semi")
