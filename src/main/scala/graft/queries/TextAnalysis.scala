@@ -443,6 +443,86 @@ object TextAnalysis {
          |  round(regr_r2(lf, lr), 4) AS r2
          |FROM ranked GROUP BY lang""".stripMargin
 
+  /** ta_gopher — the published Gopher word-level quality rules (Rae et
+    * al. 2021, §A1.1) as one projection: word count in [50, 100k], mean
+    * word length in [3, 10], '#' and '…'('...')-to-word ratios < 0.1,
+    * ≥80% of words containing an alphabetic character, and ≥2 of the
+    * paper's 8 stopwords present. Emits the per-doc stats plus the pass
+    * flag (as 0/1 int — both engines hash it identically), so the same
+    * query serves as the filter AND its audit trail. The paper's two
+    * LINE-level rules (bullet starts, ellipsis line endings) are omitted:
+    * this corpus is single-line, so they'd be vacuous — documented here
+    * rather than silently true.
+    *
+    * Scale shape: pure per-row projection, no shuffle at all. Symbol
+    * counts ride `replace` length deltas (codegen, no regex scan); the
+    * alpha-word filter is the one higher-order function — bounded by
+    * tokens per row, the same trade ta_quality already makes. The pass
+    * boolean compares UNROUNDED ratios, which are safe cross-engine:
+    * both operands derive from integer counts, so the IEEE quotients are
+    * bit-identical in Spark and DuckDB — no ulp boundary to flake on.
+    *
+    * On the synthetic test corpus the gate rejects every document
+    * (10–99-word docs straddle the 50-word floor; multilingual word
+    * salad carries ≤1 of the paper's 8 ENGLISH stopwords) — the expected
+    * verdict of the published English-centric ruleset on this input,
+    * asserted in TextAnalysisSpec rather than assumed.
+    */
+  def gopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val toks = split(t, "\\s+")
+    val nW = size(toks).cast("double")
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast("double")
+    val nHash = (length(t) - length(expr("replace(text, '#', '')"))).cast("double")
+    val nEll = ((length(t) - length(expr("replace(text, '...', '')"))) / 3).cast("double")
+    val nAlpha = size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val pass = nW.between(50, 100000) &&
+      (nChars / nW).between(3, 10) &&
+      nHash / nW < 0.1 && nEll / nW < 0.1 &&
+      nAlpha / nW >= 0.8 && stopHits >= 2
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      round(nChars / nW, 4).as("mean_word_len"),
+      round(nHash / nW, 4).as("hash_ratio"),
+      round(nEll / nW, 4).as("ellipsis_ratio"),
+      round(nAlpha / nW, 4).as("alpha_ratio"),
+      stopHits.cast("int").as("stop_hits"),
+      when(pass, 1).otherwise(0).cast("int").as("pass"))
+  }
+
+  val gopherSql: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"(CASE WHEN list_contains(regexp_split_to_array(text, '\\s+'), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    raw"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(regexp_split_to_array(text, '\s+')) AS n_words,
+         |    length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+         |    length(text) - length(replace(text, '#', '')) AS n_hash,
+         |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         |    len(list_filter(regexp_split_to_array(text, '\s+'),
+         |        x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |    $stops AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(n_chars * 1.0 / n_words, 4) AS mean_word_len,
+         |  round(n_hash * 1.0 / n_words, 4) AS hash_ratio,
+         |  round(n_ell * 1.0 / n_words, 4) AS ellipsis_ratio,
+         |  round(n_alpha * 1.0 / n_words, 4) AS alpha_ratio,
+         |  CAST(stop_hits AS INT) AS stop_hits,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND n_chars * 1.0 / n_words BETWEEN 3 AND 10
+         |    AND n_hash * 1.0 / n_words < 0.1
+         |    AND n_ell * 1.0 / n_words < 0.1
+         |    AND n_alpha * 1.0 / n_words >= 0.8
+         |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass
+         |FROM m""".stripMargin
+  }
+
   val readabilitySql: String =
     raw"""SELECT doc_id,
          |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,

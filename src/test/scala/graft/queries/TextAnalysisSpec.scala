@@ -138,6 +138,44 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("gopher rules replay from plain-Scala counts per document") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, t) =>
+      val toks = t.split("\\s+")
+      val nW = toks.length.toDouble
+      val nChars = t.replaceAll("\\s+", "").length.toDouble
+      val nHash = t.count(_ == '#').toDouble
+      val nEll = ((t.length - t.replace("...", "").length) / 3).toDouble
+      val nAlpha = toks.count(_.exists(c => c.isLetter && c <= 'z')).toDouble
+      val hits = stops.count(toks.contains)
+      val pass = nW >= 50 && nW <= 100000 &&
+        nChars / nW >= 3 && nChars / nW <= 10 &&
+        nHash / nW < 0.1 && nEll / nW < 0.1 &&
+        nAlpha / nW >= 0.8 && hits >= 2
+      id -> (toks.length.toLong, r4(nChars / nW), r4(nHash / nW),
+        r4(nEll / nW), r4(nAlpha / nW), hits, if (pass) 1 else 0)
+    }.toMap
+    val got = TextAnalysis.gopher(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6), r.getInt(7))).toMap
+    assert(got == want, {
+      val diff = got.keySet.filter(k => got(k) != want(k)).take(3)
+      s"gopher stats diverge on ${diff.map(k => (k, got(k), want(k)))}"
+    })
+    // On this corpus every doc FAILS the composite gate (10-99-word docs
+    // and ≤1 of Gopher's 8 ENGLISH stopwords in multilingual word salad —
+    // the published ruleset rejecting unnatural text is the expected
+    // outcome, measured here rather than assumed). The word-count
+    // sub-rule must still see both branches so the boundary is exercised.
+    assert(got.values.exists(_._1 >= 50) && got.values.exists(_._1 < 50),
+      "corpus no longer straddles the 50-word Gopher boundary")
+  }
+
   test("zipf fit replays from a plain-Scala OLS over the ranked vocabulary") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
