@@ -34,7 +34,12 @@ class WinnowFingerprintsSpec extends SparkSuite {
   test("codegen and interpreted fingerprints equal the plain-Scala reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
-    val alpha = "ab cdef ghij"
+    // Mixed ASCII and 2-byte BMP chars: the é/ü/ß force make()'s
+    // code-point byte-offset table (bytes.length != numChars), which the
+    // all-ASCII fast path would otherwise leave untested. BMP-only keeps
+    // the reference's UTF-16 char offsets ≡ code-point offsets, so the
+    // plain-Scala substring reference stays valid.
+    val alpha = "ab cdéf ghüß"
     // Lengths straddle k (empty case), k..k+w (truncated windows), and long.
     val texts = (0 until 150).map { i =>
       val len = Seq(0, 3, K - 1, K, K + 1, K + W - 1, K + W, 40, 200)(i % 9) + i / 9
