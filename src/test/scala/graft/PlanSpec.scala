@@ -151,6 +151,21 @@ class PlanSpec extends SparkSuite {
       s"grouping sets must share a single fact scan:\n$p")
   }
 
+  test("ta_gopher: pure projection, no exchange anywhere") {
+    val p = plan("ta_gopher")
+    assert(!p.contains("Exchange"), s"gopher rules gained a shuffle:\n$p")
+  }
+
+  test("ta_zipf: partial aggregation feeds the rank window, no cartesian") {
+    // The window must rank the PRE-AGGREGATED vocabulary (bounded by
+    // distinct tokens), never raw token rows — the ta_charngrams shape.
+    val p = plan("ta_zipf")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"vocab count not partially aggregated before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"zipf degenerated:\n$p")
+  }
+
   test("ev_retention: aggregation-join shape, no windows") {
     // ev_funnel left this gate in round 6: its sequential stage logic is
     // now three chained per-user window minima over ONE events scan (see
