@@ -436,37 +436,46 @@ object TextAnalysis {
          |    SELECT lang, n,
          |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
          |    FROM vocab) t
-         |  WHERE rnk <= 500)
+         |  WHERE rnk <= $ZipfTopK)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
          |  round(regr_slope(lf, lr), 4) AS slope,
          |  round(regr_intercept(lf, lr), 4) AS intercept,
          |  round(regr_r2(lf, lr), 4) AS r2
          |FROM ranked GROUP BY lang""".stripMargin
 
-  /** ta_gopher — the published Gopher word-level quality rules (Rae et
-    * al. 2021, §A1.1) as one projection: word count in [50, 100k], mean
-    * word length in [3, 10], '#' and '…'('...')-to-word ratios < 0.1,
-    * ≥80% of words containing an alphabetic character, and ≥2 of the
-    * paper's 8 stopwords present. Emits the per-doc stats plus the pass
-    * flag (as 0/1 int — both engines hash it identically), so the same
-    * query serves as the filter AND its audit trail. The paper's two
-    * LINE-level rules (bullet starts, ellipsis line endings) are omitted:
-    * this corpus is single-line, so they'd be vacuous — documented here
-    * rather than silently true.
+  /** ta_gopher — the published Gopher quality rules (Rae et al. 2021,
+    * §A1.1) as one projection. Word-level: word count in [50, 100k],
+    * mean word length in [3, 10], '#'- and ellipsis-to-word ratios
+    * < 0.1 (ellipses counted as ASCII '...' runs plus U+2026 '…'
+    * characters, in BOTH engines), ≥80% of words containing an
+    * alphabetic character, and ≥2 of the paper's 8 stopwords present.
+    * Line-level (live since round 7 — previously documented out on the
+    * single-line driver corpus): reject when >90% of lines start with a
+    * bullet ('•' or '-', no leading-whitespace trim) or >30% end with
+    * an ellipsis ('...' or '…'). Lines are `\n`-splits with trailing
+    * empties KEPT (Spark `split` limit −1 ≡ DuckDB
+    * `regexp_split_to_array`); a blank line starts with no bullet and
+    * ends with no ellipsis, so it dilutes both ratios identically in
+    * both engines. Emits the per-doc stats plus the pass flag (as 0/1
+    * int — both engines hash it identically), so the same query serves
+    * as the filter AND its audit trail.
     *
     * Scale shape: pure per-row projection, no shuffle at all. Symbol
     * counts ride `replace` length deltas (codegen, no regex scan); the
-    * alpha-word filter is the one higher-order function — bounded by
-    * tokens per row, the same trade ta_quality already makes. The pass
-    * boolean compares UNROUNDED ratios, which are safe cross-engine:
-    * both operands derive from integer counts, so the IEEE quotients are
-    * bit-identical in Spark and DuckDB — no ulp boundary to flake on.
+    * alpha-word and line filters are the bounded higher-order functions
+    * — per-row token/line counts, the same trade ta_quality already
+    * makes. The pass boolean compares UNROUNDED ratios, which are safe
+    * cross-engine: both operands derive from integer counts, so the
+    * IEEE quotients are bit-identical in Spark and DuckDB — no ulp
+    * boundary to flake on.
     *
-    * On the synthetic test corpus the gate rejects every document
-    * (10–99-word docs straddle the 50-word floor; multilingual word
-    * salad carries ≤1 of the paper's 8 ENGLISH stopwords) — the expected
-    * verdict of the published English-centric ruleset on this input,
-    * asserted in TextAnalysisSpec rather than assumed.
+    * On the synthetic test corpus the word-level gate rejects every
+    * document (10–99-word docs straddle the 50-word floor; multilingual
+    * word salad carries ≤1 of the paper's 8 ENGLISH stopwords) — the
+    * expected verdict of the published English-centric ruleset on this
+    * input, asserted in TextAnalysisSpec rather than assumed. The line
+    * rules are exercised by TextAnalysisSpec's multi-line fixture
+    * corpus, with a doc rejected BY each line rule alone.
     */
   def gopher(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
@@ -474,15 +483,24 @@ object TextAnalysis {
     val nW = size(toks).cast("double")
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("double")
     val nHash = (length(t) - length(expr("replace(text, '#', '')"))).cast("double")
-    val nEll = ((length(t) - length(expr("replace(text, '...', '')"))) / 3).cast("double")
+    val nEll = ((length(t) - length(expr("replace(text, '...', '')"))) / 3 +
+      (length(t) - length(expr("replace(text, '…', '')")))).cast("double")
     val nAlpha = size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val nBullet = size(filter(lines,
+      l => l.startsWith("•") || l.startsWith("-"))).cast("double")
+    val nEllLine = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double")
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => when(array_contains(toks, w), 1).otherwise(0))
       .reduce(_ + _)
     val pass = nW.between(50, 100000) &&
       (nChars / nW).between(3, 10) &&
       nHash / nW < 0.1 && nEll / nW < 0.1 &&
-      nAlpha / nW >= 0.8 && stopHits >= 2
+      nAlpha / nW >= 0.8 &&
+      nBullet / nLines <= 0.9 && nEllLine / nLines <= 0.3 &&
+      stopHits >= 2
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_words"),
@@ -490,6 +508,8 @@ object TextAnalysis {
       round(nHash / nW, 4).as("hash_ratio"),
       round(nEll / nW, 4).as("ellipsis_ratio"),
       round(nAlpha / nW, 4).as("alpha_ratio"),
+      round(nBullet / nLines, 4).as("bullet_line_ratio"),
+      round(nEllLine / nLines, 4).as("ellipsis_line_ratio"),
       stopHits.cast("int").as("stop_hits"),
       when(pass, 1).otherwise(0).cast("int").as("pass"))
   }
@@ -503,9 +523,15 @@ object TextAnalysis {
          |    len(regexp_split_to_array(text, '\s+')) AS n_words,
          |    length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
          |    length(text) - length(replace(text, '#', '')) AS n_hash,
-         |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         |    (length(text) - length(replace(text, '...', ''))) / 3
+         |      + (length(text) - length(replace(text, '…', ''))) AS n_ell,
          |    len(list_filter(regexp_split_to_array(text, '\s+'),
          |        x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+         |    len(list_filter(regexp_split_to_array(text, '\n'),
+         |        x -> starts_with(x, '•') OR starts_with(x, '-'))) AS n_bullet,
+         |    len(list_filter(regexp_split_to_array(text, '\n'),
+         |        x -> ends_with(x, '...') OR ends_with(x, '…'))) AS n_ell_line,
          |    $stops AS stop_hits
          |  FROM documents)
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -513,12 +539,16 @@ object TextAnalysis {
          |  round(n_hash * 1.0 / n_words, 4) AS hash_ratio,
          |  round(n_ell * 1.0 / n_words, 4) AS ellipsis_ratio,
          |  round(n_alpha * 1.0 / n_words, 4) AS alpha_ratio,
+         |  round(n_bullet * 1.0 / n_lines, 4) AS bullet_line_ratio,
+         |  round(n_ell_line * 1.0 / n_lines, 4) AS ellipsis_line_ratio,
          |  CAST(stop_hits AS INT) AS stop_hits,
          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
          |    AND n_chars * 1.0 / n_words BETWEEN 3 AND 10
          |    AND n_hash * 1.0 / n_words < 0.1
          |    AND n_ell * 1.0 / n_words < 0.1
          |    AND n_alpha * 1.0 / n_words >= 0.8
+         |    AND n_bullet * 1.0 / n_lines <= 0.9
+         |    AND n_ell_line * 1.0 / n_lines <= 0.3
          |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass
          |FROM m""".stripMargin
   }

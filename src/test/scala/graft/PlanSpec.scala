@@ -9,6 +9,14 @@ class PlanSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Literal, position-independent substring count. `String.split` is
+    * wrong for this job twice over: it treats the needle as a regex, and
+    * it drops trailing empty strings — a plan ENDING with the needle
+    * would undercount by one.
+    */
+  private def occ(hay: String, needle: String): Int =
+    java.util.regex.Pattern.quote(needle).r.findAllMatchIn(hay).size
+
   test("q1_agg: filter pushed to parquet, partial aggregation present") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -21,7 +29,7 @@ class PlanSpec extends SparkSuite {
     // choose broadcast while those tables sit under the threshold — the
     // scale-safe query keeps the optimal small-scale plan.
     val p = plan("q2_join")
-    assert(p.split("BroadcastHashJoin").length - 1 == 4, s"expected 4 BHJs:\n$p")
+    assert(occ(p, "BroadcastHashJoin") == 4, s"expected 4 BHJs:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -34,7 +42,7 @@ class PlanSpec extends SparkSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val p = plan("q2_join")
-      assert(p.split("BroadcastHashJoin").length - 1 == 2,
+      assert(occ(p, "BroadcastHashJoin") == 2,
         s"expected exactly 2 hinted BHJs (nation, region):\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"fact-side joins must shuffle when tables exceed the threshold:\n$p")
@@ -86,19 +94,19 @@ class PlanSpec extends SparkSuite {
       s"pipeline re-reads parquet past the survivor checkpoint:\n$p")
     val kept = graft.queries.Pipeline.exactKept(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(kept.split("Scan parquet").length - 1 == 1,
+    assert(occ(kept, "Scan parquet") == 1,
       s"stage 1+2 must scan documents exactly once:\n$kept")
     assert(kept.contains("Window"), "exact-dedup window stage missing")
   }
 
   test("ev_funnel: one events scan, one user_id exchange, chained windows") {
     val p = plan("ev_funnel")
-    assert(p.split("Scan parquet").length - 1 == 1,
+    assert(occ(p, "Scan parquet") == 1,
       s"funnel must read events exactly once (round-5 form read it 3×):\n$p")
     // The three stage minima stack as Window nodes over ONE hashpartitioning
     // exchange; only the final 1-row collapse adds its tiny single-partition
     // exchange.
-    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1,
+    assert(occ(p, "hashpartitioning(user_id") == 1,
       s"expected exactly one user_id exchange:\n$p")
     assert(p.contains("Window"), s"funnel stages not window-chained:\n$p")
   }
@@ -146,8 +154,8 @@ class PlanSpec extends SparkSuite {
 
   test("q26_grouping_sets: one Expand, one scan — never a union of aggregates") {
     val p = plan("q26_grouping_sets")
-    assert(p.split("Expand").length - 1 >= 1, s"no Expand operator:\n$p")
-    assert(p.split("Scan parquet").length - 1 == 1,
+    assert(occ(p, "Expand") >= 1, s"no Expand operator:\n$p")
+    assert(occ(p, "Scan parquet") == 1,
       s"grouping sets must share a single fact scan:\n$p")
   }
 
@@ -305,7 +313,7 @@ class PlanSpec extends SparkSuite {
     // aggregate's keys is the whole point of the operator
     assert(p.contains("salt"), s"salted phase missing:\n$p")
     // both phases are hash aggregates with map-side partials
-    assert(p.split("HashAggregate").length - 1 >= 4,
+    assert(occ(p, "HashAggregate") >= 4,
       s"expected two 2-phase hash aggregates:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Sort "),
       s"salted agg must stay pure hash shapes:\n$p")

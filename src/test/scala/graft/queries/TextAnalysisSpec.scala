@@ -150,19 +150,30 @@ class TextAnalysisSpec extends SparkSuite {
       val nW = toks.length.toDouble
       val nChars = t.replaceAll("\\s+", "").length.toDouble
       val nHash = t.count(_ == '#').toDouble
-      val nEll = ((t.length - t.replace("...", "").length) / 3).toDouble
-      val nAlpha = toks.count(_.exists(c => c.isLetter && c <= 'z')).toDouble
+      val nEll = ((t.length - t.replace("...", "").length) / 3
+        + t.count(_ == '…')).toDouble
+      val nAlpha = toks.count(_.exists(c => c.isLetter && c <= 'z'))
+        .toDouble
+      // limit -1: Spark's split KEEPS trailing empty lines; Java's
+      // default drops them — the replay must match the engine contract.
+      val lines = t.split("\n", -1)
+      val nLines = lines.length.toDouble
+      val nBullet = lines.count(l => l.startsWith("•") || l.startsWith("-")).toDouble
+      val nEllLine = lines.count(l => l.endsWith("...") || l.endsWith("…")).toDouble
       val hits = stops.count(toks.contains)
       val pass = nW >= 50 && nW <= 100000 &&
         nChars / nW >= 3 && nChars / nW <= 10 &&
         nHash / nW < 0.1 && nEll / nW < 0.1 &&
-        nAlpha / nW >= 0.8 && hits >= 2
+        nAlpha / nW >= 0.8 &&
+        nBullet / nLines <= 0.9 && nEllLine / nLines <= 0.3 && hits >= 2
       id -> (toks.length.toLong, r4(nChars / nW), r4(nHash / nW),
-        r4(nEll / nW), r4(nAlpha / nW), hits, if (pass) 1 else 0)
+        r4(nEll / nW), r4(nAlpha / nW), r4(nBullet / nLines),
+        r4(nEllLine / nLines), hits, if (pass) 1 else 0)
     }.toMap
     val got = TextAnalysis.gopher(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getInt(6), r.getInt(7))).toMap
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getInt(8), r.getInt(9))).toMap
     assert(got == want, {
       val diff = got.keySet.filter(k => got(k) != want(k)).take(3)
       s"gopher stats diverge on ${diff.map(k => (k, got(k), want(k)))}"
@@ -174,6 +185,48 @@ class TextAnalysisSpec extends SparkSuite {
     // sub-rule must still see both branches so the boundary is exercised.
     assert(got.values.exists(_._1 >= 50) && got.values.exists(_._1 < 50),
       "corpus no longer straddles the 50-word Gopher boundary")
+  }
+
+  test("gopher line rules reject multi-line docs by bullet-start and ellipsis-end alone") {
+    // The driver corpus is single-line, so the two line-level Gopher
+    // rules (Rae et al. §A1.1: >90% bullet starts, >30% ellipsis ends)
+    // are vacuous there. This fixture makes each rule the SOLE reason a
+    // doc fails: every other sub-rule must pass on the rejected docs.
+    val line = "the quick brown fox and the lazy dog run with joy"
+    val clean = Seq.fill(6)(line).mkString("\n")
+    val bulleted = Seq.fill(10)("- " + line).mkString("\n")
+    val ellipsial = (Seq.fill(3)(line + "...") ++ Seq(line + "…") ++
+      Seq.fill(6)(line)).mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("gopher-lines").toString
+    val sess = spark
+    import sess.implicits._
+    Seq((1L, "en", clean), (2L, "en", bulleted), (3L, "en", ellipsial))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.gopher(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def ratio(id: Long, c: String): Double =
+      rows(id).getAs[Double](c)
+    assert(rows(1L).getAs[Int]("pass") == 1, s"clean doc must pass: ${rows(1L)}")
+    assert(rows(2L).getAs[Int]("pass") == 0 && ratio(2L, "bullet_line_ratio") > 0.9,
+      s"bulleted doc must fail the bullet rule: ${rows(2L)}")
+    assert(rows(3L).getAs[Int]("pass") == 0 && ratio(3L, "ellipsis_line_ratio") > 0.3,
+      s"ellipsial doc must fail the ellipsis-line rule: ${rows(3L)}")
+    // Isolation: on the two rejected docs every word-level rule passes,
+    // so the line rule is the only rejection cause — and the rejected
+    // docs pass the OTHER line rule.
+    for (id <- Seq(2L, 3L)) {
+      val r = rows(id)
+      assert(r.getLong(1) >= 50 && r.getLong(1) <= 100000)
+      assert(ratio(id, "mean_word_len") >= 3 && ratio(id, "mean_word_len") <= 10)
+      assert(ratio(id, "hash_ratio") < 0.1 && ratio(id, "ellipsis_ratio") < 0.1)
+      assert(ratio(id, "alpha_ratio") >= 0.8)
+      assert(r.getAs[Int]("stop_hits") >= 2)
+    }
+    assert(ratio(2L, "ellipsis_line_ratio") <= 0.3)
+    assert(ratio(3L, "bullet_line_ratio") <= 0.9)
+    // The U+2026 line participates: 3 ASCII + 1 Unicode ellipsis line.
+    assert(ratio(3L, "ellipsis_line_ratio") == 0.4)
   }
 
   test("zipf fit replays from a plain-Scala OLS over the ranked vocabulary") {
