@@ -282,26 +282,52 @@ object Multimodal {
     spark.read.parquet(out.getAbsolutePath).as[MediaRow]
   }
 
+  /** Per-partition reusable decode scratch. The round-6 isolation probes
+    * self-attributed mm_features' late-lap 7–8 s balloons to GC (gcMs
+    * 2–3 s): per-row decode allocations — a fresh int[w·h] from getRGB
+    * and readAllBytes' incremental chunk-growing — churn the young gen at
+    * exactly the rate tasks decode. At 100 TB that churn is a
+    * memory-pressure neighbor to every co-resident task, so the buffers
+    * live once per partition (the codec-init-once pattern) and grow
+    * monotonically to the partition's max payload. One instance is
+    * confined to one task thread — mapPartitions instantiates it inside
+    * the closure, never shared.
+    */
+  private final class DecodeBuffers {
+    private var ints = Array.emptyIntArray
+    private var bytes = Array.emptyByteArray
+    def intBuf(n: Int): Array[Int] = {
+      if (ints.length < n) ints = new Array[Int](math.max(n, ints.length * 2))
+      ints
+    }
+    def byteBuf(n: Int): Array[Byte] = {
+      if (bytes.length < n) bytes = new Array[Byte](math.max(n, bytes.length * 2))
+      bytes
+    }
+  }
+
   /** REAL image decode via JDK ImageIO: 8 statistics over the decoded
     * pixel grid — per-channel mean (f0..f2) and population variance
     * (f3..f5), mean BT.601 luma (f6), bright-pixel fraction (f7), all on
     * the [0,1] scale. Sequential y→x accumulation keeps double summation
     * order deterministic (the spec golden replays the identical order).
     */
-  private def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
+  private def decodeImageFeatures(payload: Array[Byte], buffers: DecodeBuffers): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
-    // Bulk row-major transfer (see synthImagePng); the scan order over the
-    // returned array is identical to a y-outer/x-inner pixel loop, so the
-    // double accumulation order the spec golden replays is unchanged.
-    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // Bulk row-major transfer (see synthImagePng) into the REUSED buffer;
+    // the scan order over the filled prefix is identical to a
+    // y-outer/x-inner pixel loop, so the double accumulation order the
+    // spec golden replays is unchanged. Loop bound is w·h, NOT px.length —
+    // the reused buffer may be larger than this image.
+    val px = img.getRGB(0, 0, w, h, buffers.intBuf(w * h), 0, w)
     val sums = new Array[Double](3)
     val sqs = new Array[Double](3)
     var lumaSum = 0.0
     var bright = 0L
     var i = 0
-    while (i < px.length) {
+    while (i < w * h) {
       val rgb = px(i)
       val r = ((rgb >> 16) & 0xff) / 255.0
       val g = ((rgb >> 8) & 0xff) / 255.0
@@ -332,14 +358,30 @@ object Multimodal {
     * the identical order from the sample function, proving the WAV
     * encode→decode round trip recovers the exact samples).
     */
-  private def decodeAudioFeatures(payload: Array[Byte]): Array[Float] = {
+  private def decodeAudioFeatures(payload: Array[Byte], buffers: DecodeBuffers): Array[Float] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
     require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16
       && !fmt.isBigEndian, s"unexpected audio format: $fmt")
-    val bytes = try ais.readAllBytes() finally ais.close()
-    val n = bytes.length / 2
+    // WAV headers carry the frame count, so the PCM size is known up
+    // front: one sized read into the reused buffer replaces readAllBytes'
+    // chunk-doubling allocation chain.
+    val total = {
+      val fl = ais.getFrameLength
+      require(fl >= 0, "WAV stream with unspecified frame length")
+      math.toIntExact(fl * fmt.getFrameSize)
+    }
+    val bytes = buffers.byteBuf(total)
+    try {
+      var off = 0
+      while (off < total) {
+        val k = ais.read(bytes, off, total - off)
+        require(k > 0, s"audio stream truncated at $off/$total bytes")
+        off += k
+      }
+    } finally ais.close()
+    val n = total / 2
     val qsq = new Array[Double](4) // per-quarter sum of squares
     var sum = 0.0
     var peak = 0.0
@@ -467,12 +509,14 @@ object Multimodal {
       round(element_at(col("feature"), i + 1).cast("double"), 4).as(s"f$i"))
     media.mapPartitions { rows =>
       // codec init, once per partition: keep ImageIO off its disk cache
-      // (per-image temp files would serialize the partition on IO).
+      // (per-image temp files would serialize the partition on IO), and
+      // one DecodeBuffers instance per task for pixel/PCM scratch reuse.
       javax.imageio.ImageIO.setUseCache(false)
+      val buffers = new DecodeBuffers
       rows.map { r =>
         val feats = r.kind match {
-          case "image" => decodeImageFeatures(r.payload)
-          case "audio" => decodeAudioFeatures(r.payload)
+          case "image" => decodeImageFeatures(r.payload, buffers)
+          case "audio" => decodeAudioFeatures(r.payload, buffers)
           case "video" => decodeVideoFeatures(r.payload)
           case other => sys.error(s"unknown media kind: $other")
         }

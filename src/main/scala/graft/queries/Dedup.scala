@@ -348,8 +348,19 @@ object Dedup {
     * (norm+dot per pair would triple the flops across N²/2 pairs); the
     * division by norms is exact-double so results still bit-match the
     * naive cosine and the DuckDB oracle.
+    *
+    * FAIL-LOUD at scale: dd_embed_auto already dispatches away from this
+    * form past the crossover, but a DIRECT call on a 100 TB corpus would
+    * launch an N² join. The require below (footer-metadata count, no data
+    * scan) makes that a loud error naming the scale path instead of a
+    * runaway job.
     */
   def embedCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    require(n <= AllPairsCutoff,
+      s"dd_embed_cosine is the ALL-PAIRS oracle form (O(N^2) join): corpus has " +
+        s"$n vectors > cutoff $AllPairsCutoff - use dd_embed_bucketed (or " +
+        "dd_embed_auto's cost dispatch) at this scale")
     val e = Tables.embeddings(spark, sfDir).select(
       col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("emb")))
@@ -481,6 +492,12 @@ object Dedup {
     * change results, only the plan.
     */
   private val EmbedAutoCrossover = 30000L
+
+  /** Ceiling for the all-pairs oracle form — the same crossover the auto
+    * dispatch uses, so embedAuto can never route INTO a corpus the guard
+    * rejects.
+    */
+  private[queries] val AllPairsCutoff = EmbedAutoCrossover
 
   def embedAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.embeddings(spark, sfDir).count()

@@ -233,4 +233,20 @@ class DedupSpec extends SparkSuite {
     assert(r1 == r2)
     assert(r1.values.toSet.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
+
+  test("dd_embed_cosine fails loud past the all-pairs cutoff, naming the scale path") {
+    // A DIRECT call on an oversized corpus must throw before launching the
+    // N² join; the guard's count is footer-metadata only, so the fixture
+    // can be 30,001 one-float vectors — content is never evaluated.
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embed-guard").toString
+    spark.range(30001)
+      .select(col("id").as("vec_id"),
+        array(lit(0.1f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] { Dedup.embedCosine(spark, dir) }
+    assert(e.getMessage.contains("dd_embed_bucketed"),
+      s"guard message must point at the scale path: ${e.getMessage}")
+  }
 }
