@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints one JSON line.
   *
   * Method: one untimed warm-up lap (JIT + codegen cache + parquet footer
-  * cache), then two timed laps, min per query. Each query is forced
-  * through the `noop` sink — a plain count() would let Catalyst prune
-  * every computed column and time only the scan.
+  * cache), then two timed laps per query — plus up to two RETRY laps for
+  * any query whose fastest lap still carries > 1 s of JIT compile delta
+  * (the round-6 headline bias: a kept lap riding a JIT storm reads ~1.7×
+  * the query's real cost). Headline = min wall time over a JIT-quiet lap
+  * set. Each query is forced through the `noop` sink — a plain count()
+  * would let Catalyst prune every computed column and time only the scan.
   *
   * The artifact is SELF-DIAGNOSING since round 6: BENCH_r05 read a
   * lap-stable 2.7 s query as 14.95 s (host steal + JVM pollution the
@@ -48,10 +51,12 @@ object Bench {
     (jit, gc, heap, code)
   }
 
-  /** Wall seconds + the lap's JIT/GC deltas and end-of-lap heap/code-cache
-    * occupancy, as a rendered JSON fragment.
+  /** One timed lap: wall seconds, the lap's JIT delta (the headline-bias
+    * signal), and the full diag JSON fragment.
     */
-  private def timedLap(spark: SparkSession, sfDir: String, name: String): (Double, String) = {
+  private final case class Lap(sec: Double, jitMs: Long, diag: String)
+
+  private def timedLap(spark: SparkSession, sfDir: String, name: String): Lap = {
     val (jit0, gc0, _, _) = snap()
     val t0 = System.nanoTime()
     val ok =
@@ -73,7 +78,7 @@ object Bench {
     // persisted accretes block-manager memory across 90 queries × 3 laps.
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
-    (sec, diag)
+    Lap(sec, jit1 - jit0, diag)
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,27 +92,42 @@ object Bench {
       case Some(name) =>
         require(SparkEntry.queries.contains(name), s"unknown query: $name")
         timedLap(spark, sfDir, name) // warm-up, untimed in the artifact
-        val laps = (1 to 5).map(_ => timedLap(spark, sfDir, name))
+        // GRAFT_BENCH_LAPS trims the protocol for long-running scale
+        // probes (scripts/scale_probes.sh uses 3); default stays 5.
+        val lapsN = sys.env.getOrElse("GRAFT_BENCH_LAPS", "5").toInt
+        val laps = (1 to lapsN).map(_ => timedLap(spark, sfDir, name))
         val line = s"""{"isolate":"$name","sf":"$sfDir","laps":[""" +
-          laps.map(_._2).mkString(",") + "]}"
+          laps.map(_.diag).mkString(",") + "]}"
         println(line)
       case None =>
         val names = SparkEntry.queries.keys.toSeq.sorted
         names.foreach(n => timedLap(spark, sfDir, n)) // warm-up lap
-        // Two timed laps, keep the min: single-lap numbers swing 2-3× on
-        // the self-join queries (JIT/GC timing), min-of-2 reports steady
-        // state — and each lap's diag travels with it so a polluted lap
-        // is identifiable from the artifact alone.
+        // Two timed laps for every query, then RETRY laps for any query
+        // whose would-be headline still carries a big JIT delta: the
+        // round-6 artifact published dd_substring at 8.47 s with 6.4 s of
+        // jitMs riding the kept lap (~1.7× its isolation floor). The
+        // headline must be a real measured wall time, so instead of
+        // subtracting the delta analytically, re-measure until the kept
+        // lap is JIT-quiet (< 1 s delta) or the 2-retry budget is spent —
+        // JIT time is cumulative, so later laps only get quieter. Every
+        // lap's diag still travels in the artifact.
         val lap1 = names.map(n => n -> timedLap(spark, sfDir, n)).toMap
         val lap2 = names.map(n => n -> timedLap(spark, sfDir, n)).toMap
+        val lapsByQuery = names.map { n =>
+          var laps = Vector(lap1(n), lap2(n))
+          def kept = laps.filter(_.sec >= 0).minByOption(_.sec)
+          while (laps.size < 4 && kept.exists(_.jitMs > 1000))
+            laps = laps :+ timedLap(spark, sfDir, n)
+          n -> laps
+        }.toMap
         val results = names.map { n =>
-          val (a, b) = (lap1(n)._1, lap2(n)._1)
-          n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+          val ok = lapsByQuery(n).filter(_.sec >= 0)
+          n -> (if (ok.isEmpty) -1.0 else ok.map(_.sec).min)
         }
         val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val diag = names.map { n =>
-          "\"" + n + "\":[" + lap1(n)._2 + "," + lap2(n)._2 + "]"
+          "\"" + n + "\":[" + lapsByQuery(n).map(_.diag).mkString(",") + "]"
         }.mkString("{", ",", "}")
         val total = results.map(_._2).filter(_ >= 0).sum
         val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-round ANN recall artifact (RECALL_r{N}.json).
+  *
+  * The three approximate ANN families (ann_ivf, ann_ivf_kmeans, ann_lsh)
+  * are permanently `no_oracle` in the driver's correctness gate —
+  * approximate by construction — so their quality evidence lived only in
+  * SimilaritySpec's recall-floor assertions, a pass/fail buried in sbt
+  * output. This main surfaces the actual number each round: mean
+  * recall@5 of each family against the exact brute-force ann_topk on the
+  * same query set, written as one committed JSON artifact. Floors stay
+  * asserted in the spec; this is the visible instrument.
+  */
+object RecallProbe {
+
+  private def resultMap(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("/tmp/recall.json")
+    val spark = GraftSession("graft-recall")
+
+    val exact = resultMap(SparkEntry.queries("ann_topk")(spark, sfDir))
+    val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_lsh").map { fam =>
+      val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))
+      val recalls = exact.map { case (q, nn) =>
+        approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size)
+          .getOrElse(0.0)
+      }
+      val mean = recalls.sum / recalls.size
+      println(f"[recall] $fam%-15s recall@5 = $mean%.4f over ${recalls.size} queries")
+      fam -> mean
+    }
+    val body = entries
+      .map { case (f, r) => "\"" + f + "\":" + f"$r%.4f" }
+      .mkString(",")
+    val line = s"""{"sf":"$sfDir","k":5,"baseline":"ann_topk",""" +
+      s""""nQueries":${exact.size},"recall":{$body}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+    println(s"[recall] wrote $outPath")
+    spark.stop()
+  }
+}

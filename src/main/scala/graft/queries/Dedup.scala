@@ -527,7 +527,13 @@ object Dedup {
     * log-round bound — 25 rounds could never close a 60-edge chain
     * without doubling).
     */
-  private[queries] def propagateComponents(pairs: DataFrame): DataFrame = {
+  private[queries] def propagateComponents(pairs: DataFrame): DataFrame =
+    propagateComponentsWithRounds(pairs)._1
+
+  /** Same loop, also returning the round count — the skew/convergence
+    * probes assert the O(log diameter) bound from it.
+    */
+  private[queries] def propagateComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     // Undirected edge list, both orientations.
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // pairs' lineage (shingle+band join) replays per iteration otherwise
@@ -563,7 +569,7 @@ object Dedup {
     // than a loud failure for a dedup pipeline, so refuse to return them.
     require(converged,
       s"component propagation did not converge within $rounds rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
   /** Oracle: reachability closure via recursive CTE over the same J≥0.8

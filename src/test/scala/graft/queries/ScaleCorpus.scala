@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scale-curve corpus generator: stages 1× / 3× / 10× versions of the
+  * sf0.1 `documents` table so the heavy dedup family can be probed at
+  * three scale points and fitted for a time-vs-rows exponent
+  * (scripts/scale_probes.sh → SCALE_r{N}.json).
+  *
+  * Growth uses the OrganicCapProbe mosaic construction (chunked
+  * arithmetic progressions over a prime modulus — see that file's header
+  * for the pairwise-Jaccard ≤ ~0.02 argument): replicas add corpus BYTES
+  * and organically growing shingle document-frequencies without
+  * fabricating near-dup pairs, so each query's OUTPUT stays anchored to
+  * the original docs while its WORK scales with the corpus — exactly
+  * what a scaling exponent should measure. A replica does share single
+  * 4-word chunks with its 12 source docs, so fingerprint families may
+  * admit bounded extra candidate pairs (linear in replicas, never
+  * quadratic) — the exponent fit absorbs that as measured work.
+  *
+  * All three scale points (INCLUDING the 1× copy) are re-staged through
+  * the same repartition + writer, so every point sees the same file
+  * layout / scan-parallelism regime — the driver's single-file sf0.1
+  * parquet would otherwise make the 1× point a 1-partition-scan outlier
+  * and bias the fitted exponent low.
+  */
+object ScaleCorpus {
+
+  private val N = 4999 // prime ≤ the 5000 sf0.1 docs (OrganicCapProbe)
+  private val ChunkWords = 4
+  private val ChunksPerReplica = 12
+  private val ReplicaIdBase = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession("scale-corpus")
+
+    val source = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < N)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+
+    def replicas(strides: Int) = spark.range(0L, strides.toLong * N)
+      .select(col("id").as("r"),
+        (col("id") % N).as("a"),
+        expr(s"id DIV $N + 1").as("b")) // DIV: `/` would be double division
+      .select(col("r"), col("a"), col("b"),
+        explode(expr(s"sequence(0, ${ChunksPerReplica - 1})")).as("j"))
+      .withColumn("src", (col("a") + col("j") * col("b")) % N)
+      .join(source.select(col("doc_id").as("src"), col("w")), Seq("src"))
+      .select(col("r"), col("j"),
+        expr(s"slice(w, j * $ChunkWords + 1, $ChunkWords)").as("chunk"))
+      .filter(size(col("chunk")) === ChunkWords)
+      .groupBy(col("r"))
+      .agg(array_join(
+        flatten(expr("transform(array_sort(collect_list(struct(j, chunk))), x -> x.chunk)")),
+        " ").as("text"))
+      .select((col("r") + ReplicaIdBase).as("doc_id"), col("text"),
+        lit("en").as("lang"), lit("mosaic").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+    val base = graft.Tables.documents(spark, sfDir)
+    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9)) {
+      val out = new java.io.File(s"$outBase/$tag/documents.parquet")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val docs =
+          if (strides == 0) base
+          else base.unionByName(replicas(strides))
+        val staged = docs
+          .repartition(spark.sparkContext.defaultParallelism)
+        staged.write.mode("overwrite").parquet(out.getAbsolutePath)
+        val n = spark.read.parquet(out.getAbsolutePath).count()
+        println(s"[scalecorpus] $tag: $n docs -> $out")
+      } else println(s"[scalecorpus] $tag: already staged at $out")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Skewed-key stress for dd_clusters' component propagation (round-6
+  * verdict #8).
+  *
+  * The realistic skew for near-dup clustering is ONE giant component —
+  * the boilerplate/template case where thousands of docs share a label.
+  * Propagation groups by `doc_a` and joins through the label table, so a
+  * giant component concentrates a single hot label key as it converges.
+  * This probe builds a 10,001-node giant component shaped to stress both
+  * axes — a 5,000-spoke star at node 0 (instant hot key) with a
+  * 5,000-node chain hanging off it (diameter, exercising the
+  * pointer-doubling log bound) — plus 1,000 background 5-node path
+  * components, and asserts:
+  *
+  *   1. correctness: every giant-component node labels to 0; background
+  *      components label to their min id;
+  *   2. the doubling bound: rounds ≤ 20 for a ~5,000-diameter graph
+  *      (25-round cap would never close it without doubling);
+  *   3. task-time balance, via listener: in every propagation stage with
+  *      ≥ 8 tasks and non-trivial work, the slowest task stays within
+  *      20× the stage median (+100 ms noise floor) — the loud failure
+  *      mode would be one task carrying the whole hot key while 31 idle.
+  *
+  * AQE's skew-join splitting only engages past size thresholds this
+  * fixture cannot reach (256 MB partitions); what IS measurable at test
+  * scale is that the hash-partitioned join/agg shape distributes the hot
+  * label's EDGES across tasks (the groupBy key is doc_a, not label, so
+  * the hot label never collapses into one partition's reduce).
+  *
+  * Run: sbt "Test/runMain graft.queries.SkewClusterProbe"
+  * Results recorded in ROUND7.md.
+  */
+object SkewClusterProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession("skew-cluster-probe")
+    import spark.implicits._
+
+    // --- fixture -----------------------------------------------------------
+    val star = spark.range(1L, 5001L)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val chain = spark.range(5000L, 10000L)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    // 1,000 background 5-node paths at ids 100000+, min id = base of each.
+    val background = spark.range(0L, 1000L * 4)
+      .select((lit(100000L) + expr("id DIV 4") * 10 + expr("id % 4")).as("doc_a"),
+        (lit(100000L) + expr("id DIV 4") * 10 + expr("id % 4") + 1).as("doc_b"))
+    val pairs = star.union(chain).union(background)
+
+    // --- listener ----------------------------------------------------------
+    val taskMs = new ConcurrentHashMap[Int, java.util.List[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        taskMs.computeIfAbsent(e.stageId,
+          _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+          .add(e.taskInfo.duration)
+      }
+    })
+
+    val t0 = System.nanoTime()
+    val (labels, rounds) = Dedup.propagateComponentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500) // let the listener bus drain task-end events
+
+    // --- 1. correctness ----------------------------------------------------
+    val giantOk = (0L to 10000L).forall(i => got(i) == 0L)
+    val bgOk = (0 until 1000).forall { c =>
+      val base = 100000L + c * 10
+      (0 to 4).forall(j => got(base + j) == base)
+    }
+    require(giantOk, "giant component did not fully label to node 0")
+    require(bgOk, "a background component mislabeled")
+
+    // --- 2. doubling bound -------------------------------------------------
+    println(s"[skewprobe] rounds=$rounds wall=${f"$secs%.2f"}s " +
+      s"nodes=${got.size} (giant 10001 + background 5000)")
+    require(rounds <= 20,
+      s"propagation needed $rounds rounds for diameter ~5000 — doubling broken")
+
+    // --- 3. task-time balance ----------------------------------------------
+    import scala.jdk.CollectionConverters._
+    var worst = 0.0
+    val offenders = taskMs.asScala.toSeq.sortBy(_._1).flatMap { case (stage, l) =>
+      val ds = l.asScala.map(_.toLong).toSeq.sorted
+      if (ds.size < 8) None
+      else {
+        val median = ds(ds.size / 2).max(1L)
+        val ratio = ds.last.toDouble / median
+        worst = math.max(worst, ratio)
+        if (ds.last > 100 && ratio > 20) Some((stage, ds.last, median))
+        else None
+      }
+    }
+    println(f"[skewprobe] stages=${taskMs.size()} worstMaxOverMedian=$worst%.1f")
+    require(offenders.isEmpty,
+      s"skewed stages (stage, maxMs, medianMs): $offenders")
+
+    println(s"""SKEW_CLUSTER_PROBE_OK {"rounds":$rounds,""" +
+      f""""wallSec":$secs%.2f,"worstMaxOverMedian":$worst%.1f,""" +
+      s""""stages":${taskMs.size()}}""")
+    spark.stop()
+  }
+}
