@@ -79,8 +79,12 @@ object CrossCheck {
           try Right(fingerprint(SparkEntry.queries(name)(spark, sfDir)))
           catch { case e: Throwable =>
             System.err.println(s"[crosscheck] $name failed: ${e.getMessage}")
+            // JSON-safe by construction: printable ASCII only, minus the
+            // two JSON-string metacharacters — no escape sequence can be
+            // formed, so the artifact always parses (ADVICE r7 #3).
             Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace('\n', ' ').replace('"', '\'').take(200))
+              .map(c => if (c >= ' ' && c <= '~' && c != '"' && c != '\\') c else ' ')
+              .take(200))
           }
         ((System.nanoTime() - t0) / 1e9, out)
       }

@@ -357,10 +357,23 @@ object Dedup {
     */
   def embedCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.embeddings(spark, sfDir).count()
+    requireAllPairsSafe(n)
+    embedCosineUnguarded(spark, sfDir)
+  }
+
+  private def requireAllPairsSafe(n: Long): Unit =
     require(n <= AllPairsCutoff,
       s"dd_embed_cosine is the ALL-PAIRS oracle form (O(N^2) join): corpus has " +
         s"$n vectors > cutoff $AllPairsCutoff - use dd_embed_bucketed (or " +
         "dd_embed_auto's cost dispatch) at this scale")
+
+  /** The all-pairs plan WITHOUT the footer-count guard — callers must have
+    * established the corpus bound already (embedCosine counts-and-checks;
+    * embedAuto threads the count it needed for dispatch anyway, so a
+    * dispatched call costs ONE count job, not two, and building the guarded
+    * DataFrame is no longer eager at plan time).
+    */
+  private def embedCosineUnguarded(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(
       col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", graft.functions.vec.l2norm(col("emb")))
@@ -501,7 +514,7 @@ object Dedup {
 
   def embedAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.embeddings(spark, sfDir).count()
-    if (n <= EmbedAutoCrossover) embedCosine(spark, sfDir)
+    if (n <= EmbedAutoCrossover) { requireAllPairsSafe(n); embedCosineUnguarded(spark, sfDir) }
     else embedCosineBucketed(spark, sfDir)
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Skewed-key stress for dd_clusters' component propagation (round-6
@@ -53,8 +53,18 @@ object SkewClusterProbe {
     val pairs = star.union(chain).union(background)
 
     // --- listener ----------------------------------------------------------
+    // The balance assertion is scoped to stages of jobs launched INSIDE
+    // the propagation loop (tracked by job group) — a straggler task in
+    // fixture staging or the final collect must not fail the probe
+    // spuriously (ADVICE r7 #4).
     val taskMs = new ConcurrentHashMap[Int, java.util.List[Long]]()
+    val propagationStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            "skew-propagate" == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageIds.foreach(propagationStages.add(_))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         taskMs.computeIfAbsent(e.stageId,
           _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
@@ -63,7 +73,11 @@ object SkewClusterProbe {
     })
 
     val t0 = System.nanoTime()
-    val (labels, rounds) = Dedup.propagateComponentsWithRounds(pairs)
+    spark.sparkContext.setJobGroup("skew-propagate",
+      "dd_clusters pointer-doubled propagation (skew probe window)")
+    val (labels, rounds) =
+      try Dedup.propagateComponentsWithRounds(pairs)
+      finally spark.sparkContext.clearJobGroup()
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1500) // let the listener bus drain task-end events
@@ -86,7 +100,9 @@ object SkewClusterProbe {
     // --- 3. task-time balance ----------------------------------------------
     import scala.jdk.CollectionConverters._
     var worst = 0.0
-    val offenders = taskMs.asScala.toSeq.sortBy(_._1).flatMap { case (stage, l) =>
+    val inWindow = taskMs.asScala.toSeq.filter(e => propagationStages.contains(e._1))
+    require(inWindow.nonEmpty, "job-group window captured no propagation stages")
+    val offenders = inWindow.sortBy(_._1).flatMap { case (stage, l) =>
       val ds = l.asScala.map(_.toLong).toSeq.sorted
       if (ds.size < 8) None
       else {
@@ -97,13 +113,14 @@ object SkewClusterProbe {
         else None
       }
     }
-    println(f"[skewprobe] stages=${taskMs.size()} worstMaxOverMedian=$worst%.1f")
+    println(f"[skewprobe] stages=${inWindow.size}/${taskMs.size()} " +
+      f"worstMaxOverMedian=$worst%.1f (propagation-window stages only)")
     require(offenders.isEmpty,
       s"skewed stages (stage, maxMs, medianMs): $offenders")
 
     println(s"""SKEW_CLUSTER_PROBE_OK {"rounds":$rounds,""" +
       f""""wallSec":$secs%.2f,"worstMaxOverMedian":$worst%.1f,""" +
-      s""""stages":${taskMs.size()}}""")
+      s""""propagationStages":${inWindow.size},"allStages":${taskMs.size()}}""")
     spark.stop()
   }
 }
