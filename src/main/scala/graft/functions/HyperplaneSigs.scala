@@ -101,8 +101,119 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** probe_buckets(sig): every multiprobe bucket key within hamming ≤ `depth`
+  * of each table's signature, as one array<long> of (table << 32 | bucket)
+  * — the query-side companion of [[HyperplaneSigs]].
+  *
+  * Why an expression and not a column forest: at `bits` = B the probe set
+  * is 1 + B + B(B−1)/2 keys per table (211 at B = 20, ×L tables) — as
+  * `struct(...)` columns that is thousands of codegen'd expression trees
+  * (the compile-time trap the sigs Scaladoc documents), but as ONE
+  * expression it is three constant-size generated loops, identical source
+  * across plans, compiled once per JVM. Depth 2 is what keeps recall flat
+  * as B grows with the corpus (B = log₂(N/bucket)): a true neighbor at
+  * angle-similarity p lands within hamming 2 of the query in a table with
+  * probability P₁ = Σ_{i≤2} C(B,i)·p^{B−i}(1−p)^i, and the L-table miss
+  * rate (1−P₁)^L stays negligible for the near-dup-grade p ≥ 0.8 regime
+  * through B ≈ 16; hamming-1 probing (the round-7 form) already lost 25%
+  * of top-5 neighbors at B = 7 (RECALL_r08: 0.755).
+  */
+case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
+  extends UnaryExpression {
+
+  require(depth >= 0 && depth <= 2, s"probe depth $depth not in [0, 2]")
+
+  private val perTable = 1 + (if (depth >= 1) bits else 0) +
+    (if (depth >= 2) bits * (bits - 1) / 2 else 0)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"probe_buckets expects array<int> signatures, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val sig = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables * perTable)
+    var idx = 0
+    var t = 0
+    while (t < tables) {
+      val base = sig.getInt(t)
+      val tb = t.toLong << 32
+      out(idx) = tb | (base & 0xFFFFFFFFL); idx += 1
+      if (depth >= 1) {
+        var b1 = 0
+        while (b1 < bits) {
+          out(idx) = tb | ((base ^ (1 << b1)) & 0xFFFFFFFFL); idx += 1
+          if (depth >= 2) {
+            var b2 = b1 + 1
+            while (b2 < bits) {
+              out(idx) = tb | ((base ^ (1 << b1) ^ (1 << b2)) & 0xFFFFFFFFL); idx += 1
+              b2 += 1
+            }
+          }
+          b1 += 1
+        }
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val t = ctx.freshName("t")
+      val b1 = ctx.freshName("b1")
+      val b2 = ctx.freshName("b2")
+      val base = ctx.freshName("base")
+      val tb = ctx.freshName("tb")
+      val d1 = if (depth >= 1) "true" else "false"
+      val d2 = if (depth >= 2) "true" else "false"
+      s"""
+         |long[] $out = new long[${tables * perTable}];
+         |int $idx = 0;
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $base = $a.getInt($t);
+         |  long $tb = ((long) $t) << 32;
+         |  $out[$idx++] = $tb | ($base & 0xFFFFFFFFL);
+         |  if ($d1) {
+         |    for (int $b1 = 0; $b1 < $bits; $b1++) {
+         |      $out[$idx++] = $tb | (($base ^ (1 << $b1)) & 0xFFFFFFFFL);
+         |      if ($d2) {
+         |        for (int $b2 = $b1 + 1; $b2 < $bits; $b2++) {
+         |          $out[$idx++] = $tb | (($base ^ (1 << $b1) ^ (1 << $b2)) & 0xFFFFFFFFL);
+         |        }
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneSigs {
   import org.apache.spark.sql.functions._
+
+  /** Column form of [[ProbeBuckets]]: array<long> of (tbl << 32 | bkt)
+    * probe keys within hamming ≤ depth, per table. Decode with
+    * `(x >> 32)` and `(x & 0xFFFFFFFF)`.
+    */
+  def probeBuckets(sig: Column, tables: Int, bits: Int, depth: Int): Column =
+    ExpressionUtils.column(
+      ProbeBuckets(ExpressionUtils.expression(sig), tables, bits, depth))
 
   /** Column form; `planes` row-major [tables][bits][dim] flattened. */
   def sigs(v: Column, planes: Array[Double], tables: Int, bits: Int, dim: Int): Column =

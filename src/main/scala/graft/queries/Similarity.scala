@@ -34,11 +34,17 @@ object Similarity {
 
   private val K = 5
 
-  /** Probes grow sublinearly with the cell count (√k of the √N cells):
-    * enough to hold recall on unclustered (worst-case) vectors without the
-    * probe set growing linearly in the corpus.
+  /** Probes grow sublinearly with the cell count (√k of the √N cells ⇒
+    * nprobe ∝ N^(1/4)): enough to hold recall on unclustered (worst-case)
+    * vectors without the probe set growing linearly in the corpus. The
+    * 2.5 coefficient is measured, not guessed: 1.5·√k probed 10 of 45
+    * cells at sf0.1 and left recall@5 at 0.81 (RECALL_r08 before this
+    * round's fix) — this corpus's embeddings are near-uniform on the
+    * sphere (the IVF-hostile regime), so thin probing pays directly in
+    * misses. 2.5·√k holds ≥ 0.9 at the same N while still probing a
+    * vanishing cell fraction as N grows (2.5/k^(1/2) → 0).
     */
-  private def nprobeFor(k: Int): Int = math.max(8, math.ceil(1.5 * math.sqrt(k)).toInt)
+  private def nprobeFor(k: Int): Int = math.max(8, math.ceil(2.5 * math.sqrt(k)).toInt)
 
   /** Corpus cardinality. A filter-less count over a parquet scan has an
     * empty ReadSchema — Spark answers it from row-group metadata (footer
@@ -381,25 +387,34 @@ object Similarity {
       graft.functions.HyperplaneSigs.sigs(emb, flat, LshTables, bits, Dim)
     val keyed = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(sig(col("embedding"))).as(Seq("tbl", "bkt")))
-    // Query side: own bucket + the `bits` hamming-1 flips, per table
-    // (shared key builder; non-directional — asymmetric query→corpus).
+    // Query side: all probe keys within hamming ≤ 2 of the signature, per
+    // table, from ONE codegen expression (ProbeBuckets — generated loops,
+    // not a per-key column forest). Depth 2 is what keeps recall flat as
+    // the bit width grows with the corpus: hamming-1 probing at B = 7
+    // already missed 25% of top-5 neighbors (RECALL_r08 0.755 before this
+    // round's fix). The probe rows are SLIM — (q_id, tbl, bkt) only — so
+    // the probe broadcast is ≤ MaxQueries · L · (1 + B + B(B−1)/2) rows
+    // of three ints (≈ 20 MB even at B = 20), and the query embeddings
+    // ride a separate ≤ MaxQueries-row broadcast joined back by q_id
+    // AFTER candidate generation (carrying the 64-float vector on every
+    // probe row would multiply the broadcast by the probe fan-out).
     val q = queries(Tables.embeddings(spark, sfDir))
       .withColumn("sig", sig(col("q_emb")))
-    val probeKeys = graft.functions.HyperplaneSigs.probeKeys(
-      col("sig"), LshTables, bits, directional = false)
     val probes = q
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        explode(array(probeKeys: _*)).as("k"))
-      .filter(col("k.ok"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+      .select(col("q_id"),
+        explode(graft.functions.HyperplaneSigs.probeBuckets(
+          col("sig"), LshTables, bits, depth = 2)).as("tk"))
+      .select(col("q_id"),
+        shiftright(col("tk"), 32).cast("int").as("tbl"),
+        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
+    val qEmbs = q.select(col("q_id"), col("q_emb"), col("q_nrm"))
     // No distinct() needed: TopKAgg dedupes multi-table collisions by id
-    // inside the bounded buffer (identical cs per duplicate). The probe
-    // broadcast is bounded: |probes| ≤ MaxQueries · L · (bits+1) ≤
-    // 1024 · 8 · 21 rows; the corpus-derived `keyed` side streams.
+    // inside the bounded buffer (identical cs per duplicate). The
+    // corpus-derived `keyed` side streams through the hash join.
     rankTopK(
       broadcast(probes).join(keyed, Seq("tbl", "bkt"))
         .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qEmbs), Seq("q_id"))
         .withColumn("cs_raw", pairCosine))
   }
 }

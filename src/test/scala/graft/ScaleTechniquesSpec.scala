@@ -136,4 +136,18 @@ class ScaleTechniquesSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("skewed giant-component propagation: correct labels, log-bounded rounds") {
+    // The SkewClusterProbe body, carried by `sbt test` so the probe can
+    // never rot as unexecuted code (verdict r7 #3). run() asserts all
+    // probe invariants internally (giant + background label correctness,
+    // rounds ≤ 20 for a ~5,000-diameter component, and task balance over
+    // the propagation-window stages — the balance clause skips stages
+    // below 8 tasks, so under this suite's local[4] session it guards
+    // plumbing; the full-width numbers come from the standalone main at
+    // 32 partitions, committed per round).
+    val stats = graft.queries.SkewClusterProbe.run(spark)
+    info(s"skew probe: ${stats.json}")
+    assert(stats.rounds >= 2, "a ~5,000-diameter component cannot close in 1 round")
+  }
 }

@@ -29,9 +29,10 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    // Measured 0.82 (deterministic seeds); floor within 0.1 so a silent
-    // recall regression fails instead of coasting on a slack bound.
-    assert(mean >= 0.75, f"IVF recall too low: $mean%.2f")
+    // Measured 0.96 at sf0.001 / 0.95 at sf0.1 (deterministic seeds;
+    // 2.5·√k probes since round 8); floor within 0.1 so a silent recall
+    // regression fails instead of coasting on a slack bound.
+    assert(mean >= 0.88, f"IVF recall too low: $mean%.2f")
   }
 
   test("ann_lsh: hyperplane buckets give usable recall with bounded candidates") {
@@ -42,8 +43,9 @@ class SimilaritySpec extends SparkSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"LSH mean recall@5 = $mean%.2f over ${recalls.size} queries")
-    // Measured 0.96 (deterministic planes/seeds); tight floor per above.
-    assert(mean >= 0.85, f"LSH recall too low: $mean%.2f")
+    // Measured 1.00 at sf0.001 / 0.995 at sf0.1 (deterministic planes;
+    // depth-2 multiprobe since round 8); tight floor per above.
+    assert(mean >= 0.92, f"LSH recall too low: $mean%.2f")
   }
 
   test("ann_ivf_kmeans: trained centroids reach at least sampled-centroid recall") {
@@ -57,8 +59,9 @@ class SimilaritySpec extends SparkSuite {
     val sampled = recallOf(resultMap(Similarity.annIvf(spark, sf)))
     val trained = recallOf(resultMap(Similarity.annIvfKmeans(spark, sf)))
     info(f"recall@5: sampled=$sampled%.2f trained=$trained%.2f")
-    // Measured 0.90 (fixed KMeans seed); tight floor per above.
-    assert(trained >= 0.8, f"trained IVF recall too low: $trained%.2f")
+    // Measured 0.96 at sf0.001 / 0.945 at sf0.1 (seeded driver-side
+    // spherical k-means since round 8); tight floor per above.
+    assert(trained >= 0.88, f"trained IVF recall too low: $trained%.2f")
   }
 
   test("ann_range equals an independent plain-Scala brute-force radius scan") {

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Skewed-key stress for dd_clusters' component propagation (round-6
@@ -25,6 +26,10 @@ import org.apache.spark.sql.functions._
   *      ≥ 8 tasks and non-trivial work, the slowest task stays within
   *      20× the stage median (+100 ms noise floor) — the loud failure
   *      mode would be one task carrying the whole hot key while 31 idle.
+  *      The assertion is scoped to stages of jobs launched INSIDE the
+  *      propagation loop (tracked by job group) — a straggler in fixture
+  *      staging or the final collect cannot fail it spuriously
+  *      (ADVICE r7 #4).
   *
   * AQE's skew-join splitting only engages past size thresholds this
   * fixture cannot reach (256 MB partitions); what IS measurable at test
@@ -32,15 +37,28 @@ import org.apache.spark.sql.functions._
   * label's EDGES across tasks (the groupBy key is doc_a, not label, so
   * the hot label never collapses into one partition's reduce).
   *
+  * The probe body is `run(spark)`, shared by the standalone main (emits
+  * the SKEW_CLUSTER_PROBE_OK artifact line) and ScaleTechniquesSpec's
+  * test (verdict r7 #3: carried by `sbt test`, so it can never silently
+  * rot as unexecuted code again).
+  *
   * Run: sbt "Test/runMain graft.queries.SkewClusterProbe"
-  * Results recorded in ROUND7.md.
   */
 object SkewClusterProbe {
 
-  def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession("skew-cluster-probe")
-    import spark.implicits._
+  final case class Stats(rounds: Int, wallSec: Double, worstMaxOverMedian: Double,
+      propagationStages: Int, allStages: Int) {
+    def json: String =
+      s"""{"rounds":$rounds,""" +
+        f""""wallSec":$wallSec%.2f,"worstMaxOverMedian":$worstMaxOverMedian%.1f,""" +
+        s""""propagationStages":$propagationStages,"allStages":$allStages}"""
+  }
 
+  /** Builds the fixture, runs the propagation under a job group, asserts
+    * all three probe invariants (via require — throws on violation), and
+    * returns the measured stats.
+    */
+  def run(spark: SparkSession): Stats = {
     // --- fixture -----------------------------------------------------------
     val star = spark.range(1L, 5001L)
       .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
@@ -53,13 +71,9 @@ object SkewClusterProbe {
     val pairs = star.union(chain).union(background)
 
     // --- listener ----------------------------------------------------------
-    // The balance assertion is scoped to stages of jobs launched INSIDE
-    // the propagation loop (tracked by job group) — a straggler task in
-    // fixture staging or the final collect must not fail the probe
-    // spuriously (ADVICE r7 #4).
     val taskMs = new ConcurrentHashMap[Int, java.util.List[Long]]()
     val propagationStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         if (e.properties != null &&
             "skew-propagate" == e.properties.getProperty("spark.jobGroup.id"))
@@ -70,57 +84,63 @@ object SkewClusterProbe {
           _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
           .add(e.taskInfo.duration)
       }
-    })
-
-    val t0 = System.nanoTime()
-    spark.sparkContext.setJobGroup("skew-propagate",
-      "dd_clusters pointer-doubled propagation (skew probe window)")
-    val (labels, rounds) =
-      try Dedup.propagateComponentsWithRounds(pairs)
-      finally spark.sparkContext.clearJobGroup()
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val secs = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1500) // let the listener bus drain task-end events
-
-    // --- 1. correctness ----------------------------------------------------
-    val giantOk = (0L to 10000L).forall(i => got(i) == 0L)
-    val bgOk = (0 until 1000).forall { c =>
-      val base = 100000L + c * 10
-      (0 to 4).forall(j => got(base + j) == base)
     }
-    require(giantOk, "giant component did not fully label to node 0")
-    require(bgOk, "a background component mislabeled")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup("skew-propagate",
+        "dd_clusters pointer-doubled propagation (skew probe window)")
+      val (labels, rounds) =
+        try Dedup.propagateComponentsWithRounds(pairs)
+        finally spark.sparkContext.clearJobGroup()
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the listener bus drain task-end events
 
-    // --- 2. doubling bound -------------------------------------------------
-    println(s"[skewprobe] rounds=$rounds wall=${f"$secs%.2f"}s " +
-      s"nodes=${got.size} (giant 10001 + background 5000)")
-    require(rounds <= 20,
-      s"propagation needed $rounds rounds for diameter ~5000 — doubling broken")
-
-    // --- 3. task-time balance ----------------------------------------------
-    import scala.jdk.CollectionConverters._
-    var worst = 0.0
-    val inWindow = taskMs.asScala.toSeq.filter(e => propagationStages.contains(e._1))
-    require(inWindow.nonEmpty, "job-group window captured no propagation stages")
-    val offenders = inWindow.sortBy(_._1).flatMap { case (stage, l) =>
-      val ds = l.asScala.map(_.toLong).toSeq.sorted
-      if (ds.size < 8) None
-      else {
-        val median = ds(ds.size / 2).max(1L)
-        val ratio = ds.last.toDouble / median
-        worst = math.max(worst, ratio)
-        if (ds.last > 100 && ratio > 20) Some((stage, ds.last, median))
-        else None
+      // --- 1. correctness --------------------------------------------------
+      val giantOk = (0L to 10000L).forall(i => got(i) == 0L)
+      val bgOk = (0 until 1000).forall { c =>
+        val base = 100000L + c * 10
+        (0 to 4).forall(j => got(base + j) == base)
       }
-    }
-    println(f"[skewprobe] stages=${inWindow.size}/${taskMs.size()} " +
-      f"worstMaxOverMedian=$worst%.1f (propagation-window stages only)")
-    require(offenders.isEmpty,
-      s"skewed stages (stage, maxMs, medianMs): $offenders")
+      require(giantOk, "giant component did not fully label to node 0")
+      require(bgOk, "a background component mislabeled")
 
-    println(s"""SKEW_CLUSTER_PROBE_OK {"rounds":$rounds,""" +
-      f""""wallSec":$secs%.2f,"worstMaxOverMedian":$worst%.1f,""" +
-      s""""propagationStages":${inWindow.size},"allStages":${taskMs.size()}}""")
+      // --- 2. doubling bound -----------------------------------------------
+      println(s"[skewprobe] rounds=$rounds wall=${f"$secs%.2f"}s " +
+        s"nodes=${got.size} (giant 10001 + background 5000)")
+      require(rounds <= 20,
+        s"propagation needed $rounds rounds for diameter ~5000 — doubling broken")
+
+      // --- 3. task-time balance --------------------------------------------
+      import scala.jdk.CollectionConverters._
+      var worst = 0.0
+      val inWindow = taskMs.asScala.toSeq.filter(e => propagationStages.contains(e._1))
+      require(inWindow.nonEmpty, "job-group window captured no propagation stages")
+      val offenders = inWindow.sortBy(_._1).flatMap { case (stage, l) =>
+        val ds = l.asScala.map(_.toLong).toSeq.sorted
+        if (ds.size < 8) None
+        else {
+          val median = ds(ds.size / 2).max(1L)
+          val ratio = ds.last.toDouble / median
+          worst = math.max(worst, ratio)
+          if (ds.last > 100 && ratio > 20) Some((stage, ds.last, median))
+          else None
+        }
+      }
+      println(f"[skewprobe] stages=${inWindow.size}/${taskMs.size()} " +
+        f"worstMaxOverMedian=$worst%.1f (propagation-window stages only)")
+      require(offenders.isEmpty,
+        s"skewed stages (stage, maxMs, medianMs): $offenders")
+
+      Stats(rounds, secs, worst, inWindow.size, taskMs.size())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession("skew-cluster-probe")
+    val stats = run(spark)
+    println(s"SKEW_CLUSTER_PROBE_OK ${stats.json}")
     spark.stop()
   }
 }
