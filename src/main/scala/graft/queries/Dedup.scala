@@ -880,17 +880,28 @@ object Dedup {
       if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
-    // Positions explode FIRST, md5 as a TOP-LEVEL projection: inside a
-    // `transform(...)` lambda the md5 runs on the interpreted
+    // Positions explode FIRST, the hash as a TOP-LEVEL projection: inside
+    // a `transform(...)` lambda it runs on the interpreted
     // higher-order-function path (HOFs don't participate in whole-stage
     // codegen) — ~14 µs/window vs ~1 µs compiled. Generate + project stay
     // in one codegen stage, so `text` never crosses an exchange.
+    //
+    // xxhash64, NOT md5: `g` is an INTRA-engine equality key only — it
+    // never reaches the output (spans do) and is never compared against
+    // the oracle's g, so the cross-engine md5 contract (winnow's
+    // ordered-fingerprint case) does not apply, and the DuckDB oracle
+    // keeps its own md5 keys. A long key halves nothing less than
+    // everything downstream: 8-byte join/shuffle/distinct keys vs 32-char
+    // hex strings, and the hash itself is one xxh64 pass over 40 bytes
+    // instead of full md5 + hex encode (measured: ≈5.1 → 3.6 s isolation
+    // floor at sf0.1). Collisions at 13M windows are ~2⁻⁴⁵ per pair and
+    // the sf0.01 oracle compare would surface any output drift.
     val gramsPos = spread
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (SubstrWindow - 1)))
           .as("i"))
       .select(col("doc_id"), col("i").cast("long").as("i"),
-        md5(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
+        xxhash64(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
       // Many consumers below (df agg + anti-join + both join sides):
       // without a barrier the 1.3M-window generation replays per consumer
       // (measured 4× at sf0.1). Same justification as the minhash family's

@@ -333,6 +333,8 @@ object Similarity {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty,
+      s"ann_ivf_kmeans: empty training sample (corpus n=$n, stride=$stride)")
     val kEff = math.min(k, sample.length)
     val fitted = sphericalKmeans(sample, kEff)
     val cents = spark.createDataFrame(

@@ -166,4 +166,5 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(
         updateSessions)
   }
+
 }

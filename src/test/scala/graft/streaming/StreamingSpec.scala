@@ -229,6 +229,29 @@ class StreamingSpec extends SparkSuite {
     assert(s == sBatch)
   }
 
+  test("st_interval_join equals the batch self-join it restates") {
+    // The driver-facing form of the (spec-proven) stream-stream
+    // attribution join: run to completion, every (purchase, click≤1h)
+    // pair appears exactly once with an exact integer lag.
+    val got = StreamingQueries.intervalJoin(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val want = {
+      val e = graft.Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      p.join(c, col("user_id") === col("c_user")
+          && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR")
+          && col("click_ts") < col("purchase_ts"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("click_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(got.nonEmpty, "interval join produced no pairs on the fixture corpus")
+    assert(got == want, s"stream ${got.size} pairs vs batch ${want.size}")
+  }
+
   test("st_sliding equals a batch replay and every event lands in 2 windows") {
     val got = StreamingQueries.sliding(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
