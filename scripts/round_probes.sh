@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round evidence run: execute every instrument and land its artifact.
+# Sequential — only one sbt can hold the project lock.
+#
+# Usage: scripts/round_probes.sh R   (R = round number, e.g. 10)
+#
+# Unlike round8_probes.sh (which always exited 0 — ADVICE r8/r9), any
+# failed gate sets a flag and the script exits 1, so CI / the driver can
+# see a red evidence run.
+set -u
+r=${1:?usage: round_probes.sh ROUND_NUMBER}
+cd /root/repo
+fail=0
+log() { echo "[round$r $(date +%H:%M:%S)] $*" >&2; }
+
+log "1/5 cross-mode gate -> CLUSTER_r$r.json"
+scripts/cluster_check.sh "CLUSTER_r$r.json" || { log "CLUSTER GATE FAILED"; fail=1; }
+
+log "2/5 skew probe (output -> /tmp/skew_probe.log)"
+sbt -batch "Test/runMain graft.queries.SkewClusterProbe" \
+  > /tmp/skew_probe.log 2>&1 || { log "SKEW PROBE FAILED"; fail=1; }
+grep -E "\[skewprobe\]|SKEW_CLUSTER_PROBE_OK" /tmp/skew_probe.log >&2 || true
+
+log "3/5 recall probe -> RECALL_r$r.json"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.RecallProbe /root/repo/RECALL_r$r.json" \
+  > /tmp/recall_probe.log 2>&1 || { log "RECALL PROBE FAILED"; fail=1; }
+grep "\[recall\]" /tmp/recall_probe.log >&2 || true
+
+log "4/5 isolation laps -> PROBES_r$r.json"
+scripts/isolate_probes.sh "PROBES_r$r.json" \
+  mm_features dd_substring dd_clusters dd_minhash dd_editdist \
+  || { log "ISOLATE PROBES FAILED"; fail=1; }
+
+log "5/5 scale curves -> SCALE_r$r.json"
+scripts/scale_probes.sh "SCALE_r$r.json" || { log "SCALE PROBES FAILED"; fail=1; }
+
+if [ "$fail" -ne 0 ]; then log "DONE WITH FAILURES"; exit 1; fi
+log "done (all gates green)"

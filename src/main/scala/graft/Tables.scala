@@ -21,18 +21,38 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). The session is built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession — a loader
-    * must not mutate session conf as a side effect), so ts arrives as an
-    * epoch-nanos long; floor-divide to µs — integer division, since 2024
-    * epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range. DuckDB's
-    * CAST(ns AS TIMESTAMP) truncates the same way, keeping oracles aligned.
+  /** `events.ts` has shipped in two vintages of the driver testdata:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects outright, PARQUET_TYPE_ILLEGAL,
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` — set at session
+    * build in GraftSession, since a loader must not mutate session conf as a
+    * side effect) and plain timestamp[us]. Branch on the arriving dtype:
+    * an epoch-nanos long is floor-divided to µs — integer division, since
+    * 2024 epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range — while a
+    * native timestamp passes through untouched. DuckDB's
+    * CAST(ts AS TIMESTAMP) handles both vintages the same way, keeping
+    * oracles aligned. Normalizing here (not per-query) keeps the data
+    * contract in one place; SchemaCanarySpec fails loud if a third vintage
+    * ever appears.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false infers as NTZ; the
+        // session TZ is pinned UTC so this cast is a no-op on the stored
+        // micros, and it keeps every downstream consumer (watermarks,
+        // Instant encoders, unix_micros parity) on one timestamp type.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts drifted to unsupported dtype $other (expected " +
+            "timestamp, timestamp_ntz, or epoch-nanos long); update Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

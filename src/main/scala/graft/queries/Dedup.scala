@@ -863,19 +863,24 @@ object Dedup {
     * shuffle-based engine: fixed windows are join keys; maximal repeats
     * need global suffix order, which doesn't shard.
     *
-    * Fully oracle-checked: md5 + substr agree between Spark and DuckDB, so
-    * unlike the pre-round-6 xxhash64 families this always had a
-    * value-level driver gate — including, now, the span arithmetic.
+    * Fully oracle-checked at the VALUE level: the output spans agree
+    * between Spark and DuckDB — including the maximal-span island
+    * arithmetic. The engines need not share a hash: the engine keys
+    * windows with 8-byte xxhash64 (intra-engine equality only; see the
+    * inline rationale below) while the DuckDB oracle keeps md5 — both
+    * collapse identical 40-char windows to identical keys, and only
+    * spans reach the compared output.
     */
   def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= SubstrWindow)
       .select(col("doc_id"), col("text"))
-    // Window generation is ~40× the scan bytes in md5 CPU, so it must run
-    // on every core. A test corpus arrives as ONE parquet split (the scan
-    // task would hash 1.3M windows alone — measured 18 s at sf0.1); spread
-    // it first. At production scale input splits ≫ cores and this branch
-    // never fires, so nothing is shuffled there.
+    // Window generation hashes ~40× the scan bytes (one xxhash64 pass per
+    // overlapping 40-char window), so it must run on every core. A test
+    // corpus arrives as ONE parquet split (the scan task would hash 1.3M
+    // windows alone — measured 18 s at sf0.1); spread it first. At
+    // production scale input splits ≫ cores and this branch never fires,
+    // so nothing is shuffled there.
     val spread =
       if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)

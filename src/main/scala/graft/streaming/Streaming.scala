@@ -31,23 +31,37 @@ object Streaming {
   val GapUs: Long = 30L * 60 * 1000000
   private val GapMs: Long = GapUs / 1000
 
-  /** The `events` table as a file stream: same ns→µs handling as the batch
-    * loader (Tables.events), schema pinned from a batch read (streaming
-    * sources never infer). In production this is a growing directory or a
-    * Kafka topic — the downstream pipelines are identical.
+  /** The `events` table as a file stream: same schema-adaptive ts handling
+    * as the batch loader (Tables.events — epoch-nanos long vintage divides
+    * to µs, timestamp[us] vintage passes through), schema pinned from a
+    * batch read (streaming sources never infer). In production this is a
+    * growing directory or a Kafka topic — the downstream pipelines are
+    * identical.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // nanosAsLong is set at session build (GraftSession / SparkSuite) —
-    // see Tables.events for the ns→µs contract.
+    // see Tables.events for the two-vintage ts contract.
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // File streams require a directory: stream the sf dir filtered to the
     // events file (a real deployment streams a dedicated directory/topic).
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case TimestampType => raw
+      case TimestampNTZType =>
+        // Session TZ is pinned UTC, so NTZ→LTZ is a no-op on the stored
+        // micros — see Tables.events.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts drifted to unsupported dtype $other (expected " +
+            "timestamp, timestamp_ntz, or epoch-nanos long); update Streaming.eventsStream")
+    }
   }
 
   /** Incremental tumbling-window aggregation. The 1-hour watermark bounds

@@ -95,7 +95,9 @@ object SkewClusterProbe {
         finally spark.sparkContext.clearJobGroup()
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // let the listener bus drain task-end events
+      // Deterministic barrier: all task-end events delivered (was a fixed
+      // 1.5 s sleep that taxed every `sbt test` run).
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
 
       // --- 1. correctness --------------------------------------------------
       val giantOk = (0L to 10000L).forall(i => got(i) == 0L)
