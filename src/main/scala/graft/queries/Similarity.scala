@@ -174,38 +174,62 @@ object Similarity {
     */
   private val CellReplicas = 2
 
-  /** Nearest-cells assignment as a BOUNDED PARTIAL AGGREGATE:
-    * broadcast-join the centroids, then TopKAgg under groupBy(vec_id) —
-    * map-side combine collapses the N·k candidate rows to N before the
-    * shuffle, and only `CellReplicas` cell ids per vector survive. (The
-    * window-rank alternative shuffles and sorts all N·k rows — the
-    * round-1 scale bug this replaces.) Ordering (ccs desc, cent_id asc)
-    * matches the old rank tie-break.
+  /** Both IVF stages — corpus→cell assignment and query→cell probing —
+    * run through [[graft.functions.NearestCells]]: a per-row argmax-r
+    * against the driver-resident unit-centroid matrix. Round 8's form
+    * broadcast-joined the centroids then re-aggregated with TopKAgg under
+    * groupBy — correct and map-side-combined, but it materialized N·k
+    * candidate rows, shuffled N rows, and (the cross-mode killer) ran
+    * 11 Spark jobs at warm steady state, most of them broadcast-exchange
+    * builds that each pay separate-JVM scheduling on real executors
+    * (CLUSTER_r08: 2.10× cluster/local, the worst in the suite). As a
+    * projection the assignment adds ZERO shuffles and the only remaining
+    * broadcast is the bounded probe set itself.
+    *
+    * The centroid collect is a bounded driver read under the engine's
+    * existing policy (k ≈ √N rows: ~8 MB of float32 at N = 10⁹ — same
+    * class as the k-means training sample's 33 MB cap), and the matrix
+    * then rides the plan inside the expression `references` array exactly
+    * like HyperplaneSigs' planes. Rows are sorted by id on the driver, so
+    * the fitted matrix — and hence every downstream fingerprint — is
+    * identical across local[32] and multi-JVM cluster mode.
     */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.join(broadcast(cents))
-      .withColumn("ccs", graft.functions.vec.dot(col("embedding"), col("cent_emb"))
-        / (col("nrm") * col("cent_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(
-        graft.functions.TopKAgg.topk(col("cent_id"), col("ccs"), CellReplicas).as("cells"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"))
-      .select(explode(col("cells.id")).as("cell"),
-        col("vec_id"), col("embedding"), col("nrm"))
+  private def assignedCells(e: DataFrame, unit: Array[Double], ids: Array[Long]): DataFrame =
+    e.select(
+      explode(graft.functions.NearestCells.nearestCells(
+        col("embedding"), unit, ids, ids.length, Dim, CellReplicas)).as("cell"),
+      col("vec_id"), col("embedding"), col("nrm"))
 
-  /** nprobe nearest cells per query — bounded TopKAgg again (nprobe rows
-    * per query across the shuffle, not |Q|·k).
+  /** nprobe nearest cells per query — the same per-row expression over the
+    * ≤ MaxQueries probe rows (|Q|·nprobe output rows, no aggregation).
     */
-  private def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
-    q.join(broadcast(cents))
-      .withColumn("qcs", graft.functions.vec.dot(col("q_emb"), col("cent_emb"))
-        / (col("q_nrm") * col("cent_nrm")))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topk(col("cent_id"), col("qcs"), nprobe).as("cells"),
-        first(col("q_emb")).as("q_emb"), first(col("q_nrm")).as("q_nrm"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        explode(col("cells.id")).as("cell"))
+  private def probedCells(q: DataFrame, unit: Array[Double], ids: Array[Long],
+                          nprobe: Int): DataFrame =
+    q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+      explode(graft.functions.NearestCells.nearestCells(
+        col("q_emb"), unit, ids, ids.length, Dim, nprobe)).as("cell"))
+
+  /** Collect + unit-normalize a centroid candidate set (id, float vector)
+    * on the driver: ids sorted ascending for cross-mode determinism.
+    */
+  private def collectUnitCents(cents: DataFrame): (Array[Long], Array[Double]) = {
+    val rows = cents.collect().sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val unit = new Array[Double](rows.length * Dim)
+    rows.zipWithIndex.foreach { case (row, c) =>
+      val v = row.getSeq[Float](1)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      val nrm = math.sqrt(s)
+      i = 0
+      while (i < math.min(v.length, Dim)) {
+        unit(c * Dim + i) = if (nrm == 0.0) v(i).toDouble else v(i).toDouble / nrm
+        i += 1
+      }
+    }
+    (ids, unit)
+  }
 
   /** Probe-side broadcast is bounded by contract: |probed| ≤ MaxQueries ·
     * nprobe (≈ 1024 · 1.5·N^(1/4)) — sublinear in the corpus and tiny in
@@ -220,20 +244,23 @@ object Similarity {
 
   /** ann_ivf — IVF with hash-sampled coarse centroids: every vector whose
     * id-hash clears a stride derived from k ≈ √N. Selection is a pure
-    * filter (no training pass); the centroid set is √N rows — broadcastable
-    * at any corpus size. Approximate → no SQL oracle (driver rows-only);
-    * SimilaritySpec asserts recall@5 against ann_topk.
+    * filter (no training pass); the centroid set is √N rows — a bounded
+    * driver collect at any corpus size (see collectUnitCents). Approximate
+    * → no SQL oracle (driver rows-only); SimilaritySpec asserts recall@5
+    * against ann_topk.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val n = corpusSize(spark, sfDir)
     val k = centroidCount(n)
     val stride = math.max(1L, n / k)
+    val (ids, unit) = collectUnitCents(
+      Tables.embeddings(spark, sfDir)
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding")))
     val e = normed(Tables.embeddings(spark, sfDir))
-    val cents = e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
-    val assigned = assignCells(e, cents)
-    val probed = probeCells(queries(Tables.embeddings(spark, sfDir)), cents, nprobeFor(k))
+    val assigned = assignedCells(e, unit, ids)
+    val probed = probedCells(queries(Tables.embeddings(spark, sfDir)),
+      unit, ids, nprobeFor(k))
     searchCells(probed, assigned)
   }
 
@@ -314,7 +341,7 @@ object Similarity {
     * and centroid broadcast round-trips, to fit what is only ever a
     * √N-row model). Driver fit costs ONE bounded collect job; the O(N·k)
     * corpus-to-cell assignment — the part that must scale — stays fully
-    * distributed (assignCells). At 100 TB the model trains once per
+    * distributed (assignedCells). At 100 TB the model trains once per
     * ingest and is reused; including the build here keeps the bench
     * honest. Sampling is content-deterministic (id-hash stride, the
     * ann_ivf pattern) and the collect is sorted by vec_id, so the fitted
@@ -337,14 +364,18 @@ object Similarity {
       s"ann_ivf_kmeans: empty training sample (corpus n=$n, stride=$stride)")
     val kEff = math.min(k, sample.length)
     val fitted = sphericalKmeans(sample, kEff)
-    val cents = spark.createDataFrame(
-      fitted.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
-      .toDF("cent_id", "cent_emb")
-      .withColumn("cent_nrm", graft.functions.vec.l2norm(col("cent_emb")))
-    // Same bounded-agg assignment path as ann_ivf (cosine argmax ≡ k-means
-    // cosine-distance predict), with CellReplicas-way multi-assignment.
-    val assigned = assignCells(normed(raw), cents)
-    val probed = probeCells(queries(Tables.embeddings(spark, sfDir)), cents, nprobeFor(kEff))
+    // The fitted centroids are already unit-normalized doubles on the
+    // driver — flatten straight into the expression matrix (cell id =
+    // centroid index); same per-row assignment path as ann_ivf (cosine
+    // argmax ≡ k-means cosine-distance predict), CellReplicas-way.
+    val unit = new Array[Double](kEff * Dim)
+    fitted.zipWithIndex.foreach { case (v, c) =>
+      System.arraycopy(v, 0, unit, c * Dim, math.min(v.length, Dim))
+    }
+    val ids = Array.tabulate(kEff)(_.toLong)
+    val assigned = assignedCells(normed(raw), unit, ids)
+    val probed = probedCells(queries(Tables.embeddings(spark, sfDir)),
+      unit, ids, nprobeFor(kEff))
     searchCells(probed, assigned)
   }
 
