@@ -21,19 +21,20 @@ sbt -batch "Test/runMain graft.queries.SkewClusterProbe" \
   > /tmp/skew_probe.log 2>&1 || { log "SKEW PROBE FAILED"; fail=1; }
 grep -E "\[skewprobe\]|SKEW_CLUSTER_PROBE_OK" /tmp/skew_probe.log >&2 || true
 
-log "3/5 recall probe -> RECALL_r$r.json"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch "runMain graft.RecallProbe /root/repo/RECALL_r$r.json" \
-  > /tmp/recall_probe.log 2>&1 || { log "RECALL PROBE FAILED"; fail=1; }
-grep "\[recall\]" /tmp/recall_probe.log >&2 || true
-
-log "4/5 isolation laps -> PROBES_r$r.json"
+log "3/5 isolation laps -> PROBES_r$r.json"
 scripts/isolate_probes.sh "PROBES_r$r.json" \
   mm_features dd_substring dd_clusters dd_minhash dd_editdist \
   || { log "ISOLATE PROBES FAILED"; fail=1; }
 
-log "5/5 scale curves -> SCALE_r$r.json"
+log "4/5 scale curves -> SCALE_r$r.json"
 scripts/scale_probes.sh "SCALE_r$r.json" || { log "SCALE PROBES FAILED"; fail=1; }
+
+# After the scale step so the staged 3x/10x corpora exist: recall is
+# measured on the full scale curve (sf0.1 plus the staged points).
+log "5/5 recall probe (scale curve) -> RECALL_r$r.json"
+sbt -batch "runMain graft.RecallProbe /root/repo/RECALL_r$r.json /root/testdata/sf0.1 /tmp/graft_scale/sf0.3 /tmp/graft_scale/sf1" \
+  > /tmp/recall_probe.log 2>&1 || { log "RECALL PROBE FAILED"; fail=1; }
+grep "\[recall\]" /tmp/recall_probe.log >&2 || true
 
 if [ "$fail" -ne 0 ]; then log "DONE WITH FAILURES"; exit 1; fi
 log "done (all gates green)"

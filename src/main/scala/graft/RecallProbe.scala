@@ -20,11 +20,14 @@ object RecallProbe {
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = args.headOption.getOrElse("/tmp/recall.json")
-    val spark = GraftSession("graft-recall")
-
+  /** Recall of each approximate family vs the exact baseline on ONE
+    * corpus dir: the baseline is recomputed per dir, so the measurement
+    * stays well-defined on the scale-curve corpora (replicas legitimately
+    * enter some top-5 sets as the corpus grows).
+    */
+  private def recallAt(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): String = {
+    val n = Tables.embeddings(spark, sfDir).count()
     val exact = resultMap(SparkEntry.queries("ann_topk")(spark, sfDir))
     val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_lsh").map { fam =>
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))
@@ -33,16 +36,31 @@ object RecallProbe {
           .getOrElse(0.0)
       }
       val mean = recalls.sum / recalls.size
-      println(f"[recall] $fam%-15s recall@5 = $mean%.4f over ${recalls.size} queries")
+      println(f"[recall] $sfDir $fam%-15s recall@5 = $mean%.4f over ${recalls.size} queries (n=$n)")
       fam -> mean
     }
     val body = entries
       .map { case (f, r) => "\"" + f + "\":" + f"$r%.4f" }
       .mkString(",")
-    val line = s"""{"sf":"$sfDir","k":5,"baseline":"ann_topk",""" +
+    s"""{"sf":"$sfDir","n":$n,"k":5,"baseline":"ann_topk",""" +
       s""""nQueries":${exact.size},"recall":{$body}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("/tmp/recall.json")
+    // Extra args = scale-curve corpus dirs (verdict r8 #3): recall is
+    // re-measured per dir as B grows with the corpus. No extra args →
+    // the single SPARK_GRAFT_SF_DIR corpus, the round-8 artifact shape.
+    val dirs =
+      if (args.length > 1) args.toSeq.drop(1)
+      else Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession("graft-recall")
+    val lines = dirs.map(d => recallAt(spark, d))
+    val out =
+      if (lines.size == 1) lines.head
+      else s"""{"points":[${lines.mkString(",")}]}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (out + "\n").getBytes("UTF-8"))
     println(s"[recall] wrote $outPath")
     spark.stop()
   }

@@ -60,7 +60,10 @@ object ScaleCorpus {
         length(col("text")).cast("long").as("n_chars"))
 
     val base = graft.Tables.documents(spark, sfDir)
-    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9)) {
+    // sf3 (30×) exists for the dd_substring marginal-slope point (verdict
+    // r8 #5): the doc family's steepest curve needs a far point to
+    // distinguish "flattening" from "compounding".
+    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9, "sf3" -> 29)) {
       val out = new java.io.File(s"$outBase/$tag/documents.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         val docs =
@@ -73,6 +76,46 @@ object ScaleCorpus {
         println(s"[scalecorpus] $tag: $n docs -> $out")
       } else println(s"[scalecorpus] $tag: already staged at $out")
     }
+    stageEmbeddings(spark, sfDir, outBase)
     spark.stop()
+  }
+
+  /** Embedding scale points for the ANN / embed-dedup family (verdict r8
+    * #3/#6): replicas are seeded Gaussian unit vectors — in 64-d they are
+    * near-orthogonal to everything (pair cosine concentrates in ±4/√64 ≈
+    * ±0.5 σ·4 → |cs| ≲ 0.5 at these counts), matching the driver
+    * corpus's uniform-on-sphere regime, so they add WORK (corpus rows,
+    * LSH occupancy, wider B) without fabricating near-dup structure. The
+    * exact ann_topk baseline is recomputed per scale point, so recall
+    * stays well-defined as replicas enter some top-5 sets. The query set
+    * (vec_id % 50 = 0, id < 51200) selects only original ids — replicas
+    * start at ReplicaIdBase — so the probe measures the SAME queries
+    * against a growing corpus.
+    */
+  private def stageEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String, outBase: String): Unit = {
+    val baseRows = graft.Tables.embeddings(spark, sfDir).collect()
+    val nBase = baseRows.length
+    val dim = baseRows.head.getSeq[Float](1).length
+    import spark.implicits._
+    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9, "sf3" -> 29)) {
+      val out = new java.io.File(s"$outBase/$tag/embeddings.parquet")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val rnd = new scala.util.Random(77001)
+        val extra = (0 until strides * nBase).map { r =>
+          val v = Array.fill(dim)(rnd.nextGaussian())
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          (ReplicaIdBase + r, v.map(x => (x / nrm).toFloat), 0)
+        }
+        val extraDf = extra.toDF("vec_id", "embedding", "label")
+        val baseDf = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+        val staged = baseDf.unionByName(extraDf)
+          .repartition(spark.sparkContext.defaultParallelism)
+        staged.write.mode("overwrite").parquet(out.getAbsolutePath)
+        val n = spark.read.parquet(out.getAbsolutePath).count()
+        println(s"[scalecorpus] $tag: $n vectors -> $out")
+      } else println(s"[scalecorpus] $tag: already staged at $out")
+    }
   }
 }
