@@ -92,6 +92,17 @@ object Bench {
       case Some(name) =>
         require(SparkEntry.queries.contains(name), s"unknown query: $name")
         timedLap(spark, sfDir, name) // warm-up, untimed in the artifact
+        // GRAFT_BENCH_POLLUTE: run these queries once (untimed) between
+        // warm-up and the timed laps — the bisect instrument for
+        // suite-context gaps (a query that is fast in a fresh JVM but
+        // slow mid-suite is being poisoned by some earlier query's JVM
+        // residue; this narrows down WHICH).
+        sys.env.get("GRAFT_BENCH_POLLUTE").foreach { qs =>
+          qs.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+            require(SparkEntry.queries.contains(q), s"unknown pollutant: $q")
+            timedLap(spark, sfDir, q)
+          }
+        }
         // GRAFT_BENCH_LAPS trims the protocol for long-running scale
         // probes (scripts/scale_probes.sh uses 3); default stays 5.
         val lapsN = sys.env.getOrElse("GRAFT_BENCH_LAPS", "5").toInt
