@@ -109,22 +109,25 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   * is 1 + B + B(B−1)/2 keys per table (211 at B = 20, ×L tables) — as
   * `struct(...)` columns that is thousands of codegen'd expression trees
   * (the compile-time trap the sigs Scaladoc documents), but as ONE
-  * expression it is three constant-size generated loops, identical source
-  * across plans, compiled once per JVM. Depth 2 is what keeps recall flat
-  * as B grows with the corpus (B = log₂(N/bucket)): a true neighbor at
-  * angle-similarity p lands within hamming 2 of the query in a table with
-  * probability P₁ = Σ_{i≤2} C(B,i)·p^{B−i}(1−p)^i, and the L-table miss
-  * rate (1−P₁)^L stays negligible for the near-dup-grade p ≥ 0.8 regime
-  * through B ≈ 16; hamming-1 probing (the round-7 form) already lost 25%
-  * of top-5 neighbors at B = 7 (RECALL_r08: 0.755).
+  * expression it is nested constant-size generated loops, identical source
+  * across plans, compiled once per JVM. The right depth DEPENDS on B and
+  * the neighbor regime: a true neighbor at angle-similarity p lands within
+  * hamming d of the query in a table with probability
+  * P₁ = Σ_{i≤d} C(B,i)·p^{B−i}(1−p)^i, and the L-table miss rate (1−P₁)^L
+  * decays fast for near-dup-grade p ≥ 0.8 but grows with B for top-k-grade
+  * p ≈ 0.6 (expected hamming is B·(1−p), linear in B — RECALL_r10 measured
+  * depth-2 recall decaying 0.995 → 0.845 over a 10× corpus). Depth is
+  * therefore a caller decision: dedup paths fix d = 1–2; ann_lsh derives
+  * (L, d) per build from exact calibration pairs (Similarity.calibratedLsh).
   */
 case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
   extends UnaryExpression {
 
-  require(depth >= 0 && depth <= 2, s"probe depth $depth not in [0, 2]")
+  require(depth >= 0 && depth <= 3, s"probe depth $depth not in [0, 3]")
 
   private val perTable = 1 + (if (depth >= 1) bits else 0) +
-    (if (depth >= 2) bits * (bits - 1) / 2 else 0)
+    (if (depth >= 2) bits * (bits - 1) / 2 else 0) +
+    (if (depth >= 3) bits * (bits - 1) * (bits - 2) / 6 else 0)
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
     containsNull = false)
@@ -156,6 +159,14 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
             var b2 = b1 + 1
             while (b2 < bits) {
               out(idx) = tb | ((base ^ (1 << b1) ^ (1 << b2)) & 0xFFFFFFFFL); idx += 1
+              if (depth >= 3) {
+                var b3 = b2 + 1
+                while (b3 < bits) {
+                  out(idx) = tb | ((base ^ (1 << b1) ^ (1 << b2) ^ (1 << b3)) & 0xFFFFFFFFL)
+                  idx += 1
+                  b3 += 1
+                }
+              }
               b2 += 1
             }
           }
@@ -174,10 +185,12 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
       val t = ctx.freshName("t")
       val b1 = ctx.freshName("b1")
       val b2 = ctx.freshName("b2")
+      val b3 = ctx.freshName("b3")
       val base = ctx.freshName("base")
       val tb = ctx.freshName("tb")
       val d1 = if (depth >= 1) "true" else "false"
       val d2 = if (depth >= 2) "true" else "false"
+      val d3 = if (depth >= 3) "true" else "false"
       s"""
          |long[] $out = new long[${tables * perTable}];
          |int $idx = 0;
@@ -191,6 +204,11 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
          |      if ($d2) {
          |        for (int $b2 = $b1 + 1; $b2 < $bits; $b2++) {
          |          $out[$idx++] = $tb | (($base ^ (1 << $b1) ^ (1 << $b2)) & 0xFFFFFFFFL);
+         |          if ($d3) {
+         |            for (int $b3 = $b2 + 1; $b3 < $bits; $b3++) {
+         |              $out[$idx++] = $tb | (($base ^ (1 << $b1) ^ (1 << $b2) ^ (1 << $b3)) & 0xFFFFFFFFL);
+         |            }
+         |          }
          |        }
          |      }
          |    }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   * bit-for-bit and its combinatorics must be exact:
   *
   *  - interpreted `nullSafeEval` ≡ the codegen path (`doGenCode`), on
-  *    random signatures across B ∈ {4..20}, L ∈ {1,2,4}, depth ∈ {0,1,2};
-  *  - probe-set size is exactly L·(1 + B·[d≥1] + B(B−1)/2·[d≥2]);
+  *    random signatures across B ∈ {4..20}, L ∈ {1,2,4}, depth ∈ {0..3};
+  *  - probe-set size is exactly
+  *    L·(1 + B·[d≥1] + B(B−1)/2·[d≥2] + B(B−1)(B−2)/6·[d≥3]);
   *  - no duplicate keys: within a table every hamming-≤d flip of a B-bit
   *    base is distinct, and the table id in the upper 32 bits separates
   *    tables.
@@ -24,7 +25,8 @@ class ProbeBucketsPropSpec extends SparkSuite {
 
   private def expectedSize(tables: Int, bits: Int, depth: Int): Int =
     tables * (1 + (if (depth >= 1) bits else 0) +
-      (if (depth >= 2) bits * (bits - 1) / 2 else 0))
+      (if (depth >= 2) bits * (bits - 1) / 2 else 0) +
+      (if (depth >= 3) bits * (bits - 1) * (bits - 2) / 6 else 0))
 
   /** Interpreted path, straight through the expression (no plan, no
     * codegen): exactly what a fallback/interpreted projection runs.
@@ -48,7 +50,7 @@ class ProbeBucketsPropSpec extends SparkSuite {
   }
 
   test("interpreted ≡ codegen, exact probe count, no duplicate keys (B ∈ 4..20)") {
-    for (bits <- 4 to 20; depth <- 0 to 2) {
+    for (bits <- 4 to 20; depth <- 0 to 3) {
       val tables = Seq(1, 2, 4)(rnd.nextInt(3))
       val sigs = (0 until 25).map { i =>
         i.toLong -> Array.fill(tables)(rnd.nextInt(1 << bits))
@@ -71,17 +73,19 @@ class ProbeBucketsPropSpec extends SparkSuite {
     }
   }
 
-  test("depth-2 probe set is exactly the hamming ≤ 2 ball around each base") {
-    val bits = 8; val tables = 2; val depth = 2
+  test("depth-d probe set is exactly the hamming ≤ d ball around each base") {
+    val bits = 8; val tables = 2
     val sig = Array(0xA5, 0x3C)
-    val got = interpreted(sig, tables, bits, depth)
-    val want = (0 until tables).flatMap { t =>
-      val ball = (0 until (1 << bits)).filter { b =>
-        Integer.bitCount(b ^ sig(t)) <= 2
+    for (depth <- 2 to 3) {
+      val got = interpreted(sig, tables, bits, depth)
+      val want = (0 until tables).flatMap { t =>
+        val ball = (0 until (1 << bits)).filter { b =>
+          Integer.bitCount(b ^ sig(t)) <= depth
+        }
+        ball.map(b => (t.toLong << 32) | b)
       }
-      ball.map(b => (t.toLong << 32) | b)
+      assert(got.sorted == want.sorted,
+        s"probe keys are not exactly the hamming-≤$depth ball")
     }
-    assert(got.sorted == want.sorted,
-      "probe keys are not exactly the hamming-≤2 ball")
   }
 }
