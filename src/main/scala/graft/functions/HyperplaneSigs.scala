@@ -120,10 +120,13 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   * therefore a caller decision: dedup paths fix d = 1–2; ann_lsh derives
   * (L, d) per build from exact calibration pairs (Similarity.calibratedLsh).
   */
-case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
+case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int,
+    directional: Boolean = false)
   extends UnaryExpression {
 
   require(depth >= 0 && depth <= 3, s"probe depth $depth not in [0, 3]")
+  require(!directional || depth <= 1,
+    "directional probing is a hamming-1 self-join construction (depth <= 1)")
 
   private val perTable = 1 + (if (depth >= 1) bits else 0) +
     (if (depth >= 2) bits * (bits - 1) / 2 else 0) +
@@ -154,7 +157,13 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
       if (depth >= 1) {
         var b1 = 0
         while (b1 < bits) {
-          out(idx) = tb | ((base ^ (1 << b1)) & 0xFFFFFFFFL); idx += 1
+          // Directional (self-join) mode: flip only 0→1. A hamming-1 pair
+          // differs at one position where exactly one side holds a 0 —
+          // that side's flip lands on the other's base key, so each pair
+          // is generated exactly once (see Dedup.embedCosineBucketed).
+          if (!directional || (base & (1 << b1)) == 0) {
+            out(idx) = tb | ((base ^ (1 << b1)) & 0xFFFFFFFFL); idx += 1
+          }
           if (depth >= 2) {
             var b2 = b1 + 1
             while (b2 < bits) {
@@ -175,7 +184,8 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
       }
       t += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(
+      if (idx == out.length) out else java.util.Arrays.copyOf(out, idx))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -191,6 +201,7 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
       val d1 = if (depth >= 1) "true" else "false"
       val d2 = if (depth >= 2) "true" else "false"
       val d3 = if (depth >= 3) "true" else "false"
+      val dir = if (directional) "true" else "false"
       s"""
          |long[] $out = new long[${tables * perTable}];
          |int $idx = 0;
@@ -200,7 +211,9 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
          |  $out[$idx++] = $tb | ($base & 0xFFFFFFFFL);
          |  if ($d1) {
          |    for (int $b1 = 0; $b1 < $bits; $b1++) {
-         |      $out[$idx++] = $tb | (($base ^ (1 << $b1)) & 0xFFFFFFFFL);
+         |      if (!$dir || ($base & (1 << $b1)) == 0) {
+         |        $out[$idx++] = $tb | (($base ^ (1 << $b1)) & 0xFFFFFFFFL);
+         |      }
          |      if ($d2) {
          |        for (int $b2 = $b1 + 1; $b2 < $bits; $b2++) {
          |          $out[$idx++] = $tb | (($base ^ (1 << $b1) ^ (1 << $b2)) & 0xFFFFFFFFL);
@@ -214,6 +227,7 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int)
          |    }
          |  }
          |}
+         |if ($idx != $out.length) $out = java.util.Arrays.copyOf($out, $idx);
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
@@ -229,9 +243,10 @@ object HyperplaneSigs {
     * probe keys within hamming ≤ depth, per table. Decode with
     * `(x >> 32)` and `(x & 0xFFFFFFFF)`.
     */
-  def probeBuckets(sig: Column, tables: Int, bits: Int, depth: Int): Column =
+  def probeBuckets(sig: Column, tables: Int, bits: Int, depth: Int,
+      directional: Boolean = false): Column =
     ExpressionUtils.column(
-      ProbeBuckets(ExpressionUtils.expression(sig), tables, bits, depth))
+      ProbeBuckets(ExpressionUtils.expression(sig), tables, bits, depth, directional))
 
   /** Column form; `planes` row-major [tables][bits][dim] flattened. */
   def sigs(v: Column, planes: Array[Double], tables: Int, bits: Int, dim: Int): Column =
@@ -245,23 +260,6 @@ object HyperplaneSigs {
   def bitsFor(n: Long, targetBucket: Int, maxBits: Int): Int =
     math.min(maxBits, math.max(4,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
-
-  /** Hamming-1 multiprobe keys over a signature array column: per table,
-    * the base bucket plus one flip per bit, each as
-    * struct(tbl, bkt, ok). `directional = true` marks only 0→1 flips
-    * `ok` (symmetric self-join dedup finds each pair once — see
-    * Dedup.embedCosineBucketed); `false` keeps every flip (asymmetric
-    * query→corpus probing). Callers explode and filter on `k.ok`.
-    */
-  def probeKeys(sig: Column, tables: Int, bits: Int, directional: Boolean): Seq[Column] =
-    (0 until tables).flatMap { t =>
-      val bt = element_at(sig, t + 1)
-      struct(lit(t).as("tbl"), bt.as("bkt"), lit(true).as("ok")) +:
-        (0 until bits).map { b =>
-          val ok = if (directional) bt.bitwiseAND(lit(1 << b)) === 0 else lit(true)
-          struct(lit(t).as("tbl"), bt.bitwiseXOR(lit(1 << b)).as("bkt"), ok.as("ok"))
-        }
-    }
 
   /** Flatten the seeded [maxTables][maxBits][dim] plane tensor to the
     * row-major window actually used by a (tables, bits) configuration.

@@ -414,7 +414,7 @@ object Dedup {
   private val EmbedDupThreshold = 0.45
   private val EmbedTargetBucket = 16
   private val EmbedMaxBits = 20
-  private val EmbedMaxTables = 48
+  private val EmbedMaxTables = 192
   private val EmbedDim = 64
   private val EmbedMissBound = 1e-3
 
@@ -432,17 +432,43 @@ object Dedup {
       val p1 = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
       math.ceil(math.log(EmbedMissBound) / math.log1p(-p1)).toInt
     }
-    // (bits, tables) are derived JOINTLY: start from the occupancy-target
-    // bit width and walk DOWN until the solved table count fits the cap —
-    // clamping tables alone would silently void the miss bound (at
-    // bits = 20 the solved L is in the thousands; 48 tables would find a
-    // >1-bit-everywhere pair with probability ~0.09, not 1 - 1e-3). Fewer
-    // bits cost bucket occupancy, never recall — the honest direction.
-    val bitsByOccupancy =
-      graft.functions.HyperplaneSigs.bitsFor(n, EmbedTargetBucket, EmbedMaxBits)
-    val bits = (bitsByOccupancy to 4 by -1)
-      .find(b => tablesFor(b) <= EmbedMaxTables).getOrElse(4)
-    val tables = math.min(EmbedMaxTables, tablesFor(bits))
+    // (bits, tables) are derived JOINTLY under the miss bound — clamping
+    // tables alone would silently void it (at bits = 20 the solved L is
+    // in the thousands; 48 tables would find a >1-bit-everywhere pair
+    // with probability ~0.09, not 1 − 1e-3). Among the feasible widths,
+    // bits is chosen to MINIMIZE modeled engine work:
+    //
+    //   sig+probe:  N · L(b) · b · Dim      (one plane dot per bit)
+    //   candidates: L(b) · (1+b)/2^b · N²/2 · Cv
+    //               (random-pair hamming-≤1 collision rate per table ×
+    //                pair rows; Cv ≈ 4 plane-dot-equivalents of shuffle +
+    //                dedupe + verify per candidate row)
+    //
+    // The round-8 rule ("largest width whose solved L fits the cap,
+    // walking DOWN from the occupancy width") traded the candidate term
+    // QUADRATICALLY for a linear table saving once the cap bound — the
+    // round-10 scale curve measured the result (exponent 1.24 over a 10×
+    // corpus, 2.5 → 42 s). The minimizer instead pays tables (linear,
+    // they are the LSH ρ-cost) to keep the candidate constant down.
+    // Honesty note, quantified by that same curve: at this test
+    // threshold t = 0.45, p ≈ 0.65 sits so close to the random-pair 0.5
+    // that even the optimal feasible config admits ~40% of all pairs as
+    // candidates — ~2.5× pruning, intrinsically ~N²; that is what the
+    // embedAuto dispatcher is for at this τ. At the t ≥ 0.8 real
+    // pipelines dedup at (p ≈ 0.93), the SAME solver derives few tables
+    // at full occupancy width (L ≈ 6 at B = 16) and candidates collapse
+    // to ~10⁻³ of the cross join — the regime this operator scales in.
+    val candidateCostW = 4.0
+    val feasible = (4 to EmbedMaxBits).filter(b => tablesFor(b) <= EmbedMaxTables)
+    val bits = feasible.minBy { b =>
+      val l = tablesFor(b).toDouble
+      val sigWork = n.toDouble * l * b * EmbedDim
+      val candWork =
+        l * (1.0 + b) / math.pow(2.0, b) * n.toDouble * n.toDouble / 2.0 *
+          candidateCostW * EmbedDim
+      sigWork + candWork
+    }
+    val tables = tablesFor(bits)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
@@ -462,12 +488,17 @@ object Dedup {
     // side's flip hits the other's base key, so every qualifying pair is
     // generated exactly ONCE (symmetric flipping finds it twice and leaves
     // distinct() double the work). Hamming-0 pairs meet on base keys.
-    val probeKeys = graft.functions.HyperplaneSigs.probeKeys(
-      col("sig"), tables, bits, directional = true)
+    // ONE codegen expression (ProbeBuckets, directional), not the per-key
+    // struct column forest: at the solver's table counts (L > 100) the
+    // forest is L·(B+1) expression trees — the janino compile-time trap
+    // the sigs Scaladoc documents — while the expression stays two
+    // constant generated loops, compiled once per JVM.
     val probes = sigs.select(col("vec_id").as("vec_a"),
-      explode(array(probeKeys: _*)).as("k"))
-      .filter(col("k.ok"))
-      .select(col("vec_a"), col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+      explode(graft.functions.HyperplaneSigs.probeBuckets(
+        col("sig"), tables, bits, depth = 1, directional = true)).as("tk"))
+      .select(col("vec_a"),
+        shiftright(col("tk"), 32).cast("int").as("tbl"),
+        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
     // Candidate pairs: two-long rows — dedupe is a cheap shuffle on ids,
     // never on embedding arrays. Directional probing fixes which side
     // PROBES (the 0-bit holder), not which id is smaller, so orientation

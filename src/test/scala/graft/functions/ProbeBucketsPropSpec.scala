@@ -73,6 +73,42 @@ class ProbeBucketsPropSpec extends SparkSuite {
     }
   }
 
+  test("directional mode: base plus 0→1 flips only, codegen ≡ interpreted") {
+    for (bits <- 4 to 20) {
+      val tables = Seq(1, 2, 4)(rnd.nextInt(3))
+      val sigs = (0 until 25).map { i =>
+        i.toLong -> Array.fill(tables)(rnd.nextInt(1 << bits))
+      }
+      import spark.implicits._
+      val fromCodegen = sigs.toDF("id", "sig")
+        .select(col("id"),
+          HyperplaneSigs.probeBuckets(col("sig"), tables, bits, depth = 1,
+            directional = true).as("probes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      sigs.foreach { case (id, sig) =>
+        val e = ProbeBuckets(Literal.create(sig, ArrayType(IntegerType)),
+          tables, bits, 1, directional = true)
+        val want = e.nullSafeEval(ArrayData.toArrayData(sig))
+          .asInstanceOf[ArrayData].toLongArray().toSeq
+        assert(fromCodegen(id) == want,
+          s"directional codegen != interpreted at B=$bits L=$tables")
+        // Exactly the base key plus one flip per ZERO bit of each base.
+        val byTable = want.groupBy(k => (k >>> 32).toInt)
+        (0 until tables).foreach { t =>
+          val base = sig(t)
+          val zeros = (0 until bits).count(b => (base & (1 << b)) == 0)
+          val keys = byTable(t).map(_ & 0xFFFFFFFFL)
+          assert(keys.size == 1 + zeros, s"directional count at B=$bits t=$t")
+          val wantKeys = (base.toLong & 0xFFFFFFFFL) +:
+            (0 until bits).filter(b => (base & (1 << b)) == 0)
+              .map(b => (base ^ (1 << b)).toLong & 0xFFFFFFFFL)
+          assert(keys.sorted == wantKeys.sorted,
+            s"directional keys are not base + 0→1 flips at B=$bits t=$t")
+        }
+      }
+    }
+  }
+
   test("depth-d probe set is exactly the hamming ≤ d ball around each base") {
     val bits = 8; val tables = 2
     val sig = Array(0xA5, 0x3C)
