@@ -56,9 +56,13 @@ object Similarity {
   /** Corpus cardinality. A filter-less count over a parquet scan has an
     * empty ReadSchema — Spark answers it from row-group metadata (footer
     * IO only), so this is safe to run inside an index build even at 100 TB.
+    * Takes the already-built corpus DataFrame: every ANN query builds its
+    * embeddings relation ONCE and threads it through — each separate
+    * `spark.read.parquet(path)` costs a file-listing job, and on
+    * local-cluster each job pays separate-JVM scheduling (the cross-mode
+    * ratio is per-job overhead, JobCountProbe).
     */
-  private def corpusSize(spark: SparkSession, sfDir: String): Long =
-    Tables.embeddings(spark, sfDir).count()
+  private def corpusSize(emb: DataFrame): Long = emb.count()
 
   /** k ≈ √N coarse centroids (min 16 so tiny corpora still partition). */
   private def centroidCount(n: Long): Int =
@@ -132,9 +136,8 @@ object Similarity {
     * the embeddings. Both driver reads are bounded by contract at any
     * corpus size.
     */
-  private def calibrationPairs(spark: SparkSession, sfDir: String)
+  private def calibrationPairs(emb: DataFrame)
       : Array[(Array[Double], Array[Double])] = {
-    val emb = Tables.embeddings(spark, sfDir)
     val calQ = normed(emb)
       .filter(col("vec_id") % 50 === 25 && col("vec_id") < lit(CalQueries * 50L))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -214,8 +217,9 @@ object Similarity {
     * ≤ 1024 rows of 64 floats at any corpus size.
     */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = normed(Tables.embeddings(spark, sfDir))
-    val q = queries(Tables.embeddings(spark, sfDir))
+    val emb = Tables.embeddings(spark, sfDir)
+    val e = normed(emb)
+    val q = queries(emb)
     rankTopK(
       broadcast(q).join(e, col("vec_id") =!= col("q_id"))
         .withColumn("cs_raw", pairCosine))
@@ -249,8 +253,9 @@ object Similarity {
   private val RangeTau = 0.30
 
   def annRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = normed(Tables.embeddings(spark, sfDir))
-    val q = queries(Tables.embeddings(spark, sfDir))
+    val emb = Tables.embeddings(spark, sfDir)
+    val e = normed(emb)
+    val q = queries(emb)
     // Admission filters on the ROUNDED cosine: the raw value is computed
     // differently in each engine (precomputed norms here, DuckDB's
     // list_cosine_similarity in the oracle), so a pair within ~1 ulp of
@@ -355,17 +360,17 @@ object Similarity {
     * against ann_topk.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = corpusSize(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
     val k = centroidCount(n)
     val stride = math.max(1L, n / k)
     val (ids, unit) = collectUnitCents(
-      Tables.embeddings(spark, sfDir)
+      emb
         .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .select(col("vec_id"), col("embedding")))
-    val e = normed(Tables.embeddings(spark, sfDir))
-    val assigned = assignedCells(e, unit, ids)
-    val probed = probedCells(queries(Tables.embeddings(spark, sfDir)),
-      unit, ids, calibratedNprobe(calibrationPairs(spark, sfDir), unit, ids))
+    val assigned = assignedCells(normed(emb), unit, ids)
+    val probed = probedCells(queries(emb),
+      unit, ids, calibratedNprobe(calibrationPairs(emb), unit, ids))
     searchCells(probed, assigned)
   }
 
@@ -454,9 +459,9 @@ object Similarity {
     * local[32] and multi-JVM cluster mode.
     */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = corpusSize(spark, sfDir)
-    val k = centroidCount(n)
     val raw = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(raw)
+    val k = centroidCount(n)
     val target = math.min(64L * k, KmeansSampleCap)
     val stride = math.max(1L, n / target)
     val sample = raw
@@ -479,8 +484,8 @@ object Similarity {
     }
     val ids = Array.tabulate(kEff)(_.toLong)
     val assigned = assignedCells(normed(raw), unit, ids)
-    val probed = probedCells(queries(Tables.embeddings(spark, sfDir)),
-      unit, ids, calibratedNprobe(calibrationPairs(spark, sfDir), unit, ids))
+    val probed = probedCells(queries(raw),
+      unit, ids, calibratedNprobe(calibrationPairs(raw), unit, ids))
     searchCells(probed, assigned)
   }
 
@@ -578,10 +583,11 @@ object Similarity {
   }
 
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = corpusSize(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
     val bits = lshBits(n)
-    val (tables, depth) = calibratedLsh(calibrationPairs(spark, sfDir), bits)
-    val e = normed(Tables.embeddings(spark, sfDir))
+    val (tables, depth) = calibratedLsh(calibrationPairs(emb), bits)
+    val e = normed(emb)
     // All `tables` bucket ids in ONE custom codegen expression (tight
     // loop over a referenced plane matrix; constant generated source →
     // janino compiles once per JVM) — see HyperplaneSigs for why the
@@ -605,7 +611,7 @@ object Similarity {
     // back by q_id AFTER candidate generation (carrying the 64-float
     // vector on every probe row would multiply the broadcast by the
     // probe fan-out).
-    val q = queries(Tables.embeddings(spark, sfDir))
+    val q = queries(emb)
       .withColumn("sig", sig(col("q_emb")))
     val probes = q
       .select(col("q_id"),
