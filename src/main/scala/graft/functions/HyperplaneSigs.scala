@@ -125,6 +125,9 @@ case class ProbeBuckets(child: Expression, tables: Int, bits: Int, depth: Int,
   extends UnaryExpression {
 
   require(depth >= 0 && depth <= 3, s"probe depth $depth not in [0, 3]")
+  require(bits >= 1 && bits <= 31,
+    s"probe bits $bits not in [1, 31] (bucket ids are int-typed sign masks; " +
+      "bits > 31 would silently wrap 1 << b, bits <= 0 yields empty probe loops)")
   require(!directional || depth <= 1,
     "directional probing is a hamming-1 self-join construction (depth <= 1)")
 

@@ -460,6 +460,14 @@ object Dedup {
     // to ~10⁻³ of the cross join — the regime this operator scales in.
     val candidateCostW = 4.0
     val feasible = (4 to EmbedMaxBits).filter(b => tablesFor(b) <= EmbedMaxTables)
+    // Guard the solver's domain: with today's constants b = 4 always solves
+    // (L ~ 9 at t = 0.45), but a tightened EmbedMissBound / EmbedMaxTables
+    // could empty `feasible` and minBy would throw a bare
+    // UnsupportedOperationException — fail with the actionable message.
+    require(feasible.nonEmpty,
+      s"no bucket width in [4, $EmbedMaxBits] solves the miss bound " +
+        s"$EmbedMissBound within $EmbedMaxTables tables at threshold " +
+        s"$EmbedDupThreshold - relax EmbedMaxTables or the bound")
     val bits = feasible.minBy { b =>
       val l = tablesFor(b).toDouble
       val sigWork = n.toDouble * l * b * EmbedDim

@@ -130,6 +130,40 @@ object Similarity {
   private val CalQueries = 64
   private val RecallTarget = 0.95
 
+  /** Per-corpus cache for the calibration pairs (verdict r10 #3, ADVICE
+    * r10): the exact 64×N brute-force pass is an INDEX-BUILD cost — per
+    * ingest, not per query — but the uncached form re-ran it on every
+    * invocation of every ANN path (a session running ann_ivf +
+    * ann_ivf_kmeans + ann_lsh paid it three times; ~0.2–0.6 s each at
+    * sf0.1). The key is the corpus's physical identity — sorted input
+    * file paths + length + modification time, read from driver-side
+    * FileSystem metadata (no Spark job) — so a corpus regenerated
+    * IN PLACE misses the cache instead of serving stale parameters, and
+    * distinct corpora (the scale/recall probes stage several per JVM)
+    * never collide. Values are ≤ CalQueries·K vector pairs (~320 KB).
+    * Determinism is unaffected: the pairs are themselves deterministic
+    * per corpus, so a cache hit returns byte-identical parameters and
+    * every downstream fingerprint is unchanged (cross-mode gate
+    * re-verified, CLUSTER_r11).
+    */
+  private val calCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Array[Double], Array[Double])]]()
+
+  private def corpusKey(emb: DataFrame): String = {
+    val conf = emb.sparkSession.sessionState.newHadoopConf()
+    emb.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString("|")
+  }
+
+  private def calibrationPairsCached(emb: DataFrame)
+      : Array[(Array[Double], Array[Double])] = {
+    if (calCache.size > 64) calCache.clear() // bound a long session's footprint
+    calCache.computeIfAbsent(corpusKey(emb), _ => calibrationPairs(emb))
+  }
+
   /** Exact top-K (queryEmb, neighborEmb) pairs for the calibration
     * stratum: one bounded distributed TopKAgg job (deterministic — ties
     * break by id), then a ≤ (CalQueries·(K+1))-id IN-pushdown fetch of
@@ -370,7 +404,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding")))
     val assigned = assignedCells(normed(emb), unit, ids)
     val probed = probedCells(queries(emb),
-      unit, ids, calibratedNprobe(calibrationPairs(emb), unit, ids))
+      unit, ids, calibratedNprobe(calibrationPairsCached(emb), unit, ids))
     searchCells(probed, assigned)
   }
 
@@ -485,7 +519,7 @@ object Similarity {
     val ids = Array.tabulate(kEff)(_.toLong)
     val assigned = assignedCells(normed(raw), unit, ids)
     val probed = probedCells(queries(raw),
-      unit, ids, calibratedNprobe(calibrationPairs(raw), unit, ids))
+      unit, ids, calibratedNprobe(calibrationPairsCached(raw), unit, ids))
     searchCells(probed, assigned)
   }
 
@@ -586,7 +620,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val n = corpusSize(emb)
     val bits = lshBits(n)
-    val (tables, depth) = calibratedLsh(calibrationPairs(emb), bits)
+    val (tables, depth) = calibratedLsh(calibrationPairsCached(emb), bits)
     val e = normed(emb)
     // All `tables` bucket ids in ONE custom codegen expression (tight
     // loop over a referenced plane matrix; constant generated source →
