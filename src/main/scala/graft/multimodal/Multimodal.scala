@@ -54,7 +54,7 @@ object Multimodal {
   /** Typed row for the partition-wise decode stage. */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                       width: Int, height: Int)
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+  case class MediaFeatures(media_id: Long, kind: String, n_units: Long,
                            feature: Array[Float])
 
   /** Deterministic synthetic pixel: channel values are integer functions
@@ -312,7 +312,7 @@ object Multimodal {
     * the [0,1] scale. Sequential y→x accumulation keeps double summation
     * order deterministic (the spec golden replays the identical order).
     */
-  private def decodeImageFeatures(payload: Array[Byte], buffers: DecodeBuffers): Array[Float] = {
+  private def decodeImageFeatures(payload: Array[Byte], buffers: DecodeBuffers): (Array[Float], Long) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
@@ -341,12 +341,12 @@ object Multimodal {
     }
     val n = (w.toLong * h).toDouble
     val mean = sums.map(_ / n)
-    Array(
+    (Array(
       mean(0).toFloat, mean(1).toFloat, mean(2).toFloat,
       (sqs(0) / n - mean(0) * mean(0)).toFloat,
       (sqs(1) / n - mean(1) * mean(1)).toFloat,
       (sqs(2) / n - mean(2) * mean(2)).toFloat,
-      (lumaSum / n).toFloat, (bright / n).toFloat)
+      (lumaSum / n).toFloat, (bright / n).toFloat), w.toLong * h)
   }
 
   /** REAL audio decode via JDK javax.sound.sampled: 8 statistics over the
@@ -358,7 +358,7 @@ object Multimodal {
     * the identical order from the sample function, proving the WAV
     * encode→decode round trip recovers the exact samples).
     */
-  private def decodeAudioFeatures(payload: Array[Byte], buffers: DecodeBuffers): Array[Float] = {
+  private def decodeAudioFeatures(payload: Array[Byte], buffers: DecodeBuffers): (Array[Float], Long) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -402,7 +402,7 @@ object Multimodal {
     val nd = math.max(1, n).toDouble
     val qn = new Array[Double](4) // quarter sizes (n may not divide by 4)
     (0 until n).foreach(i => qn(i * 4 / n min 3) += 1)
-    Array(
+    (Array(
       math.sqrt((qsq(0) + qsq(1) + qsq(2) + qsq(3)) / nd).toFloat,
       peak.toFloat,
       (crossings / math.max(1, n - 1).toDouble).toFloat,
@@ -410,7 +410,7 @@ object Multimodal {
       math.sqrt(qsq(0) / math.max(1.0, qn(0))).toFloat,
       math.sqrt(qsq(1) / math.max(1.0, qn(1))).toFloat,
       math.sqrt(qsq(2) / math.max(1.0, qn(2))).toFloat,
-      math.sqrt(qsq(3) / math.max(1.0, qn(3))).toFloat)
+      math.sqrt(qsq(3) / math.max(1.0, qn(3))).toFloat), n.toLong)
   }
 
   /** REAL video demux + decode: walk the RIFF chunk tree (plain Scala —
@@ -425,7 +425,7 @@ object Multimodal {
     * Frame-outer, y-top-down, x-inner accumulation keeps double summation
     * order deterministic (the spec golden replays the identical order).
     */
-  private def decodeVideoFeatures(payload: Array[Byte]): Array[Float] = {
+  private def decodeVideoFeatures(payload: Array[Byte]): (Array[Float], Long) = {
     def le32(off: Int): Int =
       (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
         ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
@@ -481,7 +481,7 @@ object Multimodal {
     val px = w.toLong * h * n
     var motion = 0.0
     (1 until n).foreach(i => motion += math.abs(frameLuma(i) - frameLuma(i - 1)))
-    Array(
+    (Array(
       (lumaSum / px).toFloat,
       (if (n > 1) motion / (n - 1) else 0.0).toFloat,
       (bright.toDouble / px).toFloat,
@@ -489,7 +489,7 @@ object Multimodal {
       frameLuma(0).toFloat,
       (if (n > 1) frameLuma(1) else 0.0).toFloat,
       (if (n > 2) frameLuma(2) else 0.0).toFloat,
-      (if (n > 3) frameLuma(3) else 0.0).toFloat)
+      (if (n > 3) frameLuma(3) else 0.0).toFloat), n.toLong)
   }
 
   /** mm_features — per-partition feature extraction over binary payloads.
@@ -500,7 +500,23 @@ object Multimodal {
     * (rounded) rather than array<float>: downstream row-wise consumers —
     * including the driver's pandas-based compare, which cannot sort an
     * array column — get plain orderable doubles. Array-shaped consumers
-    * (ANN ingest) re-pack with array(f0..f7).
+    * (ANN ingest) re-pack with array(f0..f7). `n_units` is the DECODED
+    * unit count (pixels / PCM samples / frames) — evidence the decode
+    * actually walked the payload, and unlike the former n_bytes (PNG
+    * deflate output length) it is restatable by the SQL oracle.
+    *
+    * Oracle (verdict r10 #6): since the synthetic payloads are generated
+    * from integer-deterministic functions of (id, x, y) and the
+    * PNG/WAV/AVI round trips are bit-lossless (MultimodalSpec proves
+    * pixel/sample/frame-exact recovery), the decoded statistics are
+    * restatable ANALYTICALLY in SQL — [[featuresSql]] recomputes every
+    * feature from the same closed forms over generate_series, so the
+    * driver's DuckDB compare now value-checks the full decode pipeline
+    * instead of recording `no_oracle`. The float cast mirrors the
+    * engine's Array[Float] truncation; double-summation-order skew
+    * (~1e-14) is absorbed by the float's 1e-7 granularity, and the only
+    * exact comparisons (luma > 0.5 bright counts, sign crossings) are on
+    * bit-identical doubles (same literals, same left-associated ops).
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -514,17 +530,153 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val buffers = new DecodeBuffers
       rows.map { r =>
-        val feats = r.kind match {
+        val (feats, units) = r.kind match {
           case "image" => decodeImageFeatures(r.payload, buffers)
           case "audio" => decodeAudioFeatures(r.payload, buffers)
           case "video" => decodeVideoFeatures(r.payload)
           case other => sys.error(s"unknown media kind: $other")
         }
-        MediaFeatures(r.media_id, r.kind, r.payload.length, feats)
+        MediaFeatures(r.media_id, r.kind, units, feats)
       }
     }.toDF()
-      .select(col("media_id") +: col("kind") +: col("n_bytes") +: scalars: _*)
+      .select(col("media_id") +: col("kind") +: col("n_units") +: scalars: _*)
   }
+
+  /** The analytic restatement of [[features]] for the DuckDB oracle
+    * (verdict r10 #6 — mm_features was `no_oracle` through round 10).
+    * Every decoded statistic is recomputed from the synthesizers' closed
+    * forms (synthPixel / synthSample / synthVideoPixel — integer
+    * arithmetic over (id, x, y, frame) restated over generate_series),
+    * because the PNG/WAV/AVI round trips are bit-lossless: what the
+    * engine DECODES equals what the synthesizer WROTE, pixel for pixel
+    * (MultimodalSpec proves that independently). This is therefore a
+    * true independent differential — DuckDB never touches a codec, yet
+    * value-checks the whole decode+extract pipeline to 4 decimals.
+    * Robust to corpus regeneration by construction: it depends only on
+    * the doc_id set, not on committed golden constants.
+    *
+    * Numeric-equality design: the engine emits Float-truncated features
+    * (CAST AS REAL here mirrors that), so double summation-order skew
+    * (~1e-14) between DuckDB aggregates and the engine's sequential
+    * loops vanishes below float granularity (~1e-7) before the shared
+    * round(·, 4); the only EXACT comparisons — luma > 0.5 bright counts
+    * and PCM sign crossings — are on bit-identical doubles (same integer
+    * inputs, same literals, same left-associated IEEE ops, division by
+    * the power-of-two 32768). Integer ops match Scala exactly: operands
+    * are nonnegative, so DuckDB's // and % agree with Scala's / and %.
+    */
+  val featuresSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, 64 + doc_id % 193 AS w, 64 + doc_id % 129 AS h
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), ipy AS (
+      |  SELECT media_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM img
+      |), ipx AS (
+      |  SELECT media_id, w, h,
+      |    ((x*7 + y*13 + media_id*31) % 256) / 255.0 AS r,
+      |    ((x*3 + y*5  + media_id*17) % 256) / 255.0 AS g,
+      |    ((x*11 + y*2 + media_id*23) % 256) / 255.0 AS b
+      |  FROM (SELECT media_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ipy)
+      |), iag AS (
+      |  SELECT media_id, CAST(w AS BIGINT) * h AS n,
+      |    sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+      |    sum(r*r) AS srr, sum(g*g) AS sgg, sum(b*b) AS sbb,
+      |    sum(0.299*r + 0.587*g + 0.114*b) AS sl,
+      |    sum(CASE WHEN 0.299*r + 0.587*g + 0.114*b > 0.5 THEN 1 ELSE 0 END) AS br
+      |  FROM ipx GROUP BY media_id, w, h
+      |), image_f AS (
+      |  SELECT media_id, 'image' AS kind, n AS n_units,
+      |    round(CAST(CAST(sr / n AS REAL) AS DOUBLE), 4) AS f0,
+      |    round(CAST(CAST(sg / n AS REAL) AS DOUBLE), 4) AS f1,
+      |    round(CAST(CAST(sb / n AS REAL) AS DOUBLE), 4) AS f2,
+      |    round(CAST(CAST(srr / n - (sr / n) * (sr / n) AS REAL) AS DOUBLE), 4) AS f3,
+      |    round(CAST(CAST(sgg / n - (sg / n) * (sg / n) AS REAL) AS DOUBLE), 4) AS f4,
+      |    round(CAST(CAST(sbb / n - (sb / n) * (sb / n) AS REAL) AS DOUBLE), 4) AS f5,
+      |    round(CAST(CAST(sl / n AS REAL) AS DOUBLE), 4) AS f6,
+      |    round(CAST(CAST(br / CAST(n AS DOUBLE) AS REAL) AS DOUBLE), 4) AS f7
+      |  FROM iag
+      |), aud AS (
+      |  SELECT doc_id AS media_id, 2048 + (doc_id % 7) * 512 AS n, 16 + doc_id % 48 AS period
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), smp AS (
+      |  SELECT media_id, n,i,
+      |    (((i % period) * 60000) // period - 30000
+      |     + ((i * 2654435761 + media_id * 40503) // 1048576) % 2000 - 1000) / 32768.0 AS s,
+      |    least((i * 4) // n, 3) AS qk
+      |  FROM (SELECT media_id, n, period, unnest(generate_series(0, n - 1)) AS i FROM aud)
+      |), lagd AS (
+      |  SELECT media_id, n, i, s, qk,
+      |    lag(s < 0) OVER (PARTITION BY media_id ORDER BY i) AS pneg
+      |  FROM smp
+      |), aag AS (
+      |  SELECT media_id, max(n) AS n,
+      |    sum(s*s) AS ss, max(abs(s)) AS peak, sum(s) AS sm,
+      |    sum(CASE WHEN i > 0 AND (s < 0) != pneg THEN 1 ELSE 0 END) AS crossings,
+      |    sum(CASE WHEN qk = 0 THEN s*s ELSE 0 END) AS q0,
+      |    sum(CASE WHEN qk = 1 THEN s*s ELSE 0 END) AS q1,
+      |    sum(CASE WHEN qk = 2 THEN s*s ELSE 0 END) AS q2,
+      |    sum(CASE WHEN qk = 3 THEN s*s ELSE 0 END) AS q3,
+      |    sum(CASE WHEN qk = 0 THEN 1 ELSE 0 END) AS qn0,
+      |    sum(CASE WHEN qk = 1 THEN 1 ELSE 0 END) AS qn1,
+      |    sum(CASE WHEN qk = 2 THEN 1 ELSE 0 END) AS qn2,
+      |    sum(CASE WHEN qk = 3 THEN 1 ELSE 0 END) AS qn3
+      |  FROM lagd GROUP BY media_id
+      |), audio_f AS (
+      |  SELECT media_id, 'audio' AS kind, CAST(n AS BIGINT) AS n_units,
+      |    round(CAST(CAST(sqrt((q0 + q1 + q2 + q3) / CAST(n AS DOUBLE)) AS REAL) AS DOUBLE), 4) AS f0,
+      |    round(CAST(CAST(peak AS REAL) AS DOUBLE), 4) AS f1,
+      |    round(CAST(CAST(crossings / CAST(n - 1 AS DOUBLE) AS REAL) AS DOUBLE), 4) AS f2,
+      |    round(CAST(CAST(sm / CAST(n AS DOUBLE) AS REAL) AS DOUBLE), 4) AS f3,
+      |    round(CAST(CAST(sqrt(q0 / greatest(1.0, qn0)) AS REAL) AS DOUBLE), 4) AS f4,
+      |    round(CAST(CAST(sqrt(q1 / greatest(1.0, qn1)) AS REAL) AS DOUBLE), 4) AS f5,
+      |    round(CAST(CAST(sqrt(q2 / greatest(1.0, qn2)) AS REAL) AS DOUBLE), 4) AS f6,
+      |    round(CAST(CAST(sqrt(q3 / greatest(1.0, qn3)) AS REAL) AS DOUBLE), 4) AS f7
+      |  FROM aag
+      |), vid AS (
+      |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS nf, 32 + doc_id % 29 AS w, 24 + doc_id % 19 AS h
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), vfy AS (
+      |  SELECT media_id, nf, w, h, f, unnest(generate_series(0, h - 1)) AS y
+      |  FROM (SELECT media_id, nf, w, h, unnest(generate_series(0, nf - 1)) AS f FROM vid)
+      |), vpx AS (
+      |  SELECT media_id, nf, w, h, f,
+      |    0.299 * (((x*7 + y*13 + (media_id + 1000003*(f+1))*31) % 256) / 255.0)
+      |    + 0.587 * (((x*3 + y*5 + (media_id + 1000003*(f+1))*17) % 256) / 255.0)
+      |    + 0.114 * (((x*11 + y*2 + (media_id + 1000003*(f+1))*23) % 256) / 255.0) AS luma
+      |  FROM (SELECT media_id, nf, w, h, f, y, unnest(generate_series(0, w - 1)) AS x FROM vfy)
+      |), vfr AS (
+      |  SELECT media_id, nf, w, h, f,
+      |    sum(luma) AS fsum,
+      |    sum(luma) / (CAST(w AS BIGINT) * h) AS fl,
+      |    sum(CASE WHEN luma > 0.5 THEN 1 ELSE 0 END) AS br
+      |  FROM vpx GROUP BY media_id, nf, w, h, f
+      |), vlag AS (
+      |  SELECT media_id, nf, w, h, f, fsum, fl, br,
+      |    lag(fl) OVER (PARTITION BY media_id ORDER BY f) AS pfl
+      |  FROM vfr
+      |), vag AS (
+      |  SELECT media_id, max(nf) AS nf, max(w) AS w, max(h) AS h,
+      |    sum(fsum) AS ls, sum(br) AS brt,
+      |    sum(CASE WHEN f > 0 THEN abs(fl - pfl) ELSE 0 END) AS motion,
+      |    max(CASE WHEN f = 0 THEN fl END) AS fl0,
+      |    max(CASE WHEN f = 1 THEN fl END) AS fl1,
+      |    max(CASE WHEN f = 2 THEN fl END) AS fl2,
+      |    max(CASE WHEN f = 3 THEN fl END) AS fl3
+      |  FROM vlag GROUP BY media_id
+      |), video_f AS (
+      |  SELECT media_id, 'video' AS kind, CAST(nf AS BIGINT) AS n_units,
+      |    round(CAST(CAST(ls / (CAST(w AS BIGINT) * h * nf) AS REAL) AS DOUBLE), 4) AS f0,
+      |    round(CAST(CAST(motion / (nf - 1) AS REAL) AS DOUBLE), 4) AS f1,
+      |    round(CAST(CAST(brt / CAST(CAST(w AS BIGINT) * h * nf AS DOUBLE) AS REAL) AS DOUBLE), 4) AS f2,
+      |    round(CAST(CAST(nf AS REAL) AS DOUBLE), 4) AS f3,
+      |    round(CAST(CAST(fl0 AS REAL) AS DOUBLE), 4) AS f4,
+      |    round(CAST(CAST(fl1 AS REAL) AS DOUBLE), 4) AS f5,
+      |    round(CAST(CAST(fl2 AS REAL) AS DOUBLE), 4) AS f6,
+      |    round(CAST(CAST(fl3 AS REAL) AS DOUBLE), 4) AS f7
+      |  FROM vag
+      |)
+      |SELECT * FROM image_f UNION ALL SELECT * FROM audio_f UNION ALL SELECT * FROM video_f""".stripMargin
+
 
   /** mm_resize — metadata-tracked resize. Payload transform is the stub
     * (identity); the metadata arithmetic + pruning-friendly projection are

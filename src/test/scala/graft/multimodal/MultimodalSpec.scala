@@ -147,14 +147,6 @@ class MultimodalSpec extends SparkSuite {
         math.sqrt(qsq(2) / qn(2)).toFloat, math.sqrt(qsq(3) / qn(3)).toFloat)
     }
     // Exact AVI container size: RIFF header + hdrl (avih + strl) + movi.
-    def aviBytes(id: Long): Int = {
-      val n = Multimodal.synthVideoNumFrames(id)
-      val (w, h) = Multimodal.synthVideoDims(id)
-      val frameBytes = (w * 3 + 3) / 4 * 4 * h
-      val hdrlSize = 4 + 64 + (8 + 4 + 64 + 48)
-      val moviSize = 4 + n * (8 + frameBytes)
-      8 + 4 + (8 + hdrlSize) + (8 + moviSize)
-    }
     val kinds = Array("image", "audio", "video")
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id")).collect().map { r =>
@@ -175,14 +167,16 @@ class MultimodalSpec extends SparkSuite {
       val key = (r.getLong(0), r.getString(1))
       val got = (3 until 11).map(r.getDouble)
       assert(expected(key) == got, s"media $key diverged from the golden")
+      // n_units is the DECODED unit count — pinned exactly per kind
+      // (pixels / PCM samples / frames), so a decoder that walked a
+      // truncated payload can't report the right statistics silently.
+      val id = r.getLong(0)
       r.getString(1) match {
-        // images: n_bytes is the PNG encoding length — a real payload.
-        case "image" => assert(r.getInt(2) > 8)
-        // audio: canonical RIFF/WAVE PCM = 44-byte header + 2 bytes/sample.
+        case "image" =>
+          assert(r.getLong(2) == (64 + id % 193) * (64 + id % 129))
         case "audio" =>
-          assert(r.getInt(2) == 44 + 2 * Multimodal.synthAudioNumSamples(r.getLong(0)))
-        // video: the exact RIFF/AVI container size — a real payload.
-        case _ => assert(r.getInt(2) == aviBytes(r.getLong(0)))
+          assert(r.getLong(2) == Multimodal.synthAudioNumSamples(id))
+        case _ => assert(r.getLong(2) == Multimodal.synthVideoNumFrames(id))
       }
     }
   }
