@@ -28,6 +28,9 @@ def main():
             "localSec": round(a["sec"], 3) if a else None,
             "clusterSec": round(b["sec"], 3) if b else None,
             "clusterSecCold": round(b["secCold"], 3) if b else None,
+            # steal-detector re-laps (see CrossCheck): >0 means the first
+            # warm lap was slower than the cold lap and got re-measured
+            "relaps": ((a or {}).get("relaps", 0) + (b or {}).get("relaps", 0)),
             "err": err,
         }
         if match:
@@ -39,6 +42,13 @@ def main():
     out["total"] = len(names)
     out["localTotalSec"] = round(sum(e["sec"] for e in lq.values()), 1)
     out["clusterTotalSec"] = round(sum(e["sec"] for e in cq.values()), 1)
+    # Capture-quality gate: queries whose best cluster warm lap STILL
+    # exceeds 2x their own cold lap after the steal detector's re-laps —
+    # nonempty means the capture is noise-dominated and should be re-run.
+    out["warmOverCold2x"] = sorted(
+        n for n, e in cq.items()
+        if e["sec"] > 2 * e["secCold"] and e["sec"] > 0.3)
+    out["relapsTotal"] = sum(e.get("relaps", 0) for e in list(lq.values()) + list(cq.values()))
     json.dump(out, sys.stdout, indent=1, sort_keys=True)
     print()
     ok = out["equal"] == out["total"]

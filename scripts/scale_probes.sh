@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_embed_bucketed dd_embed_auto ann_lsh ann_ivf"}
+queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_embed_bucketed dd_embed_hi dd_embed_auto ann_lsh ann_ivf"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \
@@ -36,6 +36,11 @@ for sf in sf0.1 sf0.3 sf1; do
     run_point "$sf" "$q"
   done
 done
+# Far points: dd_substring's marginal-slope watch item gets 30x AND 100x
+# (verdict r10 #5 — the next decade); dd_embed_hi gets 30x so the
+# production-threshold claim is tested where superlinearity would show.
 run_point sf3 dd_substring
+run_point sf10 dd_substring
+run_point sf3 dd_embed_hi
 python3 scripts/merge_scale.py "$tmp" > "$out"
 echo "[scale] wrote $out" >&2

@@ -89,21 +89,38 @@ object CrossCheck {
         ((System.nanoTime() - t0) / 1e9, out)
       }
       val (sec1, out1) = lap() // cold-ish: JIT + codegen + (cluster) executor warm
-      val (sec2, out2) = lap() // warm lap — the comparable number
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val agree = (out1, out2) match {
+      var (sec2, out2) = lap() // warm lap — the comparable number
+      // In-harness host-steal detection (verdict r10 #2): a warm lap
+      // slower than its own cold lap — which paid JIT, codegen, and (in
+      // cluster mode) executor launch — is physically impossible without
+      // external interference (CLUSTER_r10 read ta_entropy warm 4.0 s vs
+      // cold 0.67 s on byte-identical code). Re-lap up to 3 times and
+      // keep the FASTEST warm lap; `relaps` in the artifact records how
+      // often the detector fired, so a noisy capture is self-diagnosing.
+      var relaps = 0
+      var agree = (out1, out2) match {
         case (Right(a), Right(b)) => a == b
         case _ => false
       }
+      while (sec2 > sec1 * 1.1 + 0.05 && relaps < 3 && out2.isRight) {
+        val (s, o) = lap()
+        agree &&= ((out2, o) match {
+          case (Right(a), Right(b)) => a == b
+          case _ => false
+        })
+        if (s < sec2) { sec2 = s; out2 = o }
+        relaps += 1
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val body = out2 match {
         case Right((n, s, x)) =>
           s""""rows":$n,"fpsum":$s,"fpxor":$x,"err":null"""
         case Left(msg) =>
           s""""rows":-1,"fpsum":0,"fpxor":0,"err":"$msg""""
       }
-      println(f"[crosscheck] $name%-24s ${sec2}%6.2f s  $body")
-      name -> (s"""{"secCold":$sec1,"sec":$sec2,"lapsAgree":$agree,$body}""")
+      println(f"[crosscheck] $name%-24s ${sec2}%6.2f s  relaps=$relaps  $body")
+      name -> (s"""{"secCold":$sec1,"sec":$sec2,"relaps":$relaps,"lapsAgree":$agree,$body}""")
     }
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -427,7 +427,18 @@ object Dedup {
     // Filter-less parquet count: answered from row-group metadata (empty
     // ReadSchema), footer IO only — safe inside the query at any scale.
     val n = Tables.embeddings(spark, sfDir).count()
-    val p = 1.0 - math.acos(EmbedDupThreshold) / math.Pi
+    embedBucketedCore(Tables.embeddings(spark, sfDir), n, EmbedDupThreshold)
+  }
+
+  /** The LSH candidate→verify pipeline over an arbitrary (vec_id,
+    * embedding) corpus at an arbitrary cosine threshold. `n` is a
+    * CARDINALITY ESTIMATE for the (bits, tables) work-model solver — like
+    * a CBO reading table statistics, it only steers the plan shape, never
+    * the result, so an estimate from footer counts is safe.
+    */
+  private[queries] def embedBucketedCore(corpus: DataFrame, n: Long,
+      threshold: Double): DataFrame = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
     def tablesFor(b: Int): Int = {
       val p1 = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
       math.ceil(math.log(EmbedMissBound) / math.log1p(-p1)).toInt
@@ -450,14 +461,18 @@ object Dedup {
     // round-10 scale curve measured the result (exponent 1.24 over a 10×
     // corpus, 2.5 → 42 s). The minimizer instead pays tables (linear,
     // they are the LSH ρ-cost) to keep the candidate constant down.
-    // Honesty note, quantified by that same curve: at this test
+    // Honesty note, quantified by that same curve: at the committed test
     // threshold t = 0.45, p ≈ 0.65 sits so close to the random-pair 0.5
     // that even the optimal feasible config admits ~40% of all pairs as
     // candidates — ~2.5× pruning, intrinsically ~N²; that is what the
-    // embedAuto dispatcher is for at this τ. At the t ≥ 0.8 real
-    // pipelines dedup at (p ≈ 0.93), the SAME solver derives few tables
-    // at full occupancy width (L ≈ 6 at B = 16) and candidates collapse
-    // to ~10⁻³ of the cross join — the regime this operator scales in.
+    // embedAuto dispatcher is for at this τ. The theory line: with the
+    // solver free to widen B, LSH work grows ~N^(1+ρ) for
+    // ρ = ln(1/p)/ln(1/p_rand) (p_rand = 0.5 for sign hashes on
+    // near-orthogonal pairs) — ρ ≈ 0.63 at t = 0.45 but ρ ≈ 0.33 at the
+    // t = 0.8 real pipelines dedup at (p ≈ 0.80, a real angular gap), and
+    // the admitted-candidate FRACTION falls orders of magnitude (≈1.3%
+    // of pairs at B = 16/L = 50 vs ~40% here). dd_embed_hi measures that
+    // regime on the scale staging (SCALE_r11) rather than arguing it.
     val candidateCostW = 4.0
     val feasible = (4 to EmbedMaxBits).filter(b => tablesFor(b) <= EmbedMaxTables)
     // Guard the solver's domain: with today's constants b = 4 always solves
@@ -467,7 +482,7 @@ object Dedup {
     require(feasible.nonEmpty,
       s"no bucket width in [4, $EmbedMaxBits] solves the miss bound " +
         s"$EmbedMissBound within $EmbedMaxTables tables at threshold " +
-        s"$EmbedDupThreshold - relax EmbedMaxTables or the bound")
+        s"$threshold - relax EmbedMaxTables or the bound")
     val bits = feasible.minBy { b =>
       val l = tablesFor(b).toDouble
       val sigWork = n.toDouble * l * b * EmbedDim
@@ -477,7 +492,7 @@ object Dedup {
       sigWork + candWork
     }
     val tables = tablesFor(bits)
-    val e = Tables.embeddings(spark, sfDir)
+    val e = corpus
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
     // ALL table signatures in ONE custom codegen expression (a tight
@@ -525,8 +540,56 @@ object Dedup {
         col("nrm").as("nrm_b")), Seq("vec_b"))
       .withColumn("cs", graft.functions.vec.dot(col("emb_a"), col("emb_b"))
         / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cs") >= EmbedDupThreshold)
+      .filter(col("cs") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
+  }
+
+  /** dd_embed_hi — the bucketed near-dup pass at a PRODUCTION threshold
+    * (τ = 0.8), the regime the operator family's 100 TB claim lives in.
+    * The round-10 scale curve measured the committed τ = 0.45 entry
+    * superlinear (exponent 1.285) and quantified it as intrinsic — at
+    * that threshold p ≈ 0.65 has no angular gap over random pairs, so
+    * candidate pruning is thin no matter the (bits, tables) choice. Real
+    * dedup pipelines run at τ ≥ 0.8 where p ≈ 0.80 opens a real gap
+    * (ρ ≈ 0.33 vs 0.63; the solver's admitted-candidate fraction falls
+    * ~30×); this entry exists so SCALE_r11 can MEASURE that regime
+    * instead of extrapolating the solver's closed form.
+    *
+    * The driver corpora are uniform-on-sphere — in 64-d they contain
+    * ZERO pairs at cos ≥ 0.8 (checked by DuckDB all-pairs at every sf) —
+    * so the entry deterministically PLANTS near-dups first: every 10th
+    * vector gains a copy blended with its id-successor,
+    * v' = v + 0.5·v_next, whose cosine to v is
+    * (1 + c/2)/√(1.25 + c) ∈ [0.86, 0.95] for the |c| ≤ 0.5 base-pair
+    * cosines — safely above τ, never razor-edge. That is the shape a
+    * production pass actually faces (a ~10% near-exact-copy stratum over
+    * an unrelated bulk), and the construction is pure double IEEE
+    * arithmetic restated exactly by the DuckDB oracle (embedHiSql), so
+    * the all-pairs hash check stays bit-strict. Plants ride every corpus
+    * the entry is pointed at — the SCALE staging's replica ids get
+    * planted partners too, so the measured curve keeps a linearly
+    * growing true-positive load at every scale point.
+    */
+  private val EmbedHiThreshold = 0.8
+  private val PlantIdBase = 10000000L
+
+  private[queries] def embedHiCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val partner = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("emb_next"))
+    val plants = e.filter(col("vec_id") % 10 === 0)
+      .join(partner, Seq("vec_id")) // inner: the max id has no successor
+      .select((col("vec_id") + PlantIdBase).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("emb_next").cast("array<double>"),
+          (x, y) => x + lit(0.5) * y).cast("array<float>").as("embedding"))
+    e.unionByName(plants)
+  }
+
+  def embedHi(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    embedBucketedCore(embedHiCorpus(spark, sfDir),
+      nBase + nBase / 10, EmbedHiThreshold)
   }
 
   /** dd_embed_auto — cost-based dispatch between the two embedding-dedup
@@ -718,6 +781,29 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
+  /** dd_embed_hi oracle: restates the deterministic plant construction
+    * (double blend, round-to-float32 — REAL cast ≡ Spark's
+    * cast(array<double> → array<float>), both IEEE round-half-even), then
+    * the all-pairs cosine at τ = 0.8 over the augmented corpus.
+    */
+  val embedHiSql: String =
+    """WITH plants AS (
+      |  SELECT a.vec_id + 10000000 AS vec_id,
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+      |                + 0.5 * CAST(b.embedding[i] AS DOUBLE) AS REAL)) AS embedding
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 10 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM plants)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) AS cs
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin
 
   /** dd_winnow — the THIRD independent near-dup family (after word-shingle
     * minhash and char-quadgram simhash): Jaccard over winnowing fingerprint

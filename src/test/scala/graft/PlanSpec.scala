@@ -130,9 +130,11 @@ class PlanSpec extends SparkSuite {
   }
 
   test("dd_embed_bucketed: candidate generation is hash joins, never a cartesian") {
-    val p = plan("dd_embed_bucketed")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"bucketed embed dedup degenerated to all-pairs:\n$p")
+    Seq("dd_embed_bucketed", "dd_embed_hi").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$p")
+    }
   }
 
   test("ds_split: text column pruned from the scan") {

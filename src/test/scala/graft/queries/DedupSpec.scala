@@ -99,6 +99,37 @@ class DedupSpec extends SparkSuite {
       "dd_embed_auto dispatch changed results")
   }
 
+  test("dd_embed_hi finds exactly the all-pairs τ=0.8 set on the planted corpus") {
+    // The production-threshold regime: the base corpus has ZERO pairs at
+    // cos ≥ 0.8 (uniform-on-sphere, 64-d), so the entry plants a 10%
+    // near-exact-copy stratum; the LSH path must find every planted pair
+    // the quadratic form finds — and the plants must actually land in
+    // the [0.86, 0.95] design band, never razor-edge at the threshold.
+    val corpus = Dedup.embedHiCorpus(spark, sf)
+    val n = corpus.count()
+    val e = corpus.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", graft.functions.vec.l2norm(col("emb")))
+    val allPairs = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cs", graft.functions.vec.dot(col("emb_a"), col("emb_b"))
+        / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cs") >= 0.8)
+      .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hi = Dedup.embedHi(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(allPairs.nonEmpty, "plant construction produced no τ≥0.8 pairs")
+    assert(allPairs.size >= (n / 11 / 2).toInt,
+      s"expected ~n/11 planted pairs, got ${allPairs.size} of corpus $n")
+    assert(hi == allPairs,
+      s"missed: ${allPairs -- hi}; extra: ${hi -- allPairs}")
+    assert(allPairs.forall(_._3 <= 0.96),
+      "plants should sit in the design band, not be near-exact copies")
+  }
+
   test("simhash end-to-end equals a plain-Scala signature + all-pairs reference") {
     // Independent restatement of the token hash (Md5Long64, UNMASKED —
     // simhash only tests bits, never orders): hex-string reversal +

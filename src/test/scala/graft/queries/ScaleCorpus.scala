@@ -62,8 +62,10 @@ object ScaleCorpus {
     val base = graft.Tables.documents(spark, sfDir)
     // sf3 (30×) exists for the dd_substring marginal-slope point (verdict
     // r8 #5): the doc family's steepest curve needs a far point to
-    // distinguish "flattening" from "compounding".
-    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9, "sf3" -> 29)) {
+    // distinguish "flattening" from "compounding". sf10 (100×, ~500k
+    // docs) is the next decade of that same watch item (verdict r10 #5).
+    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9,
+        "sf3" -> 29, "sf10" -> 99)) {
       val out = new java.io.File(s"$outBase/$tag/documents.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         val docs =
@@ -98,7 +100,8 @@ object ScaleCorpus {
     val nBase = baseRows.length
     val dim = baseRows.head.getSeq[Float](1).length
     import spark.implicits._
-    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9, "sf3" -> 29)) {
+    for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9,
+        "sf3" -> 29, "sf10" -> 99)) {
       val out = new java.io.File(s"$outBase/$tag/embeddings.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         val rnd = new scala.util.Random(77001)
