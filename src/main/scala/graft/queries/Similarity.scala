@@ -204,7 +204,9 @@ object Similarity {
     * query's cell order, of the neighbor's CellReplicas assigned cells
     * — both orders exactly NearestCells' (dot desc, id asc)); nprobe is
     * the RecallTarget-quantile of those minimal depths plus a 20%
-    * sampling margin, clamped to [fallback floor, k].
+    * sampling margin, clamped to [8, k] (the constant floor
+    * CalibrationSpec pins for clustered pairs; the 2.5·√k
+    * nprobeFallback is used only when calibration yields no pairs).
     */
   private[queries] def calibratedNprobe(pairs: Array[(Array[Double], Array[Double])],
       unit: Array[Double], ids: Array[Long]): Int = {
