@@ -164,6 +164,28 @@ object Similarity {
     calCache.computeIfAbsent(corpusKey(emb), _ => calibrationPairs(emb))
   }
 
+  /** Per-corpus cache for the fitted coarse-centroid models — the other
+    * half of the index-build cost (the calibration cache above covers
+    * the exact-neighbor pass). ann_ivf's hash-strided centroid collect
+    * and ann_ivf_kmeans' sample collect + driver Lloyd fit each launch
+    * jobs per invocation that at 100 TB happen once per ingest; caching
+    * them under the same physical-identity key makes a session's second
+    * ANN query skip straight to assignment + probing (JobCountProbe is
+    * the evidence instrument). Determinism: both models are
+    * content-deterministic per corpus (sorted collects, seeded fit), so
+    * a hit is byte-identical and fingerprints are unchanged. Values are
+    * (ids, unit-centroid matrix): ≤ k·Dim doubles ≈ 8 MB at N = 10⁹ —
+    * the same bound as the collect they replace.
+    */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Double])]()
+
+  private def centModelCached(tag: String, emb: DataFrame)(
+      build: => (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+    if (centCache.size > 64) centCache.clear()
+    centCache.computeIfAbsent(tag + "@" + corpusKey(emb), _ => build)
+  }
+
   /** Exact top-K (queryEmb, neighborEmb) pairs for the calibration
     * stratum: one bounded distributed TopKAgg job (deterministic — ties
     * break by id), then a ≤ (CalQueries·(K+1))-id IN-pushdown fetch of
@@ -400,10 +422,10 @@ object Similarity {
     val n = corpusSize(emb)
     val k = centroidCount(n)
     val stride = math.max(1L, n / k)
-    val (ids, unit) = collectUnitCents(
+    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
       emb
         .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-        .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding"))))
     val assigned = assignedCells(normed(emb), unit, ids)
     val probed = probedCells(queries(emb),
       unit, ids, calibratedNprobe(calibrationPairsCached(emb), unit, ids))
@@ -500,25 +522,27 @@ object Similarity {
     val k = centroidCount(n)
     val target = math.min(64L * k, KmeansSampleCap)
     val stride = math.max(1L, n / target)
-    val sample = raw
-      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    require(sample.nonEmpty,
-      s"ann_ivf_kmeans: empty training sample (corpus n=$n, stride=$stride)")
-    val kEff = math.min(k, sample.length)
-    val fitted = sphericalKmeans(sample, kEff)
-    // The fitted centroids are already unit-normalized doubles on the
-    // driver — flatten straight into the expression matrix (cell id =
-    // centroid index); same per-row assignment path as ann_ivf (cosine
-    // argmax ≡ k-means cosine-distance predict), CellReplicas-way.
-    val unit = new Array[Double](kEff * Dim)
-    fitted.zipWithIndex.foreach { case (v, c) =>
-      System.arraycopy(v, 0, unit, c * Dim, math.min(v.length, Dim))
+    val (ids, unit) = centModelCached("kmeans", raw) {
+      val sample = raw
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      require(sample.nonEmpty,
+        s"ann_ivf_kmeans: empty training sample (corpus n=$n, stride=$stride)")
+      val kEff = math.min(k, sample.length)
+      val fitted = sphericalKmeans(sample, kEff)
+      // The fitted centroids are already unit-normalized doubles on the
+      // driver — flatten straight into the expression matrix (cell id =
+      // centroid index); same per-row assignment path as ann_ivf (cosine
+      // argmax ≡ k-means cosine-distance predict), CellReplicas-way.
+      val flat = new Array[Double](kEff * Dim)
+      fitted.zipWithIndex.foreach { case (v, c) =>
+        System.arraycopy(v, 0, flat, c * Dim, math.min(v.length, Dim))
+      }
+      (Array.tabulate(kEff)(_.toLong), flat)
     }
-    val ids = Array.tabulate(kEff)(_.toLong)
     val assigned = assignedCells(normed(raw), unit, ids)
     val probed = probedCells(queries(raw),
       unit, ids, calibratedNprobe(calibrationPairsCached(raw), unit, ids))

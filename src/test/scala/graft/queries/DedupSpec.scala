@@ -99,6 +99,31 @@ class DedupSpec extends SparkSuite {
       "dd_embed_auto dispatch changed results")
   }
 
+  test("the LSH work model separates the regimes the dispatcher relies on") {
+    // The dispatch contract (verdict r10): at the no-gap τ = 0.45 the
+    // model must read LSH costlier than all-pairs at EVERY corpus size
+    // (candidate pruning ~2×, fraction ~0.5 — N² is intrinsic, so the
+    // cheaper-constant quadratic wins under the cutoff), while at the
+    // production τ = 0.8 LSH must win from small N with a collapsing
+    // candidate fraction — the regime the 100 TB claim lives in.
+    for (n <- Seq(2000L, 20000L, 100000L, 1000000L)) {
+      val lo = Dedup.solveLsh(n, 0.45)
+      assert(lo.work > Dedup.allPairsWork(n),
+        s"no-gap model should read LSH costlier than all-pairs at n=$n")
+      assert(lo.candFraction > 0.3,
+        s"no-gap candidate fraction should be thin-pruning at n=$n: ${lo.candFraction}")
+      val hi = Dedup.solveLsh(n, 0.8)
+      assert(hi.work < Dedup.allPairsWork(n),
+        s"real-gap model should read LSH cheaper than all-pairs at n=$n")
+      assert(hi.candFraction < 0.05,
+        s"real-gap candidate fraction should collapse at n=$n: ${hi.candFraction}")
+    }
+    // And the fraction keeps FALLING with scale in the real-gap regime
+    // (the solver widens B as N grows) — the sub-quadratic signature.
+    assert(Dedup.solveLsh(1000000L, 0.8).candFraction <
+      Dedup.solveLsh(2000L, 0.8).candFraction)
+  }
+
   test("dd_embed_hi finds exactly the all-pairs τ=0.8 set on the planted corpus") {
     // The production-threshold regime: the base corpus has ZERO pairs at
     // cos ≥ 0.8 (uniform-on-sphere, 64-d), so the entry plants a 10%
