@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 /** Per-round ANN recall artifact (RECALL_r{N}.json).
   *
-  * The three approximate ANN families (ann_ivf, ann_ivf_kmeans, ann_lsh)
-  * are permanently `no_oracle` in the driver's correctness gate —
+  * The approximate ANN families (ann_ivf, ann_ivf_kmeans, ann_ivf_pq,
+  * ann_lsh) are permanently `no_oracle` in the driver's correctness gate —
   * approximate by construction — so their quality evidence lived only in
   * SimilaritySpec's recall-floor assertions, a pass/fail buried in sbt
   * output. This main surfaces the actual number each round: mean
@@ -29,7 +29,7 @@ object RecallProbe {
                        sfDir: String): String = {
     val n = Tables.embeddings(spark, sfDir).count()
     val exact = resultMap(SparkEntry.queries("ann_topk")(spark, sfDir))
-    val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_lsh").map { fam =>
+    val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh").map { fam =>
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))
       val recalls = exact.map { case (q, nn) =>
         approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size)

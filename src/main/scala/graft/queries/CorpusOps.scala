@@ -182,6 +182,92 @@ object CorpusOps {
          |WHERE e.doc_id % 7 = 0 AND t.doc_id % 7 != 0
          |GROUP BY 1, 2""".stripMargin
 
+  /** dd_decontaminate_fuzzy — NEAR-duplicate benchmark decontamination:
+    * training documents whose 3-gram Jaccard similarity to any eval
+    * document (doc_id % 7 = 0, the same deterministic benchmark stand-in
+    * as dd_decontaminate) is ≥ 0.5. The exact 8-gram entry catches
+    * verbatim leakage only — a benchmark item paraphrased, truncated, or
+    * lightly reworded shares few exact 8-grams but keeps high set
+    * overlap, which is why production decontamination (GPT-3 appendix C,
+    * Gopher §A.4-style) runs an n-gram-overlap pass beside the exact
+    * one.
+    *
+    * Scale path: the SAME 64-perm MinHash signatures as dd_minhash over
+    * the df-capped shingle basis, banded 2 rows × 32 bands — the S-curve
+    * position for J ≥ 0.5 (per-pair miss (1−J²)³² ≈ 1e-4 at the
+    * threshold, vanishing above; the corpus' qualifying pairs all sit at
+    * J ≥ 0.9 where miss ≈ 4e-23) — then a BIPARTITE bucket join (eval
+    * side × train side only, never train×train), exact Jaccard verify on
+    * the candidate pairs. Work is O(candidate pairs), not
+    * O(eval·train); the df cap bounds every bucket the same way
+    * dd_minhash's does. Oracle states the exact quadratic bipartite form
+    * — equality holds because candidates are exact-verified and the
+    * banding miss rate is negligible at the pairs' actual similarities
+    * (the dd_minhash ≡ dd_ngram_jaccard argument, bipartite).
+    */
+  private val FuzzyTau = 0.5
+  private val FuzzyBandRows = 2
+
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    // Capped over the FULL corpus basis before signing (the cap-ordering
+    // invariant minhashFrom documents); checkpointed — signatures,
+    // candidate semi-join, and verification sizes all branch off it.
+    val sh = Dedup.cappedShingles(spark, sfDir).localCheckpoint()
+    val buckets = Dedup.bandedBuckets(sh, FuzzyBandRows)
+    val evalB = buckets.filter(col("doc_id") % EvalModulus === 0)
+      .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
+    val trainB = buckets.filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("band"), col("bh"), col("doc_id").as("train_doc"))
+    val candidates = evalB.join(trainB, Seq("band", "bh"))
+      .select(col("train_doc"), col("eval_doc")).distinct()
+    // Exact verification restricted to candidate docs; the eval/train
+    // split is a pure doc_id predicate, so each side is a filter.
+    val candDocs = candidates.select(col("train_doc").as("doc_id"))
+      .union(candidates.select(col("eval_doc").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val evalSh = shCand.filter(col("doc_id") % EvalModulus === 0)
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    val trainSh = shCand.filter(col("doc_id") % EvalModulus =!= 0)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val common = evalSh.join(trainSh, Seq("shingle"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("c"))
+      .join(candidates, Seq("train_doc", "eval_doc"), "left_semi")
+    common
+      .join(sizes.select(col("doc_id").as("train_doc"), col("n").as("nt")),
+        Seq("train_doc"))
+      .join(sizes.select(col("doc_id").as("eval_doc"), col("n").as("ne")),
+        Seq("eval_doc"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("nt") + col("ne") - col("c")).cast("double"))
+      .filter(col("jaccard") >= FuzzyTau)
+      .select(col("train_doc"), col("eval_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val decontaminateFuzzySql: String =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS c
+         |  FROM sh e JOIN sh t ON e.shingle = t.shingle
+         |  WHERE e.doc_id % 7 = 0 AND t.doc_id % 7 != 0
+         |  GROUP BY 1, 2)
+         |SELECT train_doc, eval_doc,
+         |  round(c * 1.0 / (st.n + se.n - c), 6) AS jaccard
+         |FROM common
+         |JOIN sizes st ON train_doc = st.doc_id
+         |JOIN sizes se ON eval_doc = se.doc_id
+         |WHERE c * 1.0 / (st.n + se.n - c) >= 0.5""".stripMargin
+
   /** ds_pack — sequence packing (concat-and-chunk): documents are laid
     * head-to-tail in doc_id order and cut into fixed `PackChunkTokens`
     * training sequences; each doc reports its token span and the chunk

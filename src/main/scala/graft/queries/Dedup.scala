@@ -173,6 +173,49 @@ object Dedup {
     minhashFrom(spark.read.parquet(staged))
   }
 
+  /** The df-capped shingle basis for a corpus — the set every MinHash
+    * consumer (within-corpus dedup AND the bipartite decontamination
+    * funnel) signs and verifies over, so banding probability and
+    * verified Jaccard always score the same quantity (the cap-ordering
+    * argument on minhashFrom).
+    */
+  private[queries] def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val shRaw = shingles(spark, sfDir)
+    shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
+  }
+
+  /** MinHash signatures → banded bucket keys (doc_id, band, bh) over an
+    * already-capped shingle set, parameterized by rows-per-band so
+    * callers can position the S-curve: 4 rows × 16 bands targets the
+    * J ≥ 0.8 dup threshold (miss ≈ 2e-4), 2 rows × 32 bands the J ≥ 0.5
+    * contamination threshold (miss ≈ 1e-4 at J = 0.5, vanishing above).
+    * One permutation set (64 perms, fixed seed) serves every consumer —
+    * signatures are computed identically, only the banding regroups.
+    */
+  private[queries] def bandedBuckets(sh: DataFrame, bandRows: Int): DataFrame = {
+    require(NumPerms % bandRows == 0, s"bandRows=$bandRows must divide $NumPerms")
+    // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
+    val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
+    val hashed = sh.select(col("doc_id"), h)
+    // One-pass signature via the custom TypedImperativeAggregate — the
+    // whole 64-perm signature is a single buffer update per row and ONE
+    // array value across the shuffle (vs 64 separate min-agg slots).
+    // (a*h+b)%p on positive operands == pmod, so signatures are identical
+    // to the column-wise formulation.
+    val sigs = hashed.groupBy(col("doc_id")).agg(
+      graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"))
+    // Band key: hash of the band's signature values (element_at is
+    // 1-indexed).
+    val bands = (0 until NumPerms / bandRows).map { bnd =>
+      val cols = (0 until bandRows).map(r => element_at(col("sig"), bnd * bandRows + r + 1))
+      struct(lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** Package-visible so Pipeline's near-dup stage runs the SAME banded-LSH
     * candidate funnel over its survivor set (identical output to the exact
     * self-join at J ≥ 0.8; see the equivalence argument on `minhash`).
@@ -205,26 +248,7 @@ object Dedup {
     // 1.89 s with the checkpoint in place.
     val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
       .localCheckpoint()
-    // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
-    val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
-    val hashed = sh.select(col("doc_id"), h)
-    // One-pass signature via the custom TypedImperativeAggregate — the
-    // whole 64-perm signature is a single buffer update per row and ONE
-    // array value across the shuffle (vs 64 separate min-agg slots).
-    // (a*h+b)%p on positive operands == pmod, so signatures are identical
-    // to the column-wise formulation.
-    val sigs = hashed.groupBy(col("doc_id")).agg(
-      graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"))
-    // Band key: hash of the band's 4 signature values (element_at is
-    // 1-indexed).
-    val bands = (0 until NumPerms / BandRows).map { bnd =>
-      val cols = (0 until BandRows).map(r => element_at(col("sig"), bnd * BandRows + r + 1))
-      struct(lit(bnd).as("band"),
-        xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandedBuckets(sh, BandRows)
     val candA = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val candB = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     val candidates = candA.join(candB, Seq("band", "bh"))

@@ -549,6 +549,157 @@ object Similarity {
     searchCells(probed, assigned)
   }
 
+  /** ann_ivf_pq — IVF coarse search + product-quantized scan + exact
+    * re-rank: the billion-scale ANN layout (Jégou/Douze/Schmid, TPAMI
+    * 2011; the FAISS IVFPQ default). The 100 TB argument: ann_ivf's
+    * posting lists carry raw vectors — `N·dim·4` bytes that stay 100 TB
+    * however they are partitioned — while PQ codes the corpus side down
+    * to `m` bytes per vector (8 here: **32× scan-side compression**), so
+    * the per-cell scan state is id + cell + 8 bytes and a 100 TB corpus'
+    * index fits a fleet's memory. Raw vectors are touched only by the
+    * bounded re-rank shortlist (|Q| · K·refine rows).
+    *
+    * Stages: (1) per-subspace codebooks trained ON THE DRIVER over the
+    * bounded hash-strided sample (k-means per subspace, seeded, sums in
+    * index order — bit-deterministic like sphericalKmeans), cached per
+    * corpus like every other index model; (2) corpus assigned to IVF
+    * cells AND encoded in one projection — both are per-row codegen
+    * expressions, zero shuffles added; (3) probe join ranks candidates
+    * by the asymmetric dot (query × code reconstruction, [[PqAdcDot]]),
+    * TopKAgg keeps K·refine per query (bounded aggregate, never a
+    * window); (4) the shortlist re-ranks by EXACT cosine against the
+    * raw vectors. Approximate → rows-only driver check; recall rides
+    * the same RecallProbe curve as the other ANN paths, and the PQ
+    * stage can only lose recall the refine factor doesn't buy back —
+    * SimilaritySpec pins the floor.
+    */
+  private val PqM = 8
+  private val PqKsubMax = 256
+  private val PqSubDim = 8 // Dim / PqM
+  private val PqSampleCap = 32768L
+  private val PqRefine = 4
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Array[Double])]()
+
+  /** Per-corpus PQ codebooks: [m][ksub][subDim] row-major, trained over
+    * unit-normalized samples (direction-only quantization — the cosine
+    * corpus side carries no magnitude). ksub adapts to min(256, sample)
+    * so tiny corpora stay well-defined; byte codes bound ksub ≤ 256.
+    */
+  private def pqBooksCached(emb: DataFrame, n: Long): (Int, Array[Double]) = {
+    if (pqCache.size > 64) pqCache.clear()
+    pqCache.computeIfAbsent(corpusKey(emb), _ => {
+      val stride = math.max(1L, n / PqSampleCap)
+      val rows = emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .sortBy(_.getLong(0))
+      require(rows.nonEmpty, s"ann_ivf_pq: empty training sample (corpus n=$n)")
+      val unitPts = rows.map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        if (nrm == 0.0) v else v.map(_ / nrm)
+      }
+      val ksub = math.min(PqKsubMax, unitPts.length)
+      val books = new Array[Double](PqM * ksub * PqSubDim)
+      for (s <- 0 until PqM) {
+        val slices = unitPts.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim))
+        val cents = pqKmeans(slices, ksub, PqSubDim, s)
+        System.arraycopy(cents, 0, books, s * ksub * PqSubDim, ksub * PqSubDim)
+      }
+      (ksub, books)
+    })
+  }
+
+  /** Plain (Euclidean) k-means for one PQ subspace, driver-side: the
+    * sphericalKmeans discipline — seeded shuffled-index init, parallel
+    * assignment into disjoint slots, SEQUENTIAL index-order sum
+    * accumulation, empty clusters keep their previous centroid — so the
+    * fitted codebook is bit-identical across modes and thread schedules.
+    */
+  private def pqKmeans(points: Array[Array[Double]], k: Int,
+      subDim: Int, seedOffset: Int): Array[Double] = {
+    val n = points.length
+    val rnd = new scala.util.Random(4242 + seedOffset)
+    val order = rnd.shuffle((0 until n).toVector)
+    var cents = order.take(k).map(i => points(i).clone).toArray
+    val assign = new Array[Int](n)
+    for (_ <- 0 until KmeansIters) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val p = points(i)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val ce = cents(c)
+          var d = 0.0; var t = 0
+          while (t < subDim) { val diff = p(t) - ce(t); d += diff * diff; t += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.fill(cents.length, subDim)(0.0)
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val c = assign(i); val p = points(i); val s = sums(c)
+        var t = 0
+        while (t < subDim) { s(t) += p(t); t += 1 }
+        counts(c) += 1; i += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val flat = new Array[Double](k * subDim)
+    cents.zipWithIndex.foreach { case (ce, c) =>
+      System.arraycopy(ce, 0, flat, c * subDim, subDim)
+    }
+    flat
+  }
+
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    // Coarse quantizer: the SAME hash-sampled centroid model as ann_ivf
+    // (shared cache slot — one coarse index per corpus serves both).
+    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
+      emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))))
+    val (ksub, books) = pqBooksCached(emb, n)
+    val e = normed(emb)
+    // Scan side: (cell, vec_id, 8-byte code) — assignment and encoding
+    // are both per-row codegen projections over ONE corpus pass; the
+    // raw embedding is dropped before anything shuffles or joins.
+    val assigned = e.select(
+      explode(graft.functions.NearestCells.nearestCells(
+        col("embedding"), unit, ids, ids.length, Dim, CellReplicas)).as("cell"),
+      col("vec_id"),
+      graft.functions.PqCodes.pqEncode(col("embedding"), books,
+        PqM, ksub, PqSubDim).as("code"))
+    val q = queries(emb)
+    val probed = probedCells(q, unit, ids,
+      calibratedNprobe(calibrationPairsCached(emb), unit, ids))
+    // ADC scan: rank candidates from the code alone (a per-query positive
+    // scale can't change a ranking, so the raw query needs no normalize).
+    val scored = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", graft.functions.PqCodes.pqAdcDot(
+        col("code"), col("q_emb"), books, PqM, ksub, PqSubDim))
+    val shortlist = scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("adc"),
+        K * PqRefine).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    // Exact re-rank: only |Q|·K·refine raw vectors are ever fetched.
+    val refined = e.join(broadcast(shortlist.join(q, Seq("q_id"))), Seq("vec_id"))
+      .withColumn("cs_raw", pairCosine)
+    rankTopK(refined)
+  }
+
   /** ann_lsh — random-hyperplane LSH ANN: L tables × B sign bits, B grown
     * with the corpus (B = log₂(N/targetBucketSize), clamped) so bucket
     * occupancy stays near `TargetBucket` as N scales — the round-1 version

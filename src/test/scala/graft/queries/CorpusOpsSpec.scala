@@ -37,6 +37,36 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy decontamination equals the exact bipartite Jaccard scan") {
+    // Independent reference: plain-Scala 3-gram shingle sets + bipartite
+    // Jaccard over all eval×train pairs — no MinHash, no banding, no
+    // Spark joins. The funnel must find exactly this set (the dd_minhash
+    // ≡ dd_ngram_jaccard equivalence, bipartite form).
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.map { case (id, text) =>
+      // EXACTLY WordShingles' tokenization: Java split("\s+"), no
+      // empty-token filter (leading whitespace keeps its empty token).
+      val w = text.split("\\s+")
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (e, es) <- sets.toSeq if e % 7 == 0 && es.nonEmpty
+      (t, ts) <- sets.toSeq if t % 7 != 0 && ts.nonEmpty
+      c = (es & ts).size if c > 0
+      j = c.toDouble / (es.size + ts.size - c) if j >= 0.5
+    } yield (t, e) -> round6(j)).toMap
+    val got = CorpusOps.decontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "test corpus should contain cross-split near-dups")
+    assert(got == expected,
+      s"fuzzy decon diverged; missing=${expected.keySet diff got.keySet} " +
+        s"extra=${got.keySet diff expected.keySet}")
+  }
+
   test("perplexity: finite positive scores; rare-token docs score above common-token docs") {
     val rows = CorpusOps.perplexity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -64,6 +64,52 @@ class SimilaritySpec extends SparkSuite {
     assert(trained >= 0.88, f"trained IVF recall too low: $trained%.2f")
   }
 
+  test("ann_ivf_pq: 8-byte codes + exact re-rank hold recall near the uncompressed path") {
+    val exact = resultMap(Similarity.annTopK(spark, sf))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, nn) =>
+        m.get(q).map(a => (a & nn).size.toDouble / nn.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val pq = recallOf(resultMap(Similarity.annIvfPq(spark, sf)))
+    val raw = recallOf(resultMap(Similarity.annIvf(spark, sf)))
+    info(f"recall@5: pq=$pq%.2f raw-ivf=$raw%.2f")
+    // Same coarse index + calibration as ann_ivf; the PQ stage can only
+    // lose what the K·refine shortlist fails to buy back. The floor
+    // bounds that loss: within 0.1 of the uncompressed path and above
+    // an absolute 0.85.
+    assert(pq >= raw - 0.1, f"PQ lost too much recall vs raw IVF: $pq%.2f vs $raw%.2f")
+    assert(pq >= 0.85, f"PQ recall too low: $pq%.2f")
+  }
+
+  test("pq codec: encode is deterministic and ADC ranks reconstruction-close vectors first") {
+    // Codec-level golden, independent of the IVF pipeline: a driver-side
+    // codebook with KNOWN structure — subspace centroids at ±axis corners
+    // — must encode axis-aligned vectors to the matching code and give
+    // back the exact reconstruction dot under ADC.
+    import org.apache.spark.sql.functions._
+    val m = 2; val ksub = 2; val subDim = 2
+    // book[s][0] = (1,0), book[s][1] = (0,1) for both subspaces
+    val books = Array(1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0)
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), // unit already: codes (0, 1)
+      (2L, Seq(0.0f, 2.0f, 2.0f, 0.0f))  // normalizes to (0,.7,.7,0): codes (1, 0)
+    )).toDF("id", "v")
+    val got = df.select(col("id"), col("v"),
+        graft.functions.PqCodes.pqEncode(col("v"), books, m, ksub, subDim).as("code"))
+      .withColumn("adc", graft.functions.PqCodes.pqAdcDot(
+        col("code"), col("v"), books, m, ksub, subDim))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Byte](2).toList, r.getDouble(3))).sortBy(_._1)
+    assert(got(0)._2 == List(0.toByte, 1.toByte), s"id1 code ${got(0)._2}")
+    assert(got(1)._2 == List(1.toByte, 0.toByte), s"id2 code ${got(1)._2}")
+    // ADC = raw query · reconstruction: id1 → (1,0,0,1)·(1,0,0,1) = 2;
+    // id2 → (0,2,2,0)·(0,1,1,0) = 4.
+    assert(got(0)._3 == 2.0 && got(1)._3 == 4.0,
+      s"ADC values ${got.map(_._3).toList}")
+  }
+
   test("ann_range equals an independent plain-Scala brute-force radius scan") {
     // Same rigor as the goldens elsewhere: recompute every admitted pair
     // from the raw vectors, independent of vec.dot/l2norm and the join
