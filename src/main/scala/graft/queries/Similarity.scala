@@ -566,11 +566,13 @@ object Similarity {
     * cells AND encoded in one projection — both are per-row codegen
     * expressions, zero shuffles added; (3) probe join ranks candidates
     * by the asymmetric dot (query × code reconstruction, [[PqAdcDot]]),
-    * TopKAgg keeps K·refine per query (bounded aggregate, never a
-    * window); (4) the shortlist re-ranks by EXACT cosine against the
-    * raw vectors. Approximate → rows-only driver check; recall rides
-    * the same RecallProbe curve as the other ANN paths, and the PQ
-    * stage can only lose recall the refine factor doesn't buy back —
+    * TopKAgg keeps a CALIBRATED shortlist per query (bounded aggregate,
+    * never a window — depth measured per build from where true
+    * neighbors actually rank under ADC, see [[calibratedPqShortlist]]);
+    * (4) the shortlist re-ranks by EXACT cosine against the raw
+    * vectors. Approximate → rows-only driver check; recall rides the
+    * same RecallProbe curve as the other ANN paths, and the PQ stage
+    * can only lose recall the calibrated shortlist doesn't buy back —
     * SimilaritySpec pins the floor.
     */
   private val PqM = 8
@@ -659,6 +661,114 @@ object Similarity {
     flat
   }
 
+  /** Hard ceiling for the calibrated ADC shortlist: bounds the refine
+    * join at |Q|·cap rows whatever the corpus' tie structure does.
+    */
+  private val PqShortlistCap = 4096
+
+  private val pqShortCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Integer]()
+
+  /** Driver-side mirror of [[graft.functions.PqEncode]] — identical
+    * arithmetic (normalize, per-subspace nearest entry, strict-< tie
+    * toward the lower index) — used only to stamp calibration thresholds.
+    */
+  private def pqEncodeLocal(v: Array[Double], books: Array[Double],
+      ksub: Int): Array[Int] = {
+    val dim = PqM * PqSubDim
+    val n = math.min(dim, v.length)
+    val u = new Array[Double](dim)
+    var s2 = 0.0
+    var i = 0
+    while (i < n) { u(i) = v(i); s2 += v(i) * v(i); i += 1 }
+    val inv = if (s2 == 0.0) 1.0 else 1.0 / math.sqrt(s2)
+    i = 0
+    while (i < n) { u(i) *= inv; i += 1 }
+    Array.tabulate(PqM) { s =>
+      var bestJ = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < ksub) {
+        val off = (s * ksub + j) * PqSubDim
+        var d = 0.0
+        var t = 0
+        while (t < PqSubDim) {
+          val diff = u(s * PqSubDim + t) - books(off + t); d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j }
+        j += 1
+      }
+      bestJ
+    }
+  }
+
+  /** Driver-side mirror of [[graft.functions.PqAdcDot]]. */
+  private def pqAdcLocal(q: Array[Double], code: Array[Int],
+      books: Array[Double], ksub: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < PqM) {
+      val off = (s * ksub + code(s)) * PqSubDim
+      var t = 0
+      while (t < PqSubDim) {
+        val qi = s * PqSubDim + t
+        if (qi < q.length) acc += q(qi) * books(off + t)
+        t += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  /** Calibrated ADC shortlist depth — the round-10 calibration
+    * discipline applied to the PQ stage, after RECALL_r11's first
+    * capture measured the fixed K·PqRefine=20 shortlist decaying
+    * 0.77 → 0.55 → 0.41 across 1×/3×/10× (and the replica-staged
+    * corpora encode MANY vectors to the SAME 8-byte code, so the true
+    * neighbor's ADC score is tied by whole cohorts and id tie-breaking
+    * can seat it arbitrarily deep). For each calibration pair, COUNT the
+    * corpus vectors whose ADC ties-or-beats the true neighbor's — the
+    * worst-case shortlist position a tie-break can deal it; the
+    * shortlist is the MAX of those counts ×1.2 (see the in-body note on
+    * why not a quantile), clamped to [K·PqRefine, PqShortlistCap].
+    * Cost: one corpus pass ×
+    * |pairs| ADC evals (the exact-calibration cost class), one bounded
+    * ≤|pairs|-row collect, cached per corpus like every index-build
+    * product; the threshold rows are stamped driver-side by the local
+    * codec mirrors so no raw neighbor vectors ride the plan.
+    */
+  private def calibratedPqShortlist(emb: DataFrame, books: Array[Double],
+      ksub: Int, pairs: Array[(Array[Double], Array[Double])]): Int = {
+    if (pairs.isEmpty) return K * PqRefine
+    if (pqShortCache.size > 64) pqShortCache.clear()
+    pqShortCache.computeIfAbsent(corpusKey(emb), _ => {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val thrDf = pairs.zipWithIndex.map { case ((qe, ve), i) =>
+        (i, qe.toSeq, pqAdcLocal(qe, pqEncodeLocal(ve, books, ksub), books, ksub))
+      }.toSeq.toDF("cq", "cq_emb", "thr")
+      val codes = emb.select(graft.functions.PqCodes.pqEncode(col("embedding"),
+        books, PqM, ksub, PqSubDim).as("code"))
+      // Constant ≤64-row broadcast against the code stream — the same
+      // bounded-probe shape as the exact calibration pass.
+      val counts = codes.join(broadcast(thrDf),
+          graft.functions.PqCodes.pqAdcDot(col("code"), col("cq_emb"),
+            books, PqM, ksub, PqSubDim) >= col("thr"))
+        .groupBy(col("cq")).agg(count(lit(1)).as("c"))
+        .collect().map(_.getLong(1)).sorted
+      // MAX over the calibration pairs, not the RecallTarget quantile:
+      // end-to-end recall is the PRODUCT of the cell stage (calibrated
+      // to the 0.95 quantile) and this stage, so a quantile here
+      // compounds to ~0.90 (measured: 0.92 at the 10× replica staging
+      // with the 0.95-quantile depth of 441). The refine join is
+      // second-order cheap — |Q|·S exact dots vs the ADC scan's
+      // corpus-fraction — so the calibrator spends coverage here:
+      // depth = max observed count ×1.2, the cap the only bound.
+      val margin = math.ceil(counts.last * 1.2).toInt
+      Integer.valueOf(math.min(PqShortlistCap, math.max(K * PqRefine, margin)))
+    }).intValue()
+  }
+
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val n = corpusSize(emb)
@@ -682,8 +792,9 @@ object Similarity {
       graft.functions.PqCodes.pqEncode(col("embedding"), books,
         PqM, ksub, PqSubDim).as("code"))
     val q = queries(emb)
-    val probed = probedCells(q, unit, ids,
-      calibratedNprobe(calibrationPairsCached(emb), unit, ids))
+    val pairs = calibrationPairsCached(emb)
+    val probed = probedCells(q, unit, ids, calibratedNprobe(pairs, unit, ids))
+    val shortK = calibratedPqShortlist(emb, books, ksub, pairs)
     // ADC scan: rank candidates from the code alone (a per-query positive
     // scale can't change a ranking, so the raw query needs no normalize).
     val scored = broadcast(probed).join(assigned, Seq("cell"))
@@ -692,7 +803,7 @@ object Similarity {
         col("code"), col("q_emb"), books, PqM, ksub, PqSubDim))
     val shortlist = scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("adc"),
-        K * PqRefine).as("top"))
+        shortK).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
     // Exact re-rank: only |Q|·K·refine raw vectors are ever fetched.
     val refined = e.join(broadcast(shortlist.join(q, Seq("q_id"))), Seq("vec_id"))
