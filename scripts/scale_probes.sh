@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_embed_bucketed dd_embed_hi dd_embed_auto ann_lsh ann_ivf"}
+queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_auto ann_lsh ann_ivf ann_ivf_pq"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \
