@@ -158,11 +158,22 @@ object Similarity {
     }.mkString("|")
   }
 
+  /** Cache-or-build under a physical-identity key. An EMPTY key means
+    * the DataFrame is not file-backed (in-memory test corpora have no
+    * input files) — two such corpora would collide on "", so the cache
+    * is bypassed and the model built fresh.
+    */
+  private def cachedOrBuild[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      key: String)(build: => T): T =
+    if (key.isEmpty) build
+    else {
+      if (cache.size > 64) cache.clear() // bound a long session's footprint
+      cache.computeIfAbsent(key, _ => build)
+    }
+
   private def calibrationPairsCached(emb: DataFrame)
-      : Array[(Array[Double], Array[Double])] = {
-    if (calCache.size > 64) calCache.clear() // bound a long session's footprint
-    calCache.computeIfAbsent(corpusKey(emb), _ => calibrationPairs(emb))
-  }
+      : Array[(Array[Double], Array[Double])] =
+    cachedOrBuild(calCache, corpusKey(emb))(calibrationPairs(emb))
 
   /** Per-corpus cache for the fitted coarse-centroid models — the other
     * half of the index-build cost (the calibration cache above covers
@@ -182,8 +193,8 @@ object Similarity {
 
   private def centModelCached(tag: String, emb: DataFrame)(
       build: => (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
-    if (centCache.size > 64) centCache.clear()
-    centCache.computeIfAbsent(tag + "@" + corpusKey(emb), _ => build)
+    val key = corpusKey(emb)
+    cachedOrBuild(centCache, if (key.isEmpty) key else tag + "@" + key)(build)
   }
 
   /** Exact top-K (queryEmb, neighborEmb) pairs for the calibration
@@ -589,9 +600,8 @@ object Similarity {
     * corpus side carries no magnitude). ksub adapts to min(256, sample)
     * so tiny corpora stay well-defined; byte codes bound ksub ≤ 256.
     */
-  private def pqBooksCached(emb: DataFrame, n: Long): (Int, Array[Double]) = {
-    if (pqCache.size > 64) pqCache.clear()
-    pqCache.computeIfAbsent(corpusKey(emb), _ => {
+  private def pqBooksCached(emb: DataFrame, n: Long): (Int, Array[Double]) =
+    cachedOrBuild(pqCache, corpusKey(emb)) {
       val stride = math.max(1L, n / PqSampleCap)
       val rows = emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .select(col("vec_id"), col("embedding"))
@@ -611,8 +621,7 @@ object Similarity {
         System.arraycopy(cents, 0, books, s * ksub * PqSubDim, ksub * PqSubDim)
       }
       (ksub, books)
-    })
-  }
+    }
 
   /** Plain (Euclidean) k-means for one PQ subspace, driver-side: the
     * sphericalKmeans discipline — seeded shuffled-index init, parallel
@@ -737,11 +746,10 @@ object Similarity {
     * product; the threshold rows are stamped driver-side by the local
     * codec mirrors so no raw neighbor vectors ride the plan.
     */
-  private def calibratedPqShortlist(emb: DataFrame, books: Array[Double],
+  private[queries] def calibratedPqShortlist(emb: DataFrame, books: Array[Double],
       ksub: Int, pairs: Array[(Array[Double], Array[Double])]): Int = {
     if (pairs.isEmpty) return K * PqRefine
-    if (pqShortCache.size > 64) pqShortCache.clear()
-    pqShortCache.computeIfAbsent(corpusKey(emb), _ => {
+    cachedOrBuild(pqShortCache, corpusKey(emb))(Integer.valueOf {
       val spark = emb.sparkSession
       import spark.implicits._
       val thrDf = pairs.zipWithIndex.map { case ((qe, ve), i) =>
@@ -765,7 +773,7 @@ object Similarity {
       // corpus-fraction — so the calibrator spends coverage here:
       // depth = max observed count ×1.2, the cap the only bound.
       val margin = math.ceil(counts.last * 1.2).toInt
-      Integer.valueOf(math.min(PqShortlistCap, math.max(K * PqRefine, margin)))
+      math.min(PqShortlistCap, math.max(K * PqRefine, margin))
     }).intValue()
   }
 

@@ -110,6 +110,34 @@ class SimilaritySpec extends SparkSuite {
       s"ADC values ${got.map(_._3).toList}")
   }
 
+  test("pq shortlist calibrator: separated corpora stay at the floor; tie cohorts escalate") {
+    // Both ends of the adaptivity contract (the CalibrationSpec
+    // discipline, applied to the ADC stage) with a hand-built codebook
+    // of known structure: per subspace, entry 0 = e₁, entry 1 = e₂.
+    import spark.implicits._
+    val m = 8; val ksub = 2; val sub = 8
+    val books = new Array[Double](m * ksub * sub)
+    for (s <- 0 until m) {
+      books((s * ksub + 0) * sub + 0) = 1.0
+      books((s * ksub + 1) * sub + 1) = 1.0
+    }
+    def vecOf(pos: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i % sub == pos) 1.0f else 0.0f)
+    val v1 = vecOf(0); val v2 = vecOf(1)
+    val pairs = Array((v1.map(_.toDouble).toArray, v1.map(_.toDouble).toArray))
+    // Tie cohort: 100 copies of the neighbor's direction — all share its
+    // code AND its ADC score, so the worst-case tie-broken seat is the
+    // whole cohort and the depth must cover it (×1.2 margin).
+    val ties = (0L until 100L).map(i => (i, v1)).toDF("vec_id", "embedding")
+    val tieK = Similarity.calibratedPqShortlist(ties, books, ksub, pairs)
+    assert(tieK == 120, s"tie cohort should escalate to ceil(100·1.2): $tieK")
+    // Separated corpus: only the neighbor itself ties its own score (the
+    // other 99 reconstruct orthogonal to the query) — floor suffices.
+    val sep = ((0L, v1) +: (1L until 100L).map(i => (i, v2))).toDF("vec_id", "embedding")
+    val sepK = Similarity.calibratedPqShortlist(sep, books, ksub, pairs)
+    assert(sepK == 20, s"separated corpus should stay at the K·refine floor: $sepK")
+  }
+
   test("ann_range equals an independent plain-Scala brute-force radius scan") {
     // Same rigor as the goldens elsewhere: recompute every admitted pair
     // from the raw vectors, independent of vec.dot/l2norm and the join
