@@ -54,7 +54,19 @@ def main():
     ok = out["equal"] == out["total"]
     print(f"== {out['equal']}/{out['total']} fingerprint-equal across modes; "
           f"diverged={out['diverged']} errors={out['errors']}", file=sys.stderr)
-    sys.exit(0 if ok else 1)
+    if not ok:
+        sys.exit(1)
+    # Distinct exit for a correctness-green but noise-dominated capture
+    # (best warm lap still >2x its own cold lap after the steal
+    # detector's re-laps): callers re-run the timing capture instead of
+    # shipping it. Review r11: previously this list was advisory prose
+    # only and a noise-dominated artifact exited 0.
+    if out["warmOverCold2x"]:
+        print(f"== capture quality FAILED: warmOverCold2x="
+              f"{out['warmOverCold2x']} - timings noise-dominated, re-run",
+              file=sys.stderr)
+        sys.exit(3)
+    sys.exit(0)
 
 if __name__ == "__main__":
     main()

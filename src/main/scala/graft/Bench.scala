@@ -156,7 +156,12 @@ object Bench {
         // complete record still lands in GRAFT_BENCH_OUT and the full
         // line above.
         val budget = 1800
-        def fmt(v: Double): String = f"$v%.2f"
+        // Locale.ROOT: the f-interpolator uses the JVM default locale,
+        // and a comma-decimal locale (de_DE, fr_FR) would emit
+        // `"value":1,23` — invalid JSON, resurrecting the exact
+        // "parsed": null defect this line exists to fix.
+        def fmt(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         val entries = results.sortBy { case (_, v) => -v }
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         val head = s"""{"metric":"total","value":${fmt(total)},""" +

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
   * asymmetric distance — the dot product between the RAW query and the
   * code's reconstruction Σ_s book[s][code_s] — so the corpus side of
   * the scan never touches a raw vector. Only a bounded re-rank
-  * shortlist (|Q| · k · refine rows) reads the original embeddings.
+  * shortlist (|Q| · calibrated-depth rows, hard-capped) reads the
+  * original embeddings.
   * This is the inverted-file + asymmetric-distance design of Jégou,
   * Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
   * (TPAMI 2011) — the standard billion-scale layout.

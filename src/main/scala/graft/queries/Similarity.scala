@@ -568,7 +568,8 @@ object Similarity {
     * to `m` bytes per vector (8 here: **32× scan-side compression**), so
     * the per-cell scan state is id + cell + 8 bytes and a 100 TB corpus'
     * index fits a fleet's memory. Raw vectors are touched only by the
-    * bounded re-rank shortlist (|Q| · K·refine rows).
+    * bounded re-rank shortlist (|Q| · calibrated-depth rows, capped at
+    * PqShortlistCap).
     *
     * Stages: (1) per-subspace codebooks trained ON THE DRIVER over the
     * bounded hash-strided sample (k-means per subspace, seeded, sums in
@@ -607,7 +608,12 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
         .collect()
         .sortBy(_.getLong(0))
-      require(rows.nonEmpty, s"ann_ivf_pq: empty training sample (corpus n=$n)")
+      // ≥2: ksub = min(256, sample) must satisfy the codec's ksub ≥ 2
+      // shape bound — a 1-row sample would otherwise surface as a
+      // misleading "pq shape out of range" from PqCodegen.checkBooks.
+      require(rows.length >= 2,
+        s"ann_ivf_pq: training sample too small (${rows.length} row(s), " +
+          s"corpus n=$n) - PQ needs at least 2 sampled vectors")
       val unitPts = rows.map { r =>
         val v = r.getSeq[Float](1).toArray.map(_.toDouble)
         val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -813,8 +819,14 @@ object Similarity {
       .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("adc"),
         shortK).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
-    // Exact re-rank: only |Q|·K·refine raw vectors are ever fetched.
-    val refined = e.join(broadcast(shortlist.join(q, Seq("q_id"))), Seq("vec_id"))
+    // Exact re-rank: only |Q|·shortK raw vectors are ever fetched. The
+    // shortlist broadcast carries two longs per row (≤ |Q|·cap ≈ 64 MB
+    // at the 4096 ceiling); q_emb re-attaches AFTER the corpus fetch via
+    // the separate ≤MaxQueries-row query broadcast — joining q into the
+    // shortlist first would duplicate each 64-float query vector into
+    // every one of its shortK rows and inflate that broadcast shortK-fold.
+    val refined = e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
       .withColumn("cs_raw", pairCosine)
     rankTopK(refined)
   }
