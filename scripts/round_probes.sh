@@ -24,6 +24,7 @@ grep -E "\[skewprobe\]|SKEW_CLUSTER_PROBE_OK" /tmp/skew_probe.log >&2 || true
 log "3/5 isolation laps -> PROBES_r$r.json"
 scripts/isolate_probes.sh "PROBES_r$r.json" \
   mm_features dd_substring dd_clusters dd_minhash dd_editdist \
+  dd_decontaminate_fuzzy \
   || { log "ISOLATE PROBES FAILED"; fail=1; }
 
 log "4/5 scale curves -> SCALE_r$r.json"
