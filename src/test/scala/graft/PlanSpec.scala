@@ -201,6 +201,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"decontamination degenerated:\n$p")
   }
 
+  test("dd_decontaminate_fuzzy: bucket join is hashed, pairs bounded, no window") {
+    val p = plan("dd_decontaminate_fuzzy")
+    // The bipartite candidate join must be a hash join on (band, bh) —
+    // a cartesian here is the eval×train blowup the funnel exists to
+    // avoid; verification must stay semi-join-restricted.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decon candidate generation degenerated:\n$p")
+    assert(p.contains("LeftSemi"), s"candidate semi-join restriction missing:\n$p")
+    assert(!p.contains("Window"), s"no window should appear:\n$p")
+    // The df-cap anti-join sits on the shared cappedShingles subtree
+    // BEHIND the localCheckpoint's RDD scan here; its plan shape is
+    // asserted via the other MinHash consumers (dd_decontaminate above,
+    // dd_winnow below) that run it un-checkpointed.
+  }
+
+  test("ann_ivf_pq: codes ride a projection; shortlist is a bounded aggregate, no window") {
+    val p = plan("ann_ivf_pq")
+    // Assignment + encoding are per-row projections (pqencode inside the
+    // scan-side project), candidate scan is a broadcast hash join on the
+    // cell key, the ADC shortlist is a TopKAgg objectHashAggregate, and
+    // the refine fetch joins the two-longs-per-row shortlist — never a
+    // window rank, never a cartesian.
+    assert(p.contains("pqencode"), s"PQ encoding not in the scan projection:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell probe join not broadcast-hashed:\n$p")
+    assert(!p.contains("Window"), s"shortlist/rank must be bounded aggregates:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pq scan degenerated:\n$p")
+  }
+
   test("catch-all: no query degenerates to a cartesian or nested-loop join") {
     // Every entry in the driver surface, present and future: a
     // CartesianProduct or BroadcastNestedLoopJoin anywhere in the plan is
