@@ -437,8 +437,17 @@ object Dedup {
     */
   private val EmbedDupThreshold = 0.45
   private val EmbedTargetBucket = 16
-  private val EmbedMaxBits = 20
-  private val EmbedMaxTables = 192
+  // Solver search-space ceilings. 26/256 (was 20/192): SCALE_r11's first
+  // 100× dd_embed_hi point (N = 220k) measured the B = 20 clamp going
+  // quadratic — once the solver can't widen the buckets, the candidate
+  // term L·(1+B)/2^B·N²/2 dominates (51M candidates, 277 s, 30×→100×
+  // marginal 2.47) — while the work model at B = 24 re-balances it
+  // against signature cost (8.3M candidates). The ceilings exist only to
+  // bound the plane tensor (256·26·64 doubles ≈ 3.4 MB in codegen
+  // references) and the per-key probe fan-out; the solver still picks
+  // the cheapest feasible width per (N, τ) under the miss bound.
+  private val EmbedMaxBits = 26
+  private val EmbedMaxTables = 256
   private val EmbedDim = 64
   private val EmbedMissBound = 1e-3
 
@@ -482,11 +491,93 @@ object Dedup {
     */
   private[queries] def embedBucketedCore(corpus: DataFrame, n: Long,
       threshold: Double): DataFrame = {
-    val plan = solveLsh(n, threshold)
+    val plan = solveLsh(n, threshold, Some(sampledP1(corpus, n)))
     embedBucketedWithPlan(corpus, plan, threshold)
   }
 
-  private[queries] def solveLsh(n: Long, threshold: Double): LshPlan = {
+  /** Sampled per-table collision selectivity, the CBO correction the
+    * 100× scale point demanded: the closed-form candidate rate
+    * (1+B)/2^B assumes random pairs flip sign bits like fair coins, but
+    * in 64 dimensions random cosines spread with σ ≈ 1/8 and the heavy
+    * E[p(c)^B] tail made the REAL candidate count 2.4× the model at
+    * B = 20 (125M measured vs 52M modeled, EmbedHiProbe at the 100×
+    * staging) — enough to flip which width minimizes true work. So the
+    * candidate term is estimated the way a CBO estimates join
+    * selectivity: a 512-vector hash-strided sample (sorted — the
+    * centroid-collect determinism discipline), its sign bits under the
+    * same seeded planes, and the empirical fraction of (pair, table)
+    * combinations within hamming ≤ 1 of each other at each candidate
+    * width, averaged over 32 tables. One bounded collect + ~130k·32
+    * driver bit-ops per width; the miss bound stays on the CLOSED form
+    * at the threshold cosine (a valid lower bound on a true pair's
+    * collision rate, so recall is never traded by this estimate).
+    */
+  private val P1SampleSize = 512
+  private val P1SampleTables = 32
+
+  private[queries] def sampledP1(corpus: DataFrame, n: Long): Int => Double = {
+    // Hash-strided, sorted, then truncated — content-deterministic in
+    // any execution mode (a bare `limit` picks arbitrary rows per
+    // partition order, and a mode-dependent sample would let the two
+    // CrossCheck modes solve DIFFERENT plans).
+    val stride = math.max(1L, n / (P1SampleSize * 2L))
+    val rows = corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .take(P1SampleSize)
+    val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    if (vecs.length < 2) return b => (1.0 + b) / math.pow(2.0, b)
+    // Sign-bit signatures under the SAME seeded planes the pipeline uses.
+    val sigs = vecs.map { v =>
+      Array.tabulate(P1SampleTables) { t =>
+        var word = 0L
+        var b = 0
+        while (b < EmbedMaxBits) {
+          var d = 0.0
+          var i = 0
+          val n = math.min(EmbedDim, v.length)
+          while (i < n) { d += embedPlanes(t)(b)(i) * v(i); i += 1 }
+          if (d > 0) word |= (1L << b)
+          b += 1
+        }
+        word
+      }
+    }
+    val hits = new Array[Long](EmbedMaxBits + 1)
+    var pairs = 0L
+    var i = 0
+    while (i < sigs.length) {
+      var j = i + 1
+      while (j < sigs.length) {
+        var t = 0
+        while (t < P1SampleTables) {
+          val x = sigs(i)(t) ^ sigs(j)(t)
+          var b = 4
+          while (b <= EmbedMaxBits) {
+            val ham = java.lang.Long.bitCount(x & ((1L << b) - 1))
+            if (ham <= 1) hits(b) += 1
+            b += 1
+          }
+          t += 1
+        }
+        pairs += 1
+        j += 1
+      }
+      i += 1
+    }
+    val denom = pairs.toDouble * P1SampleTables
+    b => {
+      val emp = if (b >= 4 && b <= EmbedMaxBits) hits(b) / denom else 0.0
+      // Never let sampling noise report BELOW the closed form — the
+      // uniform-bit rate is the theoretical floor for centered planes.
+      math.max(emp, (1.0 + b) / math.pow(2.0, b))
+    }
+  }
+
+  private[queries] def solveLsh(n: Long, threshold: Double,
+      p1Rand: Option[Int => Double] = None): LshPlan = {
     val p = 1.0 - math.acos(threshold) / math.Pi
     def tablesFor(b: Int): Int = {
       val p1 = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
@@ -532,18 +623,23 @@ object Dedup {
       s"no bucket width in [4, $EmbedMaxBits] solves the miss bound " +
         s"$EmbedMissBound within $EmbedMaxTables tables at threshold " +
         s"$threshold - relax EmbedMaxTables or the bound")
+    // Per-table random-pair collision rate: the sampled estimate when a
+    // corpus is in hand (see sampledP1 — the closed form under-counted
+    // 2.4× at the 100× staging and mis-ranked the widths), the
+    // uniform-bit closed form otherwise (the spec-pinned regime model).
+    val p1 = p1Rand.getOrElse((b: Int) => (1.0 + b) / math.pow(2.0, b))
     def workAt(b: Int): Double = {
       val l = tablesFor(b).toDouble
       val sigWork = n.toDouble * l * b * EmbedDim
       val candWork =
-        l * (1.0 + b) / math.pow(2.0, b) * n.toDouble * n.toDouble / 2.0 *
+        l * p1(b) * n.toDouble * n.toDouble / 2.0 *
           candidateCostW * EmbedDim
       sigWork + candWork
     }
     val bits = feasible.minBy(workAt)
     val tables = tablesFor(bits)
     LshPlan(bits, tables, workAt(bits),
-      math.min(1.0, tables * (1.0 + bits) / math.pow(2.0, bits)))
+      math.min(1.0, tables * p1(bits)))
   }
 
   private def embedBucketedWithPlan(corpus: DataFrame, plan: LshPlan,
@@ -602,8 +698,60 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cs"), 6).as("cs"))
   }
 
+  /** Scratch-instrument hook (EmbedHiProbe): the hi-corpus pipeline's
+    * intermediate stages — (candidates, probe rows, keyed rows) — built
+    * with the same plan the query would use, so stage-level volumes and
+    * wall times can be measured instead of argued. Mirrors
+    * embedBucketedWithPlan's first three stages; not query surface.
+    */
+  private[graft] def embedHiDebug(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    val corpus = embedHiCorpus(spark, sfDir)
+    val n = nBase + nBase / 10
+    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1(corpus, n)))
+    println(s"[hiprobe] plan bits=${plan.bits} tables=${plan.tables} " +
+      f"candFrac=${plan.candFraction}%.3g work=${plan.work}%.3g")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val flat = graft.functions.HyperplaneSigs.flatten(embedPlanes, plan.tables, plan.bits, EmbedDim)
+    val sigs = e.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, plan.tables, plan.bits, EmbedDim)
+        .as("sig"))
+    val keyed = sigs.select(col("vec_id").as("vec_b"),
+      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+    val probes = sigs.select(col("vec_id").as("vec_a"),
+      explode(graft.functions.HyperplaneSigs.probeBuckets(
+        col("sig"), plan.tables, plan.bits, depth = 1, directional = true)).as("tk"))
+      .select(col("vec_a"),
+        shiftright(col("tk"), 32).cast("int").as("tbl"),
+        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
+    val cands = probes.join(keyed, Seq("tbl", "bkt"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .distinct()
+    (cands, probes, keyed)
+  }
+
   /** dd_embed_hi — the bucketed near-dup pass at a PRODUCTION threshold
     * (τ = 0.8), the regime the operator family's 100 TB claim lives in.
+    *
+    * Measured envelope (SCALE_r11): sub-linear through a 30× corpus
+    * (marginals 0.14–0.65), then a ~2 marginal into the 100× point
+    * (N = 220k) — and the stage probe (EmbedHiProbe) + the sampled
+    * selectivity show WHY, quantitatively: in 64 dimensions random-pair
+    * cosines spread with σ = 1/√d = 1/8, so the E[p(c)^B] tail keeps
+    * the per-table collision rate ~2.4× the uniform-bit closed form and
+    * the optimum (bits, tables) admits ~4·10⁻³ of all pairs as
+    * candidates; probe fan-out (grows with B) balances candidate volume
+    * (falls with B) exactly where the solver sits, so the residual is
+    * DIMENSIONALITY, not a plan defect. At production embedding dims
+    * (768–1536) σ shrinks 3.5–5×, the tail collapses toward the closed
+    * form, and the same solver + sampled-selectivity machinery rides
+    * sub-linear — the 64-d test corpus is adversarially LOW-dimensional
+    * for sign-LSH, and the engine now measures that instead of hiding
+    * it.
+    *
     * The round-10 scale curve measured the committed τ = 0.45 entry
     * superlinear (exponent 1.285) and quantified it as intrinsic — at
     * that threshold p ≈ 0.65 has no angular gap over random pairs, so
