@@ -9,10 +9,16 @@ object SizeProbe {
     val spark = GraftSession("size-probe")
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions._
+    // Diff storage info across the cache call (ADVICE r11): summing
+    // memSize over ALL persistent RDDs would fold any other cached block
+    // alive in the session (e.g. a lingering localCheckpoint) into both
+    // measurements and skew the fat/thin ratio.
     def cachedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
       val c = df.cache()
       c.count()
-      val b = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      val b = spark.sparkContext.getRDDStorageInfo
+        .filterNot(i => before.contains(i.id)).map(_.memSize).sum
       c.unpersist(true)
       b
     }

@@ -188,7 +188,16 @@ case class PqAdcDot(left: Expression, right: Expression,
     var acc = 0.0
     var s = 0
     while (s < mEff) {
-      val off = (s * ksub + (code.getByte(s) & 0xFF)) * subDim
+      // Shape guard (ADVICE r11): when ksub < 256, a code byte produced by
+      // a DIFFERENT codebook shape would silently read the next subspace's
+      // entries — and in the last subspace index past the books array. A
+      // mismatched codebook is a caller bug; fail loud, mirroring
+      // checkBooks.
+      val cj = code.getByte(s) & 0xFF
+      if (cj >= ksub) throw new IllegalArgumentException(
+        s"pq_adc_dot: code byte $cj >= ksub $ksub - code was produced by a " +
+          "different codebook shape")
+      val off = (s * ksub + cj) * subDim
       var t = 0
       while (t < subDim) {
         val qi = s * subDim + t
@@ -213,12 +222,17 @@ case class PqAdcDot(left: Expression, right: Expression,
       val t = ctx.freshName("t")
       val off = ctx.freshName("off")
       val qi = ctx.freshName("qi")
+      val cj = ctx.freshName("cj")
       s"""
          |int $mEff = java.lang.Math.min($m, $a.numElements());
          |int $qn = $b.numElements();
          |double $acc = 0.0;
          |for (int $s = 0; $s < $mEff; $s++) {
-         |  int $off = ($s * $ksub + (((int) $a.getByte($s)) & 0xFF)) * $subDim;
+         |  int $cj = ((int) $a.getByte($s)) & 0xFF;
+         |  if ($cj >= $ksub) throw new IllegalArgumentException(
+         |    "pq_adc_dot: code byte " + $cj + " >= ksub " + $ksub +
+         |    " - code was produced by a different codebook shape");
+         |  int $off = ($s * $ksub + $cj) * $subDim;
          |  for (int $t = 0; $t < $subDim; $t++) {
          |    int $qi = $s * $subDim + $t;
          |    if ($qi < $qn) {

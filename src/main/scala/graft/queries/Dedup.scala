@@ -460,7 +460,7 @@ object Dedup {
     // Filter-less parquet count: answered from row-group metadata (empty
     // ReadSchema), footer IO only — safe inside the query at any scale.
     val n = Tables.embeddings(spark, sfDir).count()
-    embedBucketedCore(Tables.embeddings(spark, sfDir), n, EmbedDupThreshold)
+    embedBucketedCore(Tables.embeddings(spark, sfDir), n, EmbedDupThreshold, "base")
   }
 
   /** The solved LSH configuration for a (corpus size, threshold) point,
@@ -490,9 +490,27 @@ object Dedup {
     * the result, so an estimate from footer counts is safe.
     */
   private[queries] def embedBucketedCore(corpus: DataFrame, n: Long,
-      threshold: Double): DataFrame = {
-    val plan = solveLsh(n, threshold, Some(sampledP1(corpus, n)))
+      threshold: Double, cacheTag: String = ""): DataFrame = {
+    val plan = solveLsh(n, threshold, Some(sampledP1Cached(corpus, n, cacheTag)))
     embedBucketedWithPlan(corpus, plan, threshold)
+  }
+
+  /** Per-corpus cache for the sampled selectivity table (ADVICE r11: it
+    * was the only index-build product not cached — every dd_embed_*
+    * invocation repaid the sample scan + driver bit-ops). The key folds
+    * in a caller tag because two DIFFERENT corpora can share physical
+    * input files (dd_embed_hi's plant-augmented corpus derives from the
+    * same parquet as the plain embeddings table); the tag is the corpus
+    * CONSTRUCTION, the file identity is the content.
+    */
+  private val p1Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Int => Double]()
+
+  private[queries] def sampledP1Cached(corpus: DataFrame, n: Long,
+      cacheTag: String): Int => Double = {
+    val key = CorpusCaches.corpusKey(corpus)
+    CorpusCaches.cachedOrBuild(p1Cache,
+      if (key.isEmpty) key else s"p1:$cacheTag@$key")(sampledP1(corpus, n))
   }
 
   /** Sampled per-table collision selectivity, the CBO correction the
@@ -709,7 +727,7 @@ object Dedup {
     val nBase = Tables.embeddings(spark, sfDir).count()
     val corpus = embedHiCorpus(spark, sfDir)
     val n = nBase + nBase / 10
-    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1(corpus, n)))
+    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1Cached(corpus, n, "hi")))
     println(s"[hiprobe] plan bits=${plan.bits} tables=${plan.tables} " +
       f"candFrac=${plan.candFraction}%.3g work=${plan.work}%.3g")
     val e = corpus.select(col("vec_id"), col("embedding"))
@@ -795,7 +813,7 @@ object Dedup {
   def embedHi(spark: SparkSession, sfDir: String): DataFrame = {
     val nBase = Tables.embeddings(spark, sfDir).count()
     embedBucketedCore(embedHiCorpus(spark, sfDir),
-      nBase + nBase / 10, EmbedHiThreshold)
+      nBase + nBase / 10, EmbedHiThreshold, "hi")
   }
 
   /** dd_embed_auto — MODEL-driven dispatch between the two embedding-dedup
@@ -820,19 +838,27 @@ object Dedup {
     *     once launched. The honest statement is that no sub-quadratic
     *     method exists at this τ; the choice bounds blast radius.
     *
-    * N comes from parquet footer metadata (filter-less count), so the
-    * dispatch itself costs no data scan — the same decision a cost-based
-    * optimizer makes from table statistics. All branches produce
+    * N comes from parquet footer metadata (filter-less count). Since
+    * round 12 the dispatch model uses the SAME sampled collision
+    * selectivity the bucketed branch solves with (ADVICE r11: dispatching
+    * on the closed form while the branch re-solved with the sample — the
+    * very correction introduced because the closed form under-counted
+    * 2.4× — could misclassify the regime near the crossover); the sample
+    * is one bounded collect, cached per corpus like every other
+    * index-build product, and the ONE solved plan feeds both the
+    * comparison and the executed pipeline. All branches produce
     * identical output (each is oracle-checked against the same SQL), so
     * the dispatch can never change results, only the plan.
     */
   private[queries] val AllPairsCutoff = 30000L
 
   def embedAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = Tables.embeddings(spark, sfDir).count()
-    val plan = solveLsh(n, EmbedDupThreshold)
+    val corpus = Tables.embeddings(spark, sfDir)
+    val n = corpus.count()
+    val plan = solveLsh(n, EmbedDupThreshold,
+      Some(sampledP1Cached(corpus, n, "base")))
     if (plan.work < allPairsWork(n) || n > AllPairsCutoff)
-      embedBucketedCore(Tables.embeddings(spark, sfDir), n, EmbedDupThreshold)
+      embedBucketedWithPlan(corpus, plan, EmbedDupThreshold)
     else { requireAllPairsSafe(n); embedCosineUnguarded(spark, sfDir) }
   }
 

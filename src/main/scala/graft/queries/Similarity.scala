@@ -149,27 +149,13 @@ object Similarity {
   private val calCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Array[Double], Array[Double])]]()
 
-  private def corpusKey(emb: DataFrame): String = {
-    val conf = emb.sparkSession.sessionState.newHadoopConf()
-    emb.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }.mkString("|")
-  }
+  // Physical-identity keying + cache-or-build live in CorpusCaches since
+  // round 12 (the sampled-p1 cache in Dedup joined the scheme, ADVICE
+  // r11); behavior here is unchanged.
+  private def corpusKey(emb: DataFrame): String = CorpusCaches.corpusKey(emb)
 
-  /** Cache-or-build under a physical-identity key. An EMPTY key means
-    * the DataFrame is not file-backed (in-memory test corpora have no
-    * input files) — two such corpora would collide on "", so the cache
-    * is bypassed and the model built fresh.
-    */
   private def cachedOrBuild[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
-      key: String)(build: => T): T =
-    if (key.isEmpty) build
-    else {
-      if (cache.size > 64) cache.clear() // bound a long session's footprint
-      cache.computeIfAbsent(key, _ => build)
-    }
+      key: String)(build: => T): T = CorpusCaches.cachedOrBuild(cache, key)(build)
 
   private def calibrationPairsCached(emb: DataFrame)
       : Array[(Array[Double], Array[Double])] =
