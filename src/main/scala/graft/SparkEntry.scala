@@ -109,7 +109,9 @@ object SparkEntry {
     "q27_salted_agg" -> (Relational.q27SaltedAgg _),
     "st_sliding" -> (graft.streaming.StreamingQueries.sliding _),
     "st_interval_join" -> (graft.streaming.StreamingQueries.intervalJoin _),
-    "ev_ab_test" -> (Events.abTest _)
+    "ev_ab_test" -> (Events.abTest _),
+    "dd_lines" -> (Dedup.lines _),
+    "dd_delta" -> (Dedup.deltaDedup _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -227,6 +229,10 @@ object SparkEntry {
     "q27_salted_agg" -> Relational.q27SaltedAggSql,
     "st_sliding" -> graft.streaming.StreamingQueries.slidingSql,
     "st_interval_join" -> graft.streaming.StreamingQueries.intervalJoinSql,
-    "ev_ab_test" -> Events.abTestSql
+    "ev_ab_test" -> Events.abTestSql,
+    "dd_lines" -> Dedup.linesSql,
+    // bipartite funnel ≡ exact quadratic form restricted to batch-touching
+    // pairs (the dd_minhash equivalence argument)
+    "dd_delta" -> Dedup.deltaDedupSql
   )
 }

@@ -137,6 +137,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dd_lines: partial agg on the line hash, broadcast anti-join cap, no window") {
+    val p = plan("dd_lines")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"line-df count not partially aggregated:\n$p")
+    assert(p.contains("LeftAnti"), s"boilerplate cap must be an anti-join:\n$p")
+    assert(!p.contains("Window"), s"dd_lines gained a window it doesn't need:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dd_delta: every pair-producing join probes from the filtered batch side") {
+    // The no-old×old property is structural: the batch predicate
+    // (doc_id % 10 = 3) must appear as a FILTER feeding both the
+    // candidate bucket join and the shingle verification join — if a
+    // refactor moved it to a post-join filter, old×old rows would
+    // materialize first and the operator silently degrades to the
+    // closed-corpus cost. The residue literal appears in the filter
+    // conditions; assert it is present and that no join degenerated.
+    val p = plan("dd_delta")
+    assert(occ(p, "% 10") >= 2,
+      s"batch predicate must gate both the candidate and verify joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dd_delta degenerated:\n$p")
+  }
+
   test("ds_split: text column pruned from the scan") {
     // Split assignment is a pure doc_id hash — reading the (dominant)
     // text column would multiply scan bytes for nothing.

@@ -305,4 +305,70 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("dd_embed_bucketed"),
       s"guard message must point at the scale path: ${e.getMessage}")
   }
+
+  test("dd_lines: planted boilerplate dropped, order kept, df counts docs not repeats") {
+    val sess = spark
+    import sess.implicits._
+    val header = "COOKIE BANNER accept all cookies"
+    val footer = "copyright 2026 example corp"
+    // header in 4 docs (>= threshold), footer in 2 docs but REPEATED 3×
+    // inside doc 20 (within-doc repetition must not count toward df).
+    val docs = Seq(
+      (10L, s"$header\nalpha body ten\nmiddle ten\n$footer"),
+      (11L, s"$header\nbravo body eleven"),
+      (12L, s"$header\ncharlie body twelve"),
+      (13L, s"$header"), // fully boilerplate → survives as empty row
+      (20L, s"$footer\n$footer\n$footer\ndelta body twenty"),
+      (21L, "echo body twentyone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.linesFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) == ((4L, 3L, s"alpha body ten\nmiddle ten\n$footer")),
+      s"header must drop, order must hold: ${out(10L)}")
+    assert(out(13L) == ((1L, 0L, "")), "fully-boilerplate doc survives empty")
+    assert(out(20L) == ((4L, 4L, s"$footer\n$footer\n$footer\ndelta body twenty")),
+      s"df counts distinct docs (footer df=2 < 4): ${out(20L)}")
+    assert(out(21L) == ((1L, 1L, "echo body twentyone")))
+  }
+
+  test("dd_delta equals the exact near-dup pairs restricted to batch-touching pairs") {
+    val all = Dedup.minhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = all.filter { case ((a, b), _) => a % 10 == 3 || b % 10 == 3 }
+    val delta = Dedup.deltaDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(delta == expected, s"delta ${delta.size} vs expected ${expected.size}")
+    assert(delta.nonEmpty, "sf0.001 must contain batch-touching near-dups")
+  }
+
+  test("dd_delta: old×old dups are invisible; batch×old and batch×batch are found") {
+    val sess = spark
+    import sess.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    // 1 and 2 are identical OLD docs — a closed-corpus pass reports them,
+    // the delta pass must not. 3 and 23 are batch docs (≡3 mod 10): 3
+    // duplicates old doc 1, 23 duplicates batch doc 3.
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, "unrelated words entirely different text here now"),
+      (3L, base), (23L, base)
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val pairs = Dedup.deltaFrom(sh, c => c % 10 === 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L), (1L, 23L), (2L, 23L), (3L, 23L)),
+      s"got $pairs")
+  }
+
+  test("staged delta (old buckets from parquet, batch signed fresh) equals in-query") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    val inQuery = Dedup.deltaDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val staged = Dedup.deltaDedupStaged(spark, sf, staging)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == inQuery)
+    assert(new java.io.File(s"$staging/old_buckets.parquet").exists,
+      "old-corpus bucket table must be materialized")
+  }
 }
