@@ -29,9 +29,16 @@ object RecallProbe {
                        sfDir: String): String = {
     val n = Tables.embeddings(spark, sfDir).count()
     val exact = resultMap(SparkEntry.queries("ann_topk")(spark, sfDir))
-    val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh").map { fam =>
+    // ann_filtered searches a predicate stratum — its baseline is the
+    // exact FILTERED brute force, not ann_topk (whose neighbors mostly
+    // fail the predicate).
+    val exactFiltered = resultMap(
+      graft.queries.Similarity.annFilteredExact(spark, sfDir))
+    val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
+        "ann_filtered").map { fam =>
+      val baseline = if (fam == "ann_filtered") exactFiltered else exact
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))
-      val recalls = exact.map { case (q, nn) =>
+      val recalls = baseline.map { case (q, nn) =>
         approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size)
           .getOrElse(0.0)
       }

@@ -111,7 +111,11 @@ object SparkEntry {
     "st_interval_join" -> (graft.streaming.StreamingQueries.intervalJoin _),
     "ev_ab_test" -> (Events.abTest _),
     "dd_lines" -> (Dedup.lines _),
-    "dd_delta" -> (Dedup.deltaDedup _)
+    "dd_delta" -> (Dedup.deltaDedup _),
+    // approximate (IVF under a metadata predicate) → rows-only like the
+    // rest of the ANN family; recall floor vs the exact filtered brute
+    // force in SimilaritySpec + RecallProbe
+    "ann_filtered" -> (Similarity.annFiltered _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -159,7 +159,23 @@ object Similarity {
 
   private def calibrationPairsCached(emb: DataFrame)
       : Array[(Array[Double], Array[Double])] =
-    cachedOrBuild(calCache, corpusKey(emb))(calibrationPairs(emb))
+    cachedOrBuild(calCache, corpusKey(emb))(calibrationPairsOver(emb, emb))
+
+  /** Calibration pairs for the FILTERED search path: queries come from
+    * the full corpus (a filtered query is still an arbitrary vector),
+    * true neighbors from the predicate stratum only. Cached under a
+    * predicate-tagged key — the physical files are the same as the
+    * unfiltered corpus, but the rank distribution the calibration
+    * measures is not (the round-10/11 lesson: selectivity changes where
+    * true neighbors land, so fixed parameters decay).
+    */
+  private def calibrationPairsFilteredCached(emb: DataFrame, filtered: DataFrame)
+      : Array[(Array[Double], Array[Double])] = {
+    val key = corpusKey(emb)
+    cachedOrBuild(calCache,
+      if (key.isEmpty) key else s"filtered:$FilterLabel@$key")(
+      calibrationPairsOver(emb, filtered))
+  }
 
   /** Per-corpus cache for the fitted coarse-centroid models — the other
     * half of the index-build cost (the calibration cache above covers
@@ -189,13 +205,13 @@ object Similarity {
     * the embeddings. Both driver reads are bounded by contract at any
     * corpus size.
     */
-  private def calibrationPairs(emb: DataFrame)
+  private def calibrationPairsOver(qSrc: DataFrame, corpus: DataFrame)
       : Array[(Array[Double], Array[Double])] = {
-    val calQ = normed(emb)
+    val calQ = normed(qSrc)
       .filter(col("vec_id") % 50 === 25 && col("vec_id") < lit(CalQueries * 50L))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val top = broadcast(calQ).join(normed(emb), col("vec_id") =!= col("q_id"))
+    val top = broadcast(calQ).join(normed(corpus), col("vec_id") =!= col("q_id"))
       .withColumn("cs_raw", pairCosine)
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("cs_raw"), K).as("top"))
@@ -205,7 +221,7 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     if (top.isEmpty) return Array.empty
     val need = (top.map(_._1) ++ top.flatMap(_._2)).distinct.sorted
-    val fetched = emb.filter(col("vec_id").isInCollection(need))
+    val fetched = qSrc.filter(col("vec_id").isInCollection(need))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
@@ -426,6 +442,67 @@ object Similarity {
     val assigned = assignedCells(normed(emb), unit, ids)
     val probed = probedCells(queries(emb),
       unit, ids, calibratedNprobe(calibrationPairsCached(emb), unit, ids))
+    searchCells(probed, assigned)
+  }
+
+  /** The metadata predicate for the filtered search path: a single
+    * equality on the embeddings table's `label` column (~10% selectivity
+    * on the driver corpora) — the "nearest neighbors among docs with
+    * lang='en'" shape real similarity queries carry.
+    */
+  private val FilterLabel = 3
+
+  /** Exact filtered brute force — ann_filtered's recall baseline (the
+    * ann_topk shape with the predicate applied before the broadcast
+    * join). Used by SimilaritySpec's floor and RecallProbe; not a
+    * queries() entry.
+    */
+  private[graft] def annFilteredExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val e = normed(emb.filter(col("label") === FilterLabel))
+    rankTopK(
+      broadcast(queries(emb)).join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cs_raw", pairCosine))
+  }
+
+  /** ann_filtered — predicate + vector search (filtered ANN): top-k
+    * cosine neighbors per query AMONG the corpus vectors satisfying a
+    * metadata predicate. The production shape: one IVF index serves the
+    * whole corpus (built once per ingest — the same shared "ivf" model
+    * cache slot as ann_ivf), and the predicate is applied to the
+    * SCAN-SIDE relation BEFORE assignment and the probe join, so
+    * pruning happens at the parquet scan (PushedFilters carries
+    * EqualTo(label, …) — PlanSpec gates it) and the per-cell scan state
+    * holds only qualifying vectors. Filtering the RESULT of an
+    * unfiltered search instead (post-filtering) is the classic recall
+    * trap: a top-k list can contain zero qualifying rows.
+    *
+    * The probe depth is RE-CALIBRATED on the filtered stratum
+    * (calibrationPairsFilteredCached): under a 10% predicate a query's
+    * true filtered neighbors are ~10× farther down its cell order than
+    * its unfiltered ones, so serving the unfiltered nprobe here would
+    * silently cut recall — the same fixed-parameter decay the round-10
+    * multi-scale probe measured across corpus growth, now along the
+    * selectivity axis. Approximate → rows-only entry; SimilaritySpec
+    * asserts the recall floor vs [[annFilteredExact]] and RecallProbe
+    * reports the number per round.
+    */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    // Coarse quantizer: the corpus-wide index, shared with ann_ivf/pq.
+    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
+      emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))))
+    val filtered = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === FilterLabel)
+    val assigned = assignedCells(normed(filtered), unit, ids)
+    val nprobe = calibratedNprobe(
+      calibrationPairsFilteredCached(emb, filtered), unit, ids)
+    val probed = probedCells(queries(emb), unit, ids, nprobe)
     searchCells(probed, assigned)
   }
 

@@ -129,6 +129,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ann_filtered: metadata predicate pushed to the parquet scan") {
+    // The filtered path's whole point: the predicate prunes at the SCAN,
+    // before assignment and the probe join — never as a post-filter on
+    // search results.
+    val p = plan("ann_filtered")
+    assert(p.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dd_embed_bucketed: candidate generation is hash joins, never a cartesian") {
     Seq("dd_embed_bucketed", "dd_embed_hi").foreach { q =>
       val p = plan(q)

@@ -168,4 +168,24 @@ class SimilaritySpec extends SparkSuite {
       s"radius search diverged; symmetric diff keys: " +
         s"${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
   }
+
+  test("ann_filtered: recall floor vs exact filtered brute force, predicate honored") {
+    val exact = resultMap(Similarity.annFilteredExact(spark, sf))
+    val approx = resultMap(Similarity.annFiltered(spark, sf))
+    val recalls = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"filtered mean recall@5 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.88, f"filtered-ANN recall too low: $mean%.2f")
+    // Every returned neighbor must satisfy the predicate — the
+    // post-filtering trap this operator exists to avoid would break this
+    // only probabilistically, so assert it exactly.
+    val legal = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val returned = approx.values.flatten.toSet
+    assert(returned.subsetOf(legal),
+      s"neighbors violating the predicate: ${returned diff legal}")
+  }
 }
