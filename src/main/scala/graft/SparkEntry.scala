@@ -115,7 +115,8 @@ object SparkEntry {
     // approximate (IVF under a metadata predicate) → rows-only like the
     // rest of the ANN family; recall floor vs the exact filtered brute
     // force in SimilaritySpec + RecallProbe
-    "ann_filtered" -> (Similarity.annFiltered _)
+    "ann_filtered" -> (Similarity.annFiltered _),
+    "mm_phash" -> (graft.multimodal.Multimodal.phash _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -237,6 +238,10 @@ object SparkEntry {
     "dd_lines" -> Dedup.linesSql,
     // bipartite funnel ≡ exact quadratic form restricted to batch-touching
     // pairs (the dd_minhash equivalence argument)
-    "dd_delta" -> Dedup.deltaDedupSql
+    "dd_delta" -> Dedup.deltaDedupSql,
+    // pigeonhole funnel complete for hamming ≤ 4; pixels are closed-form
+    // (the mm_features analytic-oracle argument), so the exact all-pairs
+    // dHash form is SQL-restatable
+    "mm_phash" -> graft.multimodal.Multimodal.phashSql
   )
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -677,6 +677,183 @@ object Multimodal {
       |)
       |SELECT * FROM image_f UNION ALL SELECT * FROM audio_f UNION ALL SELECT * FROM video_f""".stripMargin
 
+
+  // --- Perceptual image-hash dedup (mm_phash) ------------------------------
+
+  /** Plant-id offset for the synthetic near-identical image variants —
+    * the dd_embed_hi pattern applied to the image modality (the driver
+    * corpus's images are all pairwise distinct, so near-dup structure is
+    * planted deterministically and restated by the oracle).
+    */
+  private val PhashPlantBase = 10000000L
+  /** Pairs at dHash hamming ≤ 4 count as perceptual near-dups: the
+    * planted one-row-crop variants land at hamming 0–4 on this corpus
+    * (measured), and the first organic pairs appear at 2 — the threshold
+    * sits where a re-exported/cropped copy is caught and unrelated
+    * images (hamming ~26–38, binomial around 32) are far away.
+    */
+  private val PhashTau = 4
+  /** 6 blocks of 11/11/11/11/10/10 bits (the dd_simhash layout). ≤ 4
+    * flipped bits dirty at most 4 blocks, so a qualifying pair agrees
+    * exactly on ≥ 2 blocks — hence on at least one of the C(6,2) = 15
+    * two-block combinations: joining on (combo, packed 2-block value) is
+    * COMPLETE for hamming ≤ 4. The ~22-bit key bounds bucket occupancy
+    * to ~N/2²² as the corpus grows (at larger N the block count grows —
+    * the same Manku block-permutation trade dd_simhash documents).
+    */
+  private val PhashBlockOffsets = Array(0, 11, 22, 33, 44, 54)
+  private val PhashBlockWidths = Array(11, 11, 11, 11, 10, 10)
+
+  /** 64-bit difference hash over a decoded pixel grid: 8×9 cell means of
+    * integer luma (299r+587g+114b — the BT.601 weights scaled to stay in
+    * exact integer arithmetic), bit (rj, ci) set iff cell (rj, ci) is
+    * brighter than its right neighbor (cross-multiplied sums, so the
+    * comparison is exact and engine-independent — no division anywhere).
+    * Cell assignment is x·9/w, y·8/h integer division — the standard
+    * dHash "resize to 9×8" re-expressed as block means, restatable in
+    * SQL over generate_series. `h` is passed separately so a cropped
+    * variant hashes a prefix of the same pixel buffer.
+    */
+  private[multimodal] def dhashFromPixels(px: Array[Int], w: Int, h: Int): Long = {
+    val s = Array.ofDim[Long](8, 9)
+    val c = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val rj = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val ci = x * 9 / w
+        val rgb = px(y * w + x)
+        s(rj)(ci) += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        c(rj)(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hsh = 0L
+    var rj = 0
+    while (rj < 8) {
+      var ci = 0
+      while (ci < 8) {
+        if (s(rj)(ci) * c(rj)(ci + 1) > s(rj)(ci + 1) * c(rj)(ci))
+          hsh |= 1L << (rj * 8 + ci)
+        ci += 1
+      }
+      rj += 1
+    }
+    hsh
+  }
+
+  private case class MediaHash(media_id: Long, phash: Long)
+
+  /** Per-image perceptual hashes through the REAL decode path (staged
+    * PNG → ImageIO → exact pixels → dHash), one partition-wise pass with
+    * reused buffers — the mm_features decode discipline. Every 10th
+    * image additionally emits a PLANTED near-identical variant: the same
+    * decoded pixels cropped by one row (id + PhashPlantBase) — the shape
+    * a re-exported/trimmed copy of a photo actually has, derived
+    * post-decode so the plant needs no second decode and the oracle
+    * restates it as the same closed-form pixels at height h−1.
+    */
+  private[multimodal] def imageHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaIngest(spark, sfDir)
+      .filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val buffers = new DecodeBuffers
+        rows.flatMap { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, buffers.intBuf(w * h), 0, w)
+          val base = MediaHash(r.media_id, dhashFromPixels(px, w, h))
+          if (r.media_id % 30 == 0)
+            Seq(base,
+              MediaHash(r.media_id + PhashPlantBase, dhashFromPixels(px, w, h - 1)))
+          else Seq(base)
+        }
+      }.toDF()
+  }
+
+  /** mm_phash — multimodal near-dup detection: perceptual dHash over the
+    * decoded image corpus (plants included), then the dd_simhash
+    * pigeonhole funnel at hamming ≤ PhashTau. The join is hash-shaped on
+    * (combo, packed-blocks) keys — bounded occupancy, never all-pairs —
+    * and the funnel is COMPLETE for the threshold (see PhashBlockOffsets),
+    * so the output equals the exact all-pairs form the oracle states.
+    */
+  def phash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = imageHashes(spark, sfDir)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("phash"), PhashBlockOffsets(i))
+        .bitwiseAND(lit((1L << PhashBlockWidths(i)) - 1))
+    val combos = (0 until 6).combinations(2).toSeq.zipWithIndex.map {
+      case (Seq(i, j), comboIdx) =>
+        struct(lit(comboIdx).as("ci"),
+          (shiftleft(block(i), 11).bitwiseOR(block(j))).as("cv"))
+    }
+    val keyed = sigs.select(col("media_id"), col("phash"),
+      explode(array(combos: _*)).as("ck"))
+      .select(col("media_id"), col("phash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val a = keyed.select(col("ci"), col("cv"),
+      col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val b = keyed.select(col("ci"), col("cv"),
+      col("media_id").as("media_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashTau)
+  }
+
+  /** Oracle: the exact all-pairs hamming form over DuckDB-rebuilt dHash
+    * signatures — the decoded pixels are the synthesizer's closed forms
+    * (the PNG round trip is bit-lossless, MultimodalSpec), so cell sums,
+    * crop variants (height h−1, same source id), bit reconstruction
+    * (UBIGINT, the dd_simhash convention), and the hamming filter are
+    * all integer-exact in SQL.
+    */
+  val phashSql: String =
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, 64 + doc_id % 193 AS w, 64 + doc_id % 129 AS h
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), variants AS (
+       |  SELECT media_id, media_id AS src, w, h FROM img
+       |  UNION ALL
+       |  SELECT media_id + $PhashPlantBase, media_id, w, h - 1 FROM img
+       |  WHERE media_id % 30 = 0
+       |), vy AS (
+       |  SELECT media_id, src, w, h, unnest(generate_series(0, h - 1)) AS y
+       |  FROM variants
+       |), px AS (
+       |  SELECT media_id, (y * 8) // h AS rj, (x * 9) // w AS ci,
+       |    299 * ((x*7 + y*13 + src*31) % 256)
+       |    + 587 * ((x*3 + y*5 + src*17) % 256)
+       |    + 114 * ((x*11 + y*2 + src*23) % 256) AS gray
+       |  FROM (SELECT media_id, src, w, h, y,
+       |          unnest(generate_series(0, w - 1)) AS x FROM vy)
+       |), cells AS (
+       |  SELECT media_id, rj, ci, sum(gray) AS s, count(*) AS c
+       |  FROM px GROUP BY 1, 2, 3
+       |), bits AS (
+       |  SELECT a.media_id, a.rj, a.ci
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id AND a.rj = b.rj AND b.ci = a.ci + 1
+       |  WHERE a.ci < 8 AND a.s * b.c > b.s * a.c
+       |), sigs AS (
+       |  SELECT v.media_id,
+       |    coalesce(CAST(sum(1::UBIGINT << CAST(b.rj * 8 + b.ci AS INT))
+       |      AS UBIGINT), 0::UBIGINT) AS sig
+       |  FROM variants v LEFT JOIN bits b ON v.media_id = b.media_id
+       |  GROUP BY 1
+       |)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $PhashTau""".stripMargin
 
   /** mm_resize — metadata-tracked resize. Payload transform is the stub
     * (identity); the metadata arithmetic + pruning-friendly projection are

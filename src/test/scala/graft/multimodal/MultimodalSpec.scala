@@ -296,4 +296,50 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(counts.nonEmpty)
   }
+
+  test("mm_phash equals an independent all-pairs dHash reference; plants are caught") {
+    // Plain-Scala reference straight from the pixel closed form — no
+    // shared code with the decode path beyond synthPixel itself (the
+    // same only-shared-code contract as the mm_features golden). This
+    // also empirically proves the 2-of-6-block pigeonhole funnel
+    // complete at hamming ≤ 4 on this corpus: the funnel output must
+    // EQUAL the exhaustive all-pairs form.
+    def refHash(id: Long, w: Int, h: Int): Long = {
+      val s = Array.ofDim[Long](8, 9)
+      val c = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.synthPixel(id, x, y)
+        s(y * 8 / h)(x * 9 / w) += 299L * r + 587L * g + 114L * b
+        c(y * 8 / h)(x * 9 / w) += 1
+      }
+      (for (rj <- 0 until 8; ci <- 0 until 8
+            if s(rj)(ci) * c(rj)(ci + 1) > s(rj)(ci + 1) * c(rj)(ci))
+        yield 1L << (rj * 8 + ci)).foldLeft(0L)(_ | _)
+    }
+    val imgIds = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val sigs: Map[Long, Long] = (imgIds.map { id =>
+      id -> refHash(id, 64 + (id % 193).toInt, 64 + (id % 129).toInt)
+    } ++ imgIds.filter(_ % 30 == 0).map { id =>
+      (id + 10000000L) -> refHash(id, 64 + (id % 193).toInt, 64 + (id % 129).toInt - 1)
+    }).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 4
+    } yield (a, b) -> d).toMap
+    val got = Multimodal.phash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected,
+      s"funnel diverged from all-pairs; diff keys: " +
+        s"${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
+    // Every planted crop must pair with its base — the operator's reason
+    // to exist.
+    val plants = imgIds.filter(_ % 30 == 0)
+    assert(plants.nonEmpty)
+    plants.foreach { id =>
+      assert(got.contains((id, id + 10000000L)),
+        s"planted near-identical image $id not caught")
+    }
+  }
 }
