@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_auto ann_lsh ann_ivf ann_ivf_pq"}
+queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \
@@ -38,9 +38,15 @@ for sf in sf0.1 sf0.3 sf1; do
 done
 # Far points: dd_substring's marginal-slope watch item gets 30x AND 100x
 # (verdict r10 #5 — the next decade); dd_embed_hi gets 30x so the
-# production-threshold claim is tested where superlinearity would show.
+# production-threshold claim is tested where superlinearity would show;
+# dd_embed_hi768 gets 30x — the round-12 production-dimension done-bar
+# (marginals < 1 through 30x at 768-d); dd_decontaminate_fuzzy gets 30x
+# (verdict r11 #6: marginals rising 0.49→0.77 through 10x — the watch
+# point that says whether the shared df cap needs tightening).
 run_point sf3 dd_substring
 run_point sf10 dd_substring
 run_point sf3 dd_embed_hi
+run_point sf3 dd_embed_hi768
+run_point sf3 dd_decontaminate_fuzzy
 python3 scripts/merge_scale.py "$tmp" > "$out"
 echo "[scale] wrote $out" >&2

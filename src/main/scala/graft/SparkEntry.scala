@@ -116,7 +116,8 @@ object SparkEntry {
     // rest of the ANN family; recall floor vs the exact filtered brute
     // force in SimilaritySpec + RecallProbe
     "ann_filtered" -> (Similarity.annFiltered _),
-    "mm_phash" -> (graft.multimodal.Multimodal.phash _)
+    "mm_phash" -> (graft.multimodal.Multimodal.phash _),
+    "dd_embed_hi768" -> (Dedup.embedHi768 _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -242,6 +243,9 @@ object SparkEntry {
     // pigeonhole funnel complete for hamming ≤ 4; pixels are closed-form
     // (the mm_features analytic-oracle argument), so the exact all-pairs
     // dHash form is SQL-restatable
-    "mm_phash" -> graft.multimodal.Multimodal.phashSql
+    "mm_phash" -> graft.multimodal.Multimodal.phashSql,
+    // production-dimension (768-d) plant corpus from the shared md5
+    // primitive — construction + all-pairs form restated bit-exactly
+    "dd_embed_hi768" -> Dedup.embedHi768Sql
   )
 }

@@ -451,10 +451,19 @@ object Dedup {
   private val EmbedDim = 64
   private val EmbedMissBound = 1e-3
 
-  private lazy val embedPlanes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(5678)
-    Array.fill(EmbedMaxTables, EmbedMaxBits, EmbedDim)(rnd.nextGaussian())
-  }
+  /** Seeded hyperplane tensors, one per embedding dimension (round 12:
+    * the pipeline is dim-parameterized for dd_embed_hi768). For dim = 64
+    * the draw order is byte-identical to the pre-round-12 `embedPlanes`
+    * lazy val, so every 64-d fingerprint is unchanged.
+    */
+  private val planesCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, Array[Array[Array[Double]]]]()
+
+  private def planesFor(dim: Int): Array[Array[Array[Double]]] =
+    planesCache.computeIfAbsent(dim, d => {
+      val rnd = new scala.util.Random(5678)
+      Array.fill(EmbedMaxTables, EmbedMaxBits, d)(rnd.nextGaussian())
+    })
 
   def embedCosineBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     // Filter-less parquet count: answered from row-group metadata (empty
@@ -490,9 +499,9 @@ object Dedup {
     * the result, so an estimate from footer counts is safe.
     */
   private[queries] def embedBucketedCore(corpus: DataFrame, n: Long,
-      threshold: Double, cacheTag: String = ""): DataFrame = {
-    val plan = solveLsh(n, threshold, Some(sampledP1Cached(corpus, n, cacheTag)))
-    embedBucketedWithPlan(corpus, plan, threshold)
+      threshold: Double, cacheTag: String = "", dim: Int = EmbedDim): DataFrame = {
+    val plan = solveLsh(n, threshold, Some(sampledP1Cached(corpus, n, cacheTag, dim)))
+    embedBucketedWithPlan(corpus, plan, threshold, dim)
   }
 
   /** Per-corpus cache for the sampled selectivity table (ADVICE r11: it
@@ -507,10 +516,10 @@ object Dedup {
     String, Int => Double]()
 
   private[queries] def sampledP1Cached(corpus: DataFrame, n: Long,
-      cacheTag: String): Int => Double = {
+      cacheTag: String, dim: Int = EmbedDim): Int => Double = {
     val key = CorpusCaches.corpusKey(corpus)
     CorpusCaches.cachedOrBuild(p1Cache,
-      if (key.isEmpty) key else s"p1:$cacheTag@$key")(sampledP1(corpus, n))
+      if (key.isEmpty) key else s"p1:$cacheTag:$dim@$key")(sampledP1(corpus, n, dim))
   }
 
   /** Sampled per-table collision selectivity, the CBO correction the
@@ -533,7 +542,9 @@ object Dedup {
   private val P1SampleSize = 512
   private val P1SampleTables = 32
 
-  private[queries] def sampledP1(corpus: DataFrame, n: Long): Int => Double = {
+  private[queries] def sampledP1(corpus: DataFrame, n: Long,
+      dim: Int = EmbedDim): Int => Double = {
+    val planes = planesFor(dim)
     // Hash-strided, sorted, then truncated — content-deterministic in
     // any execution mode (a bare `limit` picks arbitrary rows per
     // partition order, and a mode-dependent sample would let the two
@@ -555,8 +566,8 @@ object Dedup {
         while (b < EmbedMaxBits) {
           var d = 0.0
           var i = 0
-          val n = math.min(EmbedDim, v.length)
-          while (i < n) { d += embedPlanes(t)(b)(i) * v(i); i += 1 }
+          val n = math.min(dim, v.length)
+          while (i < n) { d += planes(t)(b)(i) * v(i); i += 1 }
           if (d > 0) word |= (1L << b)
           b += 1
         }
@@ -661,7 +672,7 @@ object Dedup {
   }
 
   private def embedBucketedWithPlan(corpus: DataFrame, plan: LshPlan,
-      threshold: Double): DataFrame = {
+      threshold: Double, dim: Int = EmbedDim): DataFrame = {
     val bits = plan.bits
     val tables = plan.tables
     val e = corpus
@@ -672,9 +683,9 @@ object Dedup {
     // `when(dot(v, lit(plane)) > 0)` column forest compiled for seconds
     // per plan build (janino, cache-missed on every fresh attribute ids)
     // and dominated this query's runtime — see HyperplaneSigs.
-    val flat = graft.functions.HyperplaneSigs.flatten(embedPlanes, tables, bits, EmbedDim)
+    val flat = graft.functions.HyperplaneSigs.flatten(planesFor(dim), tables, bits, dim)
     val sigs = e.select(col("vec_id"),
-      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, tables, bits, EmbedDim)
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, tables, bits, dim)
         .as("sig"))
     val keyed = sigs.select(col("vec_id").as("vec_b"),
       posexplode(col("sig")).as(Seq("tbl", "bkt")))
@@ -731,7 +742,7 @@ object Dedup {
     println(s"[hiprobe] plan bits=${plan.bits} tables=${plan.tables} " +
       f"candFrac=${plan.candFraction}%.3g work=${plan.work}%.3g")
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val flat = graft.functions.HyperplaneSigs.flatten(embedPlanes, plan.tables, plan.bits, EmbedDim)
+    val flat = graft.functions.HyperplaneSigs.flatten(planesFor(EmbedDim), plan.tables, plan.bits, EmbedDim)
     val sigs = e.select(col("vec_id"),
       graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, plan.tables, plan.bits, EmbedDim)
         .as("sig"))
@@ -797,17 +808,23 @@ object Dedup {
   private val EmbedHiThreshold = 0.8
   private val PlantIdBase = 10000000L
 
-  private[queries] def embedHiCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val partner = e.select((col("vec_id") - 1).as("vec_id"),
+  private[queries] def embedHiCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    plantNearDups(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+
+  /** The deterministic near-dup plant construction over an arbitrary
+    * (vec_id, embedding) base — shared by dd_embed_hi (64-d driver
+    * corpus) and dd_embed_hi768 (production-dimension corpus).
+    */
+  private[queries] def plantNearDups(base: DataFrame): DataFrame = {
+    val partner = base.select((col("vec_id") - 1).as("vec_id"),
       col("embedding").as("emb_next"))
-    val plants = e.filter(col("vec_id") % 10 === 0)
+    val plants = base.filter(col("vec_id") % 10 === 0)
       .join(partner, Seq("vec_id")) // inner: the max id has no successor
       .select((col("vec_id") + PlantIdBase).as("vec_id"),
         zip_with(col("embedding").cast("array<double>"),
           col("emb_next").cast("array<double>"),
           (x, y) => x + lit(0.5) * y).cast("array<float>").as("embedding"))
-    e.unionByName(plants)
+    base.unionByName(plants)
   }
 
   def embedHi(spark: SparkSession, sfDir: String): DataFrame = {
@@ -815,6 +832,108 @@ object Dedup {
     embedBucketedCore(embedHiCorpus(spark, sfDir),
       nBase + nBase / 10, EmbedHiThreshold, "hi")
   }
+
+  // --- Production-dimension embed dedup (dd_embed_hi768) --------------------
+
+  /** dd_embed_hi768 — the τ = 0.8 near-dup pass at a PRODUCTION embedding
+    * dimension (768 — the BERT/sentence-transformer width), the round-12
+    * closure of the family's last argued-not-measured claim. SCALE_r11
+    * measured dd_embed_hi sub-linear through 30× but with a 2.31 marginal
+    * at 100×, diagnosed quantitatively as 64-d dimensionality: random-pair
+    * cosines spread with σ = 1/√d, so at d = 64 (σ = 1/8) the E[p(c)^B]
+    * tail keeps the per-table collision rate ~2.4× the closed form. At
+    * d = 768, σ = 1/27.7 — the tail collapses toward the uniform-bit
+    * closed form and the SAME solver + sampled-selectivity machinery
+    * should ride sub-linear. This entry exists so SCALE_r12 can MEASURE
+    * that at real width instead of arguing it from the σ model.
+    *
+    * Corpus: the driver tables carry only 64-d embeddings, so the 768-d
+    * corpus derives deterministically from the vec_id set via
+    * [[graft.functions.HashVec]] (components from the shared cross-engine
+    * md5 primitive — the construction is restated bit-exactly by the
+    * DuckDB oracle), then the same plant construction as dd_embed_hi
+    * (v′ = v + 0.5·v_next → cos ≈ 0.894 ± 0.015 at this width, the
+    * uniform bulk has ZERO organic pairs at τ = 0.8 since pair cosines
+    * concentrate in ±5σ ≈ ±0.18).
+    *
+    * Cost honesty: the md5 expansion is TEST SCAFFOLDING — a real corpus
+    * stores its embeddings — so charging dim·N MD5s to every query would
+    * measure data generation, not the engine (the mediaIngest staging
+    * argument). The entry therefore reads a staged parquet of the exact
+    * expansion output when one exists (`embeddings_hi768.parquet` beside
+    * the driver tables — ScaleCorpus stages it for the scale curve;
+    * DedupSpec pins staged ≡ constructed), and falls back to in-query
+    * construction (localCheckpoint'd — five consumers branch off the
+    * corpus) where it does not, e.g. the driver's correctness gate, whose
+    * oracle restates the construction path.
+    */
+  private val EmbedHiDim = 768
+
+  /** The raw 768-d expansion (no plants): one HashVec projection over the
+    * corpus id set. Public to queries so ScaleCorpus stages exactly this.
+    */
+  private[queries] def expand768(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    // The id list arrives as ONE parquet split at test SFs and the
+    // expansion hashes dim MD5s per row — spread it first (the
+    // dd_substring single-split rationale).
+    val spread =
+      if (ids.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        ids.repartition(spark.sparkContext.defaultParallelism)
+      else ids
+    spread.select(col("vec_id"),
+      graft.functions.HashVec.hashVec(col("vec_id"), EmbedHiDim).as("embedding"))
+  }
+
+  private def hi768Base(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = new java.io.File(s"$sfDir/embeddings_hi768.parquet")
+    if (new java.io.File(staged, "_SUCCESS").exists())
+      spark.read.parquet(staged.getAbsolutePath)
+    else
+      // In-query construction: checkpointed because the plant join, the
+      // signature pass, the selectivity sample, and both verify attaches
+      // would each replay the dim·N MD5 expansion otherwise.
+      expand768(spark, sfDir).localCheckpoint()
+  }
+
+  def embedHi768(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = hi768Base(spark, sfDir)
+    val n = base.count()
+    embedBucketedCore(plantNearDups(base), n + n / 10, EmbedHiThreshold,
+      "hi768", EmbedHiDim)
+  }
+
+  /** dd_embed_hi768 oracle: the md5 component construction, the plant
+    * blend, and the all-pairs cosine at τ = 0.8 — every step restated
+    * with the engines' shared primitives (md5_number_lower ≡ Md5Long64,
+    * identical IEEE double ops, REAL cast ≡ float32 round-half-even).
+    */
+  val embedHi768Sql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, j,
+      |    CAST((CAST(md5_number_lower(CAST(vec_id AS VARCHAR) || ':'
+      |            || CAST(j AS VARCHAR)) & 9223372036854775807 AS BIGINT)
+      |          % 2000001) / 1000000.0 - 1 AS REAL) AS x
+      |  FROM (SELECT vec_id, unnest(generate_series(0, 767)) AS j
+      |        FROM embeddings)),
+      |base AS (SELECT vec_id, list(x ORDER BY j) AS embedding
+      |         FROM comp GROUP BY 1),
+      |plants AS (
+      |  SELECT a.vec_id + 10000000 AS vec_id,
+      |    list_transform(generate_series(1, 768),
+      |      i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+      |                + 0.5 * CAST(b.embedding[i] AS DOUBLE) AS REAL)) AS embedding
+      |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 10 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM base
+      |  UNION ALL SELECT vec_id, embedding FROM plants)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) AS cs
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin
 
   /** dd_embed_auto — MODEL-driven dispatch between the two embedding-dedup
     * physical forms (verdict r10: dispatch on modeled candidate fraction,

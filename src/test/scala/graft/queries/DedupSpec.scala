@@ -361,6 +361,36 @@ class DedupSpec extends SparkSuite {
       s"got $pairs")
   }
 
+  test("dd_embed_hi768: output is exactly the planted pair set, cosines in the blend band") {
+    // The 768-d corpus is uniform-per-component (hash-derived), so pair
+    // cosines concentrate in ±5σ ≈ ±0.18 — ZERO organic pairs at τ=0.8 —
+    // and the plants land at cos = (1+c/2)/√(1.25+c) ≈ 0.894 ± 0.015.
+    // The output must therefore be EXACTLY {(v, v+1e7) : v%10=0, v+1
+    // exists}, which also pins the funnel's recall at 1.0 on this corpus.
+    val nMax = graft.Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("vec_id")).collect()(0).getLong(0)
+    val expected = (0L to nMax by 10).filter(_ + 1 <= nMax)
+      .map(v => (v, v + 10000000L)).toSet
+    val got = Dedup.embedHi768(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected,
+      s"diff: ${(got.keySet diff expected) ++ (expected diff got.keySet)}")
+    assert(got.values.forall(c => c >= 0.85 && c <= 0.95),
+      s"plant cosines out of the blend band: ${got.values.min} .. ${got.values.max}")
+  }
+
+  test("dd_embed_hi768: staged expansion parquet equals in-query construction") {
+    val dir = java.nio.file.Files.createTempDirectory("hi768-staged").toString
+    Dedup.expand768(spark, sf)
+      .write.mode("overwrite").parquet(s"$dir/embeddings_hi768.parquet")
+    val constructed = Dedup.embedHi768(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val staged = Dedup.embedHi768(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(staged == constructed,
+      "staged-parquet path must be bit-identical to in-query construction")
+  }
+
   test("staged delta (old buckets from parquet, batch signed fresh) equals in-query") {
     val staging = java.nio.file.Files.createTempDirectory("graft-delta").toString
     val inQuery = Dedup.deltaDedup(spark, sf)

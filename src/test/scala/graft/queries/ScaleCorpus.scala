@@ -79,7 +79,30 @@ object ScaleCorpus {
       } else println(s"[scalecorpus] $tag: already staged at $out")
     }
     stageEmbeddings(spark, sfDir, outBase)
+    stageHi768(spark, outBase)
     spark.stop()
+  }
+
+  /** Production-dimension (768-d) corpus per scale point for
+    * dd_embed_hi768's SCALE curve (round 12): exactly the entry's own
+    * expand768 output, staged so the measured query excludes the md5
+    * test-scaffolding expansion (a real corpus STORES its embeddings;
+    * DedupSpec pins staged ≡ constructed). Replica ids expand to fresh
+    * hash-derived vectors, so the 768-d corpus grows uniformly and the
+    * plants (built in-query from consecutive ids) keep a linearly
+    * growing true-positive load like the 64-d staging.
+    */
+  private def stageHi768(spark: org.apache.spark.sql.SparkSession,
+                         outBase: String): Unit = {
+    for (tag <- Seq("sf0.1", "sf0.3", "sf1", "sf3")) {
+      val out = new java.io.File(s"$outBase/$tag/embeddings_hi768.parquet")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Dedup.expand768(spark, s"$outBase/$tag")
+          .write.mode("overwrite").parquet(out.getAbsolutePath)
+        val n = spark.read.parquet(out.getAbsolutePath).count()
+        println(s"[scalecorpus] $tag: $n hi768 vectors -> $out")
+      } else println(s"[scalecorpus] $tag: already staged at $out")
+    }
   }
 
   /** Embedding scale points for the ANN / embed-dedup family (verdict r8
