@@ -160,12 +160,35 @@ object Bench {
         // and a comma-decimal locale (de_DE, fr_FR) would emit
         // `"value":1,23` — invalid JSON, resurrecting the exact
         // "parsed": null defect this line exists to fix.
-        def fmt(v: Double): String =
+        def fmt2(v: Double): String =
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        val entries = results.sortBy { case (_, v) => -v }
-          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        val head = s"""{"metric":"total","value":${fmt(total)},""" +
+        def fmt1(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        // Graduated compression (verdict r11 #7: the 96-query map left 10
+        // entries dropped): full keys at 2 decimals if they fit, else
+        // keys shortened by segment-wise 5-char truncation (collision-
+        // free on this surface, checked below; full names + laps always
+        // land in GRAFT_BENCH_OUT / BENCH_LOCAL.json), else 1-decimal
+        // values — dropping queries is the LAST resort, not the first.
+        def shortKey(k: String): String =
+          k.split('_').map(_.take(5)).mkString("_")
+        val shortOk =
+          results.map(r => shortKey(r._1)).distinct.length == results.length
+        val variants: Seq[Seq[(String, String)]] = Seq(
+          results.map { case (k, v) => k -> fmt2(v) },
+          if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt2(v) } else Nil,
+          if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt1(v) } else Nil
+        ).filter(_.nonEmpty)
+        val head = s"""{"metric":"total","value":${fmt2(total)},""" +
           s""""unit":"sec","sf":"$sfDir","queries":{"""
+        def render(vs: Seq[(String, String)]): (Seq[String], Int) = {
+          val entries = vs.sortBy { case (k, v) => (-v.toDouble, k) }
+            .map { case (k, v) => "\"" + k + "\":" + v }
+          (entries, head.length + entries.map(_.length + 1).sum + 30)
+        }
+        val (entries, _) = variants
+          .map(render).find(_._2 <= budget)
+          .getOrElse(render(variants.last))
         var kept = entries.length
         def sizeAt(k: Int): Int =
           head.length + entries.take(k).map(_.length + 1).sum + 30

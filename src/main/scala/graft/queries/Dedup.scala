@@ -889,11 +889,21 @@ object Dedup {
     val staged = new java.io.File(s"$sfDir/embeddings_hi768.parquet")
     if (new java.io.File(staged, "_SUCCESS").exists())
       spark.read.parquet(staged.getAbsolutePath)
-    else
-      // In-query construction: checkpointed because the plant join, the
-      // signature pass, the selectivity sample, and both verify attaches
-      // would each replay the dim·N MD5 expansion otherwise.
-      expand768(spark, sfDir).localCheckpoint()
+    else {
+      // The mediaIngest staging pattern: the expansion is an INGEST
+      // product (a real corpus stores its embeddings), so it is derived
+      // once per corpus generation into a content-keyed staging table —
+      // `_SUCCESS`-guarded, auto-invalidated on corpus regeneration —
+      // and every consumer (plant join, selectivity sample, signature
+      // pass, both verify attaches) reads the parquet instead of
+      // replaying dim·N MD5s. A file-backed base also gives the
+      // sampled-selectivity cache a physical identity to key on.
+      val out = graft.sources.Staging.stagedDir(
+        "graft_hi768_v1", s"$sfDir/embeddings.parquet")
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        expand768(spark, sfDir).write.mode("overwrite").parquet(out.getAbsolutePath)
+      spark.read.parquet(out.getAbsolutePath)
+    }
   }
 
   def embedHi768(spark: SparkSession, sfDir: String): DataFrame = {
