@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered"}
+queries=${@:-"dd_substring dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_delta_embed dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \
@@ -43,10 +43,14 @@ done
 # (marginals < 1 through 30x at 768-d); dd_decontaminate_fuzzy gets 30x
 # (verdict r11 #6: marginals rising 0.49→0.77 through 10x — the watch
 # point that says whether the shared df cap needs tightening).
+# dd_embed_hi768 ALSO gets 100x: the r11 64-d curve failed exactly one
+# decade past its done-bar (marginal 2.31 at 100x), so the production-
+# dimension claim is measured through the same decade that broke it.
 run_point sf3 dd_substring
 run_point sf10 dd_substring
 run_point sf3 dd_embed_hi
 run_point sf3 dd_embed_hi768
+run_point sf10 dd_embed_hi768
 run_point sf3 dd_decontaminate_fuzzy
 python3 scripts/merge_scale.py "$tmp" > "$out"
 echo "[scale] wrote $out" >&2

@@ -117,7 +117,8 @@ object SparkEntry {
     // force in SimilaritySpec + RecallProbe
     "ann_filtered" -> (Similarity.annFiltered _),
     "mm_phash" -> (graft.multimodal.Multimodal.phash _),
-    "dd_embed_hi768" -> (Dedup.embedHi768 _)
+    "dd_embed_hi768" -> (Dedup.embedHi768 _),
+    "dd_delta_embed" -> (Dedup.deltaEmbed _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -240,6 +241,10 @@ object SparkEntry {
     // bipartite funnel ≡ exact quadratic form restricted to batch-touching
     // pairs (the dd_minhash equivalence argument)
     "dd_delta" -> Dedup.deltaDedupSql,
+    // same bipartite restriction over the deterministic embed-plant
+    // corpus; the even/odd plant split means the oracle actively rejects
+    // old×old re-emission
+    "dd_delta_embed" -> Dedup.deltaEmbedSql,
     // pigeonhole funnel complete for hamming ≤ 4; pixels are closed-form
     // (the mm_features analytic-oracle argument), so the exact all-pairs
     // dHash form is SQL-restatable

@@ -757,9 +757,22 @@ object Dedup {
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
       .distinct()
-    // Sketch-verify cascade (see VerifyTables): at separable thresholds,
-    // prune candidates on the 16-byte sketch before any 4·dim-byte raw
-    // vector rides a shuffle.
+    cascadeVerify(corpus, cands, threshold, dim)
+  }
+
+  /** The sketch-verify cascade + exact verification tail, shared by the
+    * closed-corpus pipeline ([[embedBucketedWithPlan]]) and the
+    * incremental one ([[deltaEmbedFrom]]): prune candidate pairs on the
+    * 16-byte verify sketch at separable thresholds (see VerifyTables),
+    * then attach raw embeddings ONLY to survivors for the exact cosine
+    * gate. Input is a canonicalized (vec_a < vec_b) distinct pair set;
+    * output is the verified (vec_a, vec_b, cs) rows.
+    */
+  private def cascadeVerify(corpus: DataFrame, cands: DataFrame,
+      threshold: Double, dim: Int): DataFrame = {
+    val e = corpus
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.vec.l2norm(col("embedding")).as("nrm"))
     val pThresh = 1.0 - math.acos(threshold) / math.Pi
     val sigma = math.sqrt(pThresh * (1.0 - pThresh) / (VerifyTables * VerifyBits))
     val cut = pThresh - 4.0 * sigma
@@ -1618,6 +1631,165 @@ object Dedup {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
+  // --- Incremental (delta) EMBED dedup --------------------------------------
+
+  /** The delta-embed batch predicate: the arriving batch is the plants
+    * with an EVEN base id (vec_id ≥ PlantIdBase, base ≡ 0 mod 20) — half
+    * the near-dup stratum lands in this ingest, the other half "arrived
+    * in an earlier batch" and was already deduplicated, so ITS pairs are
+    * old×old and must NOT be re-emitted. That split is what gives the
+    * oracle discriminating power: a lazy implementation that dedups the
+    * whole corpus emits the odd-base plant pairs too and hash-mismatches.
+    */
+  private[queries] def deltaEmbedIsNew(c: Column): Column =
+    c >= PlantIdBase && c % 20 === 0
+
+  /** dd_delta_embed — incremental embed dedup: cos ≥ τ = 0.8 pairs
+    * between a NEW embedding batch and the existing corpus (plus within
+    * the batch), never between two existing vectors — [[deltaDedup]]'s
+    * ingest discipline composed with the embed family's banded
+    * hyperplane LSH and the round-12 sketch-verify cascade. This is the
+    * embedding-side operator a continuously-ingesting pipeline actually
+    * runs: the closed-corpus dd_embed_* entries pay the full N×N LSH
+    * pass per run; production signs a batch per hour against an index it
+    * already holds.
+    *
+    * No-old×old, by construction (not filter-after-join): only the BATCH
+    * generates probe rows — symmetric depth-1 multiprobe (base key + all
+    * single-bit flips, directional = false) — joined against the base
+    * bucket keys of the WHOLE corpus. A hamming-≤1 pair (n, o) is found
+    * from n's side alone (n's flip of the differing bit lands on o's
+    * base key; hamming-0 pairs meet base-on-base), so coverage equals
+    * the closed-corpus pass's at the same (bits, tables) while an
+    * old×old candidate can never form. Directional probing would NOT
+    * work one-sided — it flips only 0→1, so pairs whose 0-bit sits on
+    * the old side are only discovered from the old side's flip; the
+    * symmetric probe costs 2× the flip fan-out but ONLY on the batch
+    * (≈10% of rows), a bargain against probing the full corpus.
+    *
+    * Reuse of index products: the old corpus contributes exactly its
+    * per-table base keys — the per-corpus staged signature product —
+    * and the df-style work is batch·corpus, not corpus². The in-query
+    * form signs everything (the test corpus re-stages per query);
+    * [[deltaEmbedStaged]] is the deployment shape: old base keys read
+    * from parquet, ONLY the batch signed fresh, output-identical
+    * (DedupSpec asserts equality — signatures are per-vector, so
+    * sign-then-filter ≡ filter-then-sign).
+    *
+    * Oracle: exact quadratic bipartite form over the same deterministic
+    * hi corpus (embedHiSql's CTEs restricted to pairs touching the
+    * batch). The plan is solved by the same sampledP1 machinery as
+    * dd_embed_hi on the same corpus (shared "hi" cache tag — a delta
+    * pass against a corpus you already index should reuse that index's
+    * calibration), and the τ = 0.8 cut keeps the cascade active, so the
+    * batch path exercises the full production stack.
+    */
+  def deltaEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    val corpus = embedHiCorpus(spark, sfDir)
+    val n = nBase + nBase / 10
+    val plan = solveLsh(n, EmbedHiThreshold,
+      Some(sampledP1Cached(corpus, n, "hi")))
+    deltaEmbedFrom(corpus, plan, EmbedHiThreshold, EmbedDim, deltaEmbedIsNew)
+  }
+
+  /** Core over an arbitrary (vec_id, embedding) corpus, solved plan and
+    * batch predicate — DedupSpec drives it with planted old×old
+    * topologies the same way it drives [[deltaFrom]].
+    */
+  private[queries] def deltaEmbedFrom(corpus: DataFrame, plan: LshPlan,
+      threshold: Double, dim: Int, isNew: Column => Column): DataFrame = {
+    val flat = graft.functions.HyperplaneSigs.flatten(
+      planesFor(dim), plan.tables, plan.bits, dim)
+    val sigsAll = corpus.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
+        plan.tables, plan.bits, dim).as("sig"))
+    deltaEmbedVerify(corpus,
+      keyedBuckets(sigsAll),
+      sigsAll.filter(isNew(col("vec_id"))),
+      plan, threshold, dim)
+  }
+
+  /** Per-table base bucket keys (tbl, bkt, vec_b) from a signature
+    * relation — the old corpus's staged index product.
+    */
+  private[queries] def keyedBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("vec_id").as("vec_b"),
+      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+
+  /** Candidate join + cascade + exact verify over (all base keys, batch
+    * signatures): the probe side IS the batch, so every candidate row
+    * touches it.
+    */
+  private def deltaEmbedVerify(corpus: DataFrame, keyedAll: DataFrame,
+      sigsNew: DataFrame, plan: LshPlan, threshold: Double,
+      dim: Int): DataFrame = {
+    val probesNew = sigsNew.select(col("vec_id").as("vec_a"),
+      explode(graft.functions.HyperplaneSigs.probeBuckets(
+        col("sig"), plan.tables, plan.bits, depth = 1, directional = false))
+        .as("tk"))
+      .select(col("vec_a"),
+        shiftright(col("tk"), 32).cast("int").as("tbl"),
+        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
+    val cands = probesNew.join(keyedAll, Seq("tbl", "bkt"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+      .distinct()
+    cascadeVerify(corpus, cands, threshold, dim)
+  }
+
+  /** The staged deployment shape: the old corpus's base bucket keys are
+    * written once (the per-corpus index product), and the delta pass
+    * signs ONLY the batch, probing staged ∪ fresh. Output-identical to
+    * [[deltaEmbed]] because signatures are per-vector (DedupSpec asserts
+    * equality).
+    */
+  def deltaEmbedStaged(spark: SparkSession, sfDir: String,
+      stagingDir: String): DataFrame = {
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    val corpus = embedHiCorpus(spark, sfDir).localCheckpoint()
+    val n = nBase + nBase / 10
+    val plan = solveLsh(n, EmbedHiThreshold,
+      Some(sampledP1Cached(corpus, n, "hi")))
+    val flat = graft.functions.HyperplaneSigs.flatten(
+      planesFor(EmbedDim), plan.tables, plan.bits, EmbedDim)
+    def sigsOf(rows: DataFrame) = rows.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
+        plan.tables, plan.bits, EmbedDim).as("sig"))
+    val staged = s"$stagingDir/old_embed_buckets.parquet"
+    keyedBuckets(sigsOf(corpus.filter(!deltaEmbedIsNew(col("vec_id")))))
+      .write.mode("overwrite").parquet(staged)
+    val sigsNew = sigsOf(corpus.filter(deltaEmbedIsNew(col("vec_id"))))
+    deltaEmbedVerify(corpus,
+      spark.read.parquet(staged).unionByName(keyedBuckets(sigsNew)),
+      sigsNew, plan, EmbedHiThreshold, EmbedDim)
+  }
+
+  /** Oracle: embedHiSql's deterministic corpus CTEs, quadratic bipartite
+    * form restricted to pairs touching the batch (plants with even base
+    * id).
+    */
+  val deltaEmbedSql: String =
+    """WITH plants AS (
+      |  SELECT a.vec_id + 10000000 AS vec_id,
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+      |                + 0.5 * CAST(b.embedding[i] AS DOUBLE) AS REAL)) AS embedding
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 10 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM plants)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) AS cs
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.8
+      |  AND ((a.vec_id >= 10000000 AND a.vec_id % 20 = 0)
+      |    OR (b.vec_id >= 10000000 AND b.vec_id % 20 = 0))""".stripMargin
 
   // --- Exact duplicated-substring detection --------------------------------
 

@@ -401,4 +401,51 @@ class DedupSpec extends SparkSuite {
     assert(new java.io.File(s"$staging/old_buckets.parquet").exists,
       "old-corpus bucket table must be materialized")
   }
+
+  test("dd_delta_embed equals the τ=0.8 pairs restricted to batch-touching pairs") {
+    val all = Dedup.embedHi(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def isNew(id: Long) = id >= 10000000L && id % 20 == 0
+    val expected = all.filter { case ((a, b), _) => isNew(a) || isNew(b) }
+    val delta = Dedup.deltaEmbed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(delta == expected, s"delta ${delta.size} vs expected ${expected.size}")
+    assert(delta.nonEmpty, "even-base plants must yield batch-touching pairs")
+    // The odd-base plants' pairs are old×old — they exist in the closed-
+    // corpus result and MUST be absent here, or the restriction (and the
+    // oracle's discriminating power) is vacuous.
+    assert(all.size > expected.size,
+      "corpus must contain old×old pairs the delta pass excludes")
+  }
+
+  test("dd_delta_embed: old×old near-dups invisible; batch×old and batch×batch found") {
+    val sess = spark
+    import sess.implicits._
+    // dim-4 planted topology: vectors 1, 2 are identical OLD rows (a
+    // closed-corpus pass reports (1,2); the delta pass must not), 5 is
+    // orthogonal noise, batch rows 101 and 102 duplicate the old vector.
+    val a = Array(1f, 0f, 0f, 0f)
+    val corpus = Seq(
+      (1L, a), (2L, a), (5L, Array(0f, 1f, 0f, 0f)),
+      (101L, a), (102L, a)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.deltaEmbedFrom(corpus,
+        Dedup.LshPlan(bits = 6, tables = 8, work = 0, candFraction = 0),
+        threshold = 0.8, dim = 4, isNew = c => c >= 100L)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (2L, 101L), (1L, 102L), (2L, 102L),
+      (101L, 102L)), s"got $pairs")
+  }
+
+  test("staged delta-embed (old keys from parquet, batch signed fresh) equals in-query") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-delta-emb").toString
+    val inQuery = Dedup.deltaEmbed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val staged = Dedup.deltaEmbedStaged(spark, sf, staging)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == inQuery)
+    assert(new java.io.File(s"$staging/old_embed_buckets.parquet").exists,
+      "old-corpus embed bucket table must be materialized")
+  }
 }
