@@ -174,21 +174,31 @@ object Bench {
           k.split('_').map(_.take(5)).mkString("_")
         val shortOk =
           results.map(r => shortKey(r._1)).distinct.length == results.length
-        val variants: Seq[Seq[(String, String)]] = Seq(
-          results.map { case (k, v) => k -> fmt2(v) },
-          if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt2(v) } else Nil,
-          if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt1(v) } else Nil
-        ).filter(_.nonEmpty)
-        val head = s"""{"metric":"total","value":${fmt2(total)},""" +
-          s""""unit":"sec","sf":"$sfDir","queries":{"""
-        def render(vs: Seq[(String, String)]): (Seq[String], Int) = {
+        // Each variant carries whether its keys are the 5-char-truncated
+        // form, and the chosen flag lands IN the record as "shortKeys"
+        // (ADVICE r12: a tail-window consumer matching full query names
+        // otherwise sees silently renamed keys with no marker).
+        val variants: Seq[(Seq[(String, String)], Boolean)] = Seq(
+          (results.map { case (k, v) => k -> fmt2(v) }, false),
+          (if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt2(v) }
+           else Nil, true),
+          (if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt1(v) }
+           else Nil, true)
+        ).filter(_._1.nonEmpty)
+        def headFor(short: Boolean): String =
+          s"""{"metric":"total","value":${fmt2(total)},""" +
+            s""""unit":"sec","sf":"$sfDir","shortKeys":$short,"queries":{"""
+        def render(vs: Seq[(String, String)], short: Boolean)
+            : (Seq[String], Boolean, Int) = {
           val entries = vs.sortBy { case (k, v) => (-v.toDouble, k) }
             .map { case (k, v) => "\"" + k + "\":" + v }
-          (entries, head.length + entries.map(_.length + 1).sum + 30)
+          (entries, short,
+            headFor(short).length + entries.map(_.length + 1).sum + 30)
         }
-        val (entries, _) = variants
-          .map(render).find(_._2 <= budget)
-          .getOrElse(render(variants.last))
+        val (entries, short, _) = variants
+          .map { case (vs, s) => render(vs, s) }.find(_._3 <= budget)
+          .getOrElse { val (vs, s) = variants.last; render(vs, s) }
+        val head = headFor(short)
         var kept = entries.length
         def sizeAt(k: Int): Int =
           head.length + entries.take(k).map(_.length + 1).sum + 30

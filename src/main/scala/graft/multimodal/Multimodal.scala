@@ -745,7 +745,15 @@ object Multimodal {
     hsh
   }
 
-  private case class MediaHash(media_id: Long, phash: Long)
+  // Package-private, NOT `private`: the generated encoder's Java source
+  // calls `MediaHash.media_id()` by name, and a Scala-`private` nested
+  // class makes that call uncompilable — Spark then silently falls back
+  // to interpreted serialization on EVERY task (26 CompileExceptions per
+  // suite run, round-12 verdict). Scala package-private is public at the
+  // JVM level, so codegen sees it; MultimodalSpec pins the codegen path
+  // under CODEGEN_ONLY factory mode so the next private-case-class slip
+  // fails a test instead of a log grep.
+  private[multimodal] case class MediaHash(media_id: Long, phash: Long)
 
   /** Per-image perceptual hashes through the REAL decode path (staged
     * PNG → ImageIO → exact pixels → dHash), one partition-wise pass with

@@ -499,7 +499,7 @@ object Dedup {
     * the result, so an estimate from footer counts is safe.
     */
   private[queries] def embedBucketedCore(corpus: DataFrame, n: Long,
-      threshold: Double, cacheTag: String = "", dim: Int = EmbedDim): DataFrame = {
+      threshold: Double, cacheTag: String, dim: Int = EmbedDim): DataFrame = {
     val plan = solveLsh(n, threshold, Some(sampledP1Cached(corpus, n, cacheTag, dim)))
     embedBucketedWithPlan(corpus, plan, threshold, dim)
   }
@@ -510,7 +510,14 @@ object Dedup {
     * in a caller tag because two DIFFERENT corpora can share physical
     * input files (dd_embed_hi's plant-augmented corpus derives from the
     * same parquet as the plain embeddings table); the tag is the corpus
-    * CONSTRUCTION, the file identity is the content.
+    * CONSTRUCTION, the file identity is the content. cacheTag has NO
+    * default (ADVICE r12): an untagged caller on a derived corpus would
+    * silently share the selectivity cache with any other untagged corpus
+    * over the same files. Caveat: a corpus with no file lineage (e.g.
+    * localCheckpoint'd, as in deltaEmbedStaged) yields an EMPTY corpusKey
+    * and bypasses the cache entirely — the sample is re-collected per
+    * call, correct but unshared, even under the "hi" tag that file-backed
+    * callers pool.
     */
   private val p1Cache = new java.util.concurrent.ConcurrentHashMap[
     String, Int => Double]()
@@ -942,10 +949,13 @@ object Dedup {
     * argument). The entry therefore reads a staged parquet of the exact
     * expansion output when one exists (`embeddings_hi768.parquet` beside
     * the driver tables — ScaleCorpus stages it for the scale curve;
-    * DedupSpec pins staged ≡ constructed), and falls back to in-query
-    * construction (localCheckpoint'd — five consumers branch off the
-    * corpus) where it does not, e.g. the driver's correctness gate, whose
-    * oracle restates the construction path.
+    * DedupSpec pins staged ≡ constructed). Where none exists — e.g. the
+    * driver's correctness gate, whose oracle restates the construction
+    * path — the expansion is derived ONCE into a content-keyed tmpdir
+    * staging table (`_SUCCESS`-guarded, auto-invalidated on corpus
+    * regeneration; hi768Base below) and read back as parquet, so the
+    * five consumers that branch off the corpus never replay the dim·N
+    * MD5s and the selectivity cache gets a physical identity to key on.
     */
   private val EmbedHiDim = 768
 
@@ -1415,9 +1425,13 @@ object Dedup {
     * Scale shape: one explode (linear in corpus chars), ONE partial-agg
     * groupBy on an 8-byte line hash (xxhash64 — intra-engine key only,
     * the dd_substring rationale: the hash never reaches the output, so
-    * the oracle keeps its own raw-line grouping), a broadcast anti-join
-    * against the hot list (tiny by construction — few lines clear a
-    * corpus-wide df threshold), and a per-doc reassembly aggregation.
+    * the oracle keeps its own raw-line grouping) materialized as the
+    * corpus's boilerplate index, an anti-join against it — broadcast
+    * under a size ceiling, plain shuffle on the 8-byte hash above it
+    * (the hot set is tiny when df ≥ k prunes hard, but a web corpus's
+    * boilerplate vocabulary grows with SOURCE DIVERSITY, so the hint is
+    * guarded, never assumed; see HotLineBroadcastMax) — and a per-doc
+    * reassembly aggregation.
     * No window functions, no self-join — this is the cheapest member of
     * the dd_* family and the one production pipelines run FIRST, because
     * removing boilerplate lines upstream is precisely what keeps the
@@ -1427,25 +1441,71 @@ object Dedup {
   def lines(spark: SparkSession, sfDir: String): DataFrame =
     linesFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
+  /** Broadcast ceiling for the hot-line set, in ROWS of one 8-byte hash
+    * (4M rows ≈ 32 MB of keys — comfortably under executor broadcast
+    * budgets, far above any test corpus). Round-12 verdict: an UNGUARDED
+    * `broadcast(hot)` is a latent scale-killer — "tiny by construction"
+    * holds while df ≥ k prunes hard, but a web-scale corpus's boilerplate
+    * vocabulary grows with SOURCE DIVERSITY, not df (CCNet's hot line
+    * sets over Common Crawl are orders beyond broadcast limits even at
+    * 8 bytes/line). Above the ceiling the anti-join falls back to a plain
+    * shuffle on the 8-byte hash — cheap, spillable, skew-splittable.
+    */
+  private[queries] val HotLineBroadcastMax = 4000000L
+
   /** Core over an arbitrary (doc_id, text) corpus so the planted
     * boilerplate fixture spec drives the threshold (the driver corpus is
-    * single-line; GopherLineCrossCheck precedent).
+    * single-line; GopherLineCrossCheck precedent). `hotBroadcastMax` is
+    * spec-injectable so PlanSpec can force the big-hot-set regime on a
+    * small fixture (the CapBindingSpec pattern).
     */
-  private[queries] def linesFrom(docs: DataFrame): DataFrame = {
-    val ln = docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+  /** The exploded, position-tracked, hash-keyed line table both dd_lines
+    * forms and the hot-set build derive from.
+    */
+  private def lineTable(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col("doc_id") +: passthrough.map(col) :+
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")): _*)
       .withColumn("lh", xxhash64(col("line")))
-    // df counts DISTINCT docs (a line repeated within one doc is
-    // repetition, not boilerplate).
-    val hot = ln.select(col("doc_id"), col("lh")).distinct()
+
+  /** The hot-line df aggregation with full LINEAGE (single `lh` column):
+    * df counts DISTINCT docs — a line repeated within one doc is
+    * repetition, not boilerplate. Package-visible so DedupSpec can pin
+    * the partial-agg-on-8-byte-hash plan property, which the checkpoint
+    * in [[hotLineSet]] hides from the consuming query's plan.
+    */
+  private[queries] def hotLineDf(docs: DataFrame): DataFrame =
+    lineTable(docs).select(col("doc_id"), col("lh")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= LineBoilerplateDf)
       .select(col("lh"))
-    val kept = ln.join(broadcast(hot), Seq("lh"), "left_anti")
+
+  /** The materialized hot-line set, broadcast-hinted only under the size
+    * ceiling. localCheckpoint is deliberate — the hot set IS the corpus's
+    * boilerplate index product: materializing it makes the guard's count
+    * free and keeps the consuming query at ONE corpus scan (lineage
+    * would re-derive the aggregation inside the main pass — a second
+    * full scan that pipeline_clean_corpus's scan-once PlanSpec gate
+    * forbids).
+    */
+  private def hotLineSet(docs: DataFrame, hotBroadcastMax: Long): DataFrame = {
+    val hot = hotLineDf(docs).localCheckpoint()
+    if (hot.count() <= hotBroadcastMax) broadcast(hot) else hot
+  }
+
+  /** Order-preserving reassembly of surviving lines — the shared tail of
+    * both dd_lines forms.
+    */
+  private def reassembled: Column =
+    array_join(expr("transform(array_sort(collect_list(struct(idx, line))), x -> x.line)"),
+      "\n")
+
+  private[queries] def linesFrom(docs: DataFrame,
+      hotBroadcastMax: Long = HotLineBroadcastMax): DataFrame = {
+    val ln = lineTable(docs)
+    val kept = ln.join(hotLineSet(docs, hotBroadcastMax), Seq("lh"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(idx, line))), x -> x.line)"),
-          "\n").as("text_clean"))
+      .agg(count(lit(1)).as("n_kept"), reassembled.as("text_clean"))
     // Left join back: a fully-boilerplate doc survives as an EMPTY row
     // (n_kept = 0), it does not vanish — the caller decides whether to
     // drop empties (pipeline_clean_corpus's quality gate would).
@@ -1456,6 +1516,23 @@ object Dedup {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The pipeline-composable dd_lines form: same hot-set logic, but
+    * pass-through columns ride the explode, fully-boilerplate docs DROP
+    * (inner groupBy — no join-back), and the cleaned text replaces
+    * `text`. Exactly ONE scan of the input sits in the plan (the
+    * join-back that gives standalone dd_lines its n_lines/empty-row
+    * contract would be a second scan — pipeline_clean_corpus's PlanSpec
+    * gate forbids it), which is also the production framing: a cleaning
+    * chain wants the surviving corpus, not per-doc bookkeeping.
+    */
+  private[queries] def lineCleanedDocs(docs: DataFrame, passthrough: Seq[String],
+      hotBroadcastMax: Long = HotLineBroadcastMax): DataFrame = {
+    val ln = lineTable(docs, passthrough)
+    ln.join(hotLineSet(docs, hotBroadcastMax), Seq("lh"), "left_anti")
+      .groupBy(col("doc_id") +: passthrough.map(col): _*)
+      .agg(reassembled.as("text"))
   }
 
   /** Oracle: the same pipeline over raw line strings (DuckDB groups by
@@ -1559,9 +1636,11 @@ object Dedup {
   }
 
   /** Candidate pairs from a one-sided band-bucket join: every candidate
-    * touches the batch because the probe side IS the batch.
+    * touches the batch because the probe side IS the batch. The LAZY form
+    * exists so DedupSpec can pin the ingest-step plan property (reads the
+    * staged product, never re-signs it) before the checkpoint hides it.
     */
-  private[queries] def deltaCandidates(newB: DataFrame, allB: DataFrame): DataFrame =
+  private[queries] def deltaCandidatesLazy(newB: DataFrame, allB: DataFrame): DataFrame =
     newB.select(col("band"), col("bh"), col("doc_id").as("doc_n"))
       .join(allB.select(col("band"), col("bh"), col("doc_id").as("doc_o")),
         Seq("band", "bh"))
@@ -1569,9 +1648,11 @@ object Dedup {
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
         greatest(col("doc_n"), col("doc_o")).as("doc_b"))
       .distinct()
-      // Two consumers (candidate-doc semi-join + final pair gate); the
-      // table is the admitted pair list — output-sized.
-      .localCheckpoint()
+
+  private[queries] def deltaCandidates(newB: DataFrame, allB: DataFrame): DataFrame =
+    // Two consumers (candidate-doc semi-join + final pair gate); the
+    // table is the admitted pair list — output-sized.
+    deltaCandidatesLazy(newB, allB).localCheckpoint()
 
   /** Bipartite exact verification over the candidate docs only — the
     * probe side is always the batch, so no old×old shingle-join rows

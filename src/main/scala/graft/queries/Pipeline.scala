@@ -7,7 +7,14 @@ import graft.Tables
 /** The composite training-corpus cleaning pipeline — the operators of this
   * engine chained the way a real pretraining ingest uses them:
   *
-  *   1. quality gate   (ta_quality score ≥ 0.55)
+  *   0. line boilerplate removal (dd_lines, df ≥ 4 lines dropped; docs
+  *      reduced to their surviving lines, fully-boilerplate docs drop) —
+  *      FIRST, per dd_lines' own production-order contract: the
+  *      license-header/cookie-banner skew bombs die here, which is what
+  *      keeps the doc-level families' df caps from firing downstream,
+  *      and every later stage (quality score, fingerprint, shingles)
+  *      judges the CONTENT of a page rather than its chrome
+  *   1. quality gate   (ta_quality score ≥ 0.55, on the CLEANED text)
   *   2. exact dedup    (normalization fingerprint, keep min doc_id)
   *   3. near-dup drop  (word-3-gram Jaccard ≥ 0.8 among survivors,
   *                      drop the higher doc_id of each pair)
@@ -61,7 +68,15 @@ object Pipeline {
     * funnel and the exact self-join over the same survivor basis.
     */
   private[graft] def exactKept(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // Stage 0: line-level boilerplate removal (the dd_lines pass in its
+    // pipeline-composable form — pass-through columns ride the explode,
+    // fully-boilerplate docs drop, ONE documents scan in the plan; the
+    // hot-set size guard's count job runs ahead of the main pass exactly
+    // as in standalone dd_lines). On the driver corpora (single-line
+    // docs, max line df 2 < 4) this is a verified no-op — the planted
+    // fixture spec and the oracle CTE carry the behavioral check.
+    val docs = Dedup.lineCleanedDocs(
+      Tables.documents(spark, sfDir), Seq("lang", "source"))
 
     // Stage 1: quality gate (subset of ta_quality's score formula).
     val toks = split(col("text"), "\\s+")
@@ -102,7 +117,20 @@ object Pipeline {
     shinglesOf(exactKept(spark, sfDir))
 
   val cleanCorpusSql: String =
-    raw"""WITH quality AS (
+    raw"""WITH ln AS (
+         |  SELECT doc_id, lang, source, i - 1 AS idx, l[i] AS line
+         |  FROM (SELECT doc_id, lang, source,
+         |          regexp_split_to_array(text, chr(10)) AS l
+         |        FROM documents)
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+         |lndf AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+         |cleaned AS (
+         |  SELECT doc_id, lang, source,
+         |    string_agg(line, chr(10) ORDER BY idx) AS text
+         |  FROM ln JOIN lndf USING (line)
+         |  WHERE df < ${Dedup.LineBoilerplateDf}
+         |  GROUP BY 1, 2, 3),
+         |quality AS (
          |  SELECT doc_id, lang, source, text,
          |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
          |      + 0.3 * (1.0 - len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -110,7 +138,7 @@ object Pipeline {
          |          / len(regexp_split_to_array(text, '\s+')))
          |      + 0.3 * least(1.0, len(regexp_split_to_array(text, '\s+')) / 100.0), 4)
          |      AS quality_score
-         |  FROM documents),
+         |  FROM cleaned),
          |gated AS (SELECT * FROM quality WHERE quality_score >= 0.55),
          |exact_kept AS (
          |  SELECT *, md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp

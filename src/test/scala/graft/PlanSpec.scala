@@ -147,11 +147,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("dd_lines: partial agg on the line hash, broadcast anti-join cap, no window") {
+  test("dd_lines: materialized hot-set anti-join, one corpus scan, no window") {
+    // The hot set arrives CHECKPOINTED (the boilerplate index product —
+    // its partial-agg build plan is pinned separately in DedupSpec), so
+    // the consuming query must show exactly the deployment shape: one
+    // documents scan feeding the explode, an anti-join against an
+    // in-memory relation, and no second parquet scan re-deriving the df
+    // aggregation inline.
     val p = plan("dd_lines")
-    assert(p.contains("partial_count") || p.contains("partial_"),
-      s"line-df count not partially aggregated:\n$p")
     assert(p.contains("LeftAnti"), s"boilerplate cap must be an anti-join:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"hot set must join from the materialized index product:\n$p")
+    assert(occ(p, "Scan parquet") == 2,
+      s"expected exactly 2 documents scans (line explode + n_lines join-back):\n$p")
     assert(!p.contains("Window"), s"dd_lines gained a window it doesn't need:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }

@@ -331,6 +331,84 @@ class DedupSpec extends SparkSuite {
     assert(out(21L) == ((1L, 1L, "echo body twentyone")))
   }
 
+  test("dd_lines hot-set build: partial agg on the 8-byte line hash") {
+    // The build plan property the final query's checkpoint hides: the
+    // line-df count partially aggregates on xxhash64 keys before the
+    // exchange — the map-side-combine shape that keeps the hot-set build
+    // one linear pass at any corpus size.
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val p = Dedup.hotLineDf(docs).queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"line-df count not partially aggregated:\n$p")
+    assert(p.contains("xxhash64"), s"hot-set key must be the 8-byte hash:\n$p")
+  }
+
+  test("lineCleanedDocs (pipeline stage 0): passthrough kept, hot lines cut, empty docs drop") {
+    val sess = spark
+    import sess.implicits._
+    val header = "COOKIE BANNER accept all cookies"
+    val docs = Seq(
+      (10L, "en", "web", s"$header\nalpha body ten"),
+      (11L, "en", "web", s"$header\nbravo body eleven"),
+      (12L, "de", "web", s"$header\ncharlie body twelve"),
+      (13L, "en", "web", s"$header"), // fully boilerplate → must VANISH here
+      (21L, "en", "книги", "echo body twentyone")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Dedup.lineCleanedDocs(docs, Seq("lang", "source")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(out == Map(
+      10L -> (("en", "web", "alpha body ten")),
+      11L -> (("en", "web", "bravo body eleven")),
+      12L -> (("de", "web", "charlie body twelve")),
+      21L -> (("en", "книги", "echo body twentyone"))),
+      s"pipeline stage-0 contract broken: $out")
+  }
+
+  test("dd_lines hot-set guard: broadcast under the ceiling, shuffle above, same rows") {
+    // Round-12 verdict #3: the forced broadcast(hot) assumed the
+    // boilerplate line set stays driver-sized; at web scale it grows with
+    // source diversity. The guard counts the hot set and drops the hint
+    // above the ceiling. Both regimes are asserted on the SAME planted
+    // fixture (the CapBindingSpec pattern: the spec injects the ceiling
+    // rather than planting 4M hot lines).
+    val sess = spark
+    import sess.implicits._
+    val header = "COOKIE BANNER accept all cookies"
+    val docs = Seq(
+      (10L, s"$header\nalpha body ten"), (11L, s"$header\nbravo body eleven"),
+      (12L, s"$header\ncharlie body twelve"), (13L, s"$header"),
+      (21L, "echo body twentyone")
+    ).toDF("doc_id", "text")
+    def antiJoinLines(p: String): Seq[String] =
+      p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    val pSmall = Dedup.linesFrom(docs).queryExecution.sparkPlan.toString
+    assert(antiJoinLines(pSmall).exists(_.contains("BroadcastHashJoin")),
+      s"under-ceiling hot set must broadcast:\n$pSmall")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val big = try {
+      // -1: the planner may not re-broadcast on its own size estimate —
+      // the point is the HINT is gone, as it would be at a web-scale hot
+      // set whose true size sits far over any auto threshold.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigDf = Dedup.linesFrom(docs, hotBroadcastMax = -1L)
+      val pBig = bigDf.queryExecution.sparkPlan.toString
+      assert(antiJoinLines(pBig).nonEmpty, s"anti-join vanished:\n$pBig")
+      assert(antiJoinLines(pBig).forall(l => !l.contains("BroadcastHashJoin")),
+        s"over-ceiling hot set must not broadcast:\n$pBig")
+      assert(antiJoinLines(pBig).exists(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"over-ceiling anti-join must shuffle on the 8-byte hash:\n$pBig")
+      bigDf.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    val small = Dedup.linesFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(big == small, "the guard must choose a plan, never change rows")
+  }
+
   test("dd_delta equals the exact near-dup pairs restricted to batch-touching pairs") {
     val all = Dedup.minhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -94,7 +94,11 @@ object ScaleCorpus {
     */
   private def stageHi768(spark: org.apache.spark.sql.SparkSession,
                          outBase: String): Unit = {
-    for (tag <- Seq("sf0.1", "sf0.3", "sf1", "sf3")) {
+    // sf10 included (ADVICE r12): scale_probes.sh runs dd_embed_hi768 at
+    // the 100× point too — without staging here it silently fell back to
+    // hi768Base's in-bench tmpdir staging, leaving the point's timing
+    // hostage to which lap absorbed a ~GB parquet write.
+    for (tag <- Seq("sf0.1", "sf0.3", "sf1", "sf3", "sf10")) {
       val out = new java.io.File(s"$outBase/$tag/embeddings_hi768.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         Dedup.expand768(spark, s"$outBase/$tag")
