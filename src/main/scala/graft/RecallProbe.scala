@@ -34,9 +34,15 @@ object RecallProbe {
     // fail the predicate).
     val exactFiltered = resultMap(
       graft.queries.Similarity.annFilteredExact(spark, sfDir))
+    val exactRare = resultMap(
+      graft.queries.Similarity.annFilteredRareExact(spark, sfDir))
     val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
-        "ann_filtered").map { fam =>
-      val baseline = if (fam == "ann_filtered") exactFiltered else exact
+        "ann_filtered", "ann_filtered_rare").map { fam =>
+      val baseline = fam match {
+        case "ann_filtered" => exactFiltered
+        case "ann_filtered_rare" => exactRare
+        case _ => exact
+      }
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))
       val recalls = baseline.map { case (q, nn) =>
         approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size)

@@ -116,9 +116,13 @@ object SparkEntry {
     // rest of the ANN family; recall floor vs the exact filtered brute
     // force in SimilaritySpec + RecallProbe
     "ann_filtered" -> (Similarity.annFiltered _),
+    // the ~1% stratum: same index, probe depth re-calibrated per stratum
+    "ann_filtered_rare" -> (Similarity.annFilteredRare _),
     "mm_phash" -> (graft.multimodal.Multimodal.phash _),
     "dd_embed_hi768" -> (Dedup.embedHi768 _),
-    "dd_delta_embed" -> (Dedup.deltaEmbed _)
+    "dd_delta_embed" -> (Dedup.deltaEmbed _),
+    "dd_delta_chain" -> (Dedup.deltaChain _),
+    "dd_delta_embed_chain" -> (Dedup.deltaEmbedChain _)
   )
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -251,6 +255,11 @@ object SparkEntry {
     "mm_phash" -> graft.multimodal.Multimodal.phashSql,
     // production-dimension (768-d) plant corpus from the shared md5
     // primitive — construction + all-pairs form restated bit-exactly
-    "dd_embed_hi768" -> Dedup.embedHi768Sql
+    "dd_embed_hi768" -> Dedup.embedHi768Sql,
+    // multi-batch lifecycle: per-step bipartite restriction — step 1 as
+    // of B1's arrival, step 2 over old ∪ B1, so re-emission of an earlier
+    // batch's pairs (or any old×old pair) hash-mismatches
+    "dd_delta_chain" -> Dedup.deltaChainSql,
+    "dd_delta_embed_chain" -> Dedup.deltaEmbedChainSql
   )
 }

@@ -143,7 +143,7 @@ object Dedup {
     * dd_ngram_jaccard whenever recall holds (asserted in DedupSpec).
     */
   private val NumPerms = 64
-  private val BandRows = 4
+  private[queries] val BandRows = 4
   private val MinhashPrime = 4294967311L // smallest prime > 2^32
   /** Deterministic (a,b) permutation constants — fixed seed, a odd. */
   private val perms: Seq[(Long, Long)] = {
@@ -1713,6 +1713,120 @@ object Dedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin
 
+  // --- Multi-batch delta lifecycle (staged index APPEND) --------------------
+
+  /** Second ingest-batch residue for the chain: B1 = doc_id ≡ 3 (mod 10)
+    * (DeltaResidue), B2 = doc_id ≡ 7 (mod 10).
+    */
+  private[queries] val DeltaResidue2 = 7
+
+  private def chainBucketsPath(stagingDir: String): String =
+    s"$stagingDir/chain_buckets.parquet"
+
+  /** Seed the staged bucket index with the initial corpus's banded
+    * buckets — the one-time signing of everything that predates the
+    * ingest chain.
+    */
+  private[queries] def seedDeltaIndex(sh: DataFrame, isOld: Column => Column,
+      stagingDir: String): Unit =
+    bandedBuckets(sh.filter(isOld(col("doc_id"))), BandRows)
+      .write.mode("overwrite").parquet(chainBucketsPath(stagingDir))
+
+  /** One step of the multi-batch ingest lifecycle (round-12 verdict #2:
+    * dd_delta proved ONE batch against ONE staged index and re-wrote the
+    * product per call; a continuously-ingesting pipeline runs the CHAIN):
+    * sign ONLY the arriving batch, probe its buckets against the staged
+    * product ∪ its own, emit the batch-touching pairs, then APPEND the
+    * batch's buckets to the staged product so the next batch dedups
+    * against old ∪ this-batch without re-signing either. Appending is
+    * sound because signatures are per-document and the bucket relation is
+    * row-wise — batch arrival is union on (doc_id, band, bh).
+    *
+    * `sh` is the capped shingle relation over the corpus-so-far, read
+    * ONLY for (a) the batch's signatures and (b) exact verification of
+    * candidate docs (a candidate-bounded semi-join — the same access
+    * pattern deltaDedup documents); the staged product is never
+    * re-derived from it, which DedupSpec pins on the candidate plan (no
+    * minhash aggregate anywhere, staged side read from parquet).
+    */
+  private[queries] def deltaIngestStep(spark: SparkSession, sh: DataFrame,
+      isBatch: Column => Column, stagingDir: String): DataFrame = {
+    val staged = chainBucketsPath(stagingDir)
+    val newB = bandedBuckets(sh.filter(isBatch(col("doc_id"))), BandRows)
+      .localCheckpoint()
+    val oldB = spark.read.parquet(staged)
+    val out = deltaVerify(sh,
+        deltaCandidates(newB, oldB.unionByName(newB)), isBatch, 0.8)
+      // Materialize BEFORE the append below mutates the directory the
+      // lazy plan reads.
+      .localCheckpoint()
+    newB.write.mode("append").parquet(staged)
+    out
+  }
+
+  /** dd_delta_chain — the multi-batch lifecycle end-to-end: seed the
+    * index from the old corpus (doc_id ∉ {3, 7} mod 10), ingest B1
+    * (≡ 3), ingest B2 (≡ 7) against old ∪ B1, union the per-step outputs
+    * tagged by step. B1's pairs are emitted at step 1 and MUST NOT
+    * reappear at step 2 (B1 is "old" by then — the probe side is B2
+    * alone), and old×old pairs never appear at all. The staging directory
+    * is fresh per call and deleted after the (checkpointed) result
+    * materializes, so the entry is idempotent under re-runs and
+    * cross-mode fingerprinting.
+    */
+  def deltaChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = cappedShingles(spark, sfDir).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_chain")
+    val m = DeltaModulus
+    try {
+      seedDeltaIndex(sh,
+        c => c % m =!= DeltaResidue && c % m =!= DeltaResidue2, dir.toString)
+      val s1 = deltaIngestStep(spark, sh, _ % m === DeltaResidue, dir.toString)
+      val s2 = deltaIngestStep(spark, sh, _ % m === DeltaResidue2, dir.toString)
+      // Steps are checkpointed, so the union reads no staged state.
+      s1.withColumn("step", lit(1))
+        .unionByName(s2.withColumn("step", lit(2)))
+        .select(col("step"), col("doc_a"), col("doc_b"), col("jaccard"))
+    } finally deleteDir(dir)
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** Oracle: the same exact quadratic bipartite form as dd_delta, once
+    * per step — step 1 over the corpus as of B1 (B2 has not arrived:
+    * neither end may be ≡ 7), step 2 over the full corpus, pairs
+    * touching B2.
+    */
+  val deltaChainSql: String =
+    raw"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS j
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         |SELECT 1 AS step, doc_a, doc_b, round(j, 6) AS jaccard FROM pairs
+         |WHERE (doc_a % 10 = 3 OR doc_b % 10 = 3)
+         |  AND doc_a % 10 != 7 AND doc_b % 10 != 7
+         |UNION ALL
+         |SELECT 2 AS step, doc_a, doc_b, round(j, 6) AS jaccard FROM pairs
+         |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""".stripMargin
+
   // --- Incremental (delta) EMBED dedup --------------------------------------
 
   /** The delta-embed batch predicate: the arriving batch is the plants
@@ -1871,6 +1985,138 @@ object Dedup {
       |    CAST(b.embedding AS DOUBLE[])) >= 0.8
       |  AND ((a.vec_id >= 10000000 AND a.vec_id % 20 = 0)
       |    OR (b.vec_id >= 10000000 AND b.vec_id % 20 = 0))""".stripMargin
+
+  // --- Multi-batch EMBED delta lifecycle ------------------------------------
+
+  private def embedPlanPath(stagingDir: String): String =
+    s"$stagingDir/embed_plan.parquet"
+  private def embedBucketsPath(stagingDir: String): String =
+    s"$stagingDir/embed_buckets.parquet"
+
+  /** Signatures under an EXPLICIT plan — the chain's signing primitive:
+    * every batch must sign under the SEED plan (below), never a
+    * re-solved one.
+    */
+  private def sigsUnderPlan(rows: DataFrame, plan: LshPlan, dim: Int): DataFrame = {
+    val flat = graft.functions.HyperplaneSigs.flatten(
+      planesFor(dim), plan.tables, plan.bits, dim)
+    rows.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
+        plan.tables, plan.bits, dim).as("sig"))
+  }
+
+  /** Seed the staged embed index: the old corpus's per-table base bucket
+    * keys PLUS the plan metadata (bits, tables, dim) as a sibling
+    * one-row table. The metadata is the load-bearing part of the chain
+    * design: a later batch that re-SOLVED the plan on the grown corpus
+    * would derive different (bits, tables) and silently mis-key every
+    * bucket already staged — so the plan is frozen at seed time and
+    * every ingest step reads it back, exactly how a production vector
+    * index versions its build parameters.
+    */
+  private[queries] def seedEmbedDeltaIndex(spark: SparkSession, corpus: DataFrame,
+      isOld: Column => Column, plan: LshPlan, dim: Int, stagingDir: String): Unit = {
+    import spark.implicits._
+    Seq((plan.bits, plan.tables, dim)).toDF("bits", "tables", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(embedPlanPath(stagingDir))
+    keyedBuckets(sigsUnderPlan(corpus.filter(isOld(col("vec_id"))), plan, dim))
+      .write.mode("overwrite").parquet(embedBucketsPath(stagingDir))
+  }
+
+  /** One embed ingest step: read the frozen plan, sign ONLY the batch,
+    * probe (symmetric depth-1 multiprobe, the deltaEmbed coverage
+    * argument) against staged ∪ own base keys, cascade + exact verify,
+    * then APPEND the batch's base keys to the staged product.
+    */
+  private[queries] def deltaEmbedIngestStep(spark: SparkSession, corpus: DataFrame,
+      isBatch: Column => Column, threshold: Double, stagingDir: String): DataFrame = {
+    val meta = spark.read.parquet(embedPlanPath(stagingDir)).collect().head
+    val plan = LshPlan(meta.getAs[Int]("bits"), meta.getAs[Int]("tables"), 0.0, 0.0)
+    val dim = meta.getAs[Int]("dim")
+    val sigsNew = sigsUnderPlan(corpus.filter(isBatch(col("vec_id"))), plan, dim)
+      .localCheckpoint()
+    val newK = keyedBuckets(sigsNew)
+    val keyedAll = spark.read.parquet(embedBucketsPath(stagingDir)).unionByName(newK)
+    val out = deltaEmbedVerify(corpus, keyedAll, sigsNew, plan, threshold, dim)
+      .localCheckpoint()
+    newK.write.mode("append").parquet(embedBucketsPath(stagingDir))
+    out
+  }
+
+  /** The chain's batch split: the even-base plants (deltaEmbedIsNew's
+    * batch) arrive as TWO ingests — B1 = base ≡ 0 (mod 40), B2 = base ≡
+    * 20 (mod 40) — so step 2 runs against an index already holding both
+    * the seed corpus and B1's appended keys.
+    */
+  private[queries] def embedChainB1(c: Column): Column =
+    c >= PlantIdBase && c % 40 === 0
+  private[queries] def embedChainB2(c: Column): Column =
+    c >= PlantIdBase && c % 40 === 20
+
+  /** dd_delta_embed_chain — the embed-side multi-batch lifecycle: seed
+    * (base vectors + odd-base plants), ingest B1, ingest B2 against
+    * seed ∪ B1 — no vector signed twice, no old×old pair ever emitted,
+    * B1's pairs emitted at step 1 only. Plan solving and selectivity
+    * sampling happen ONCE at seed (pooled with the "hi" family cache
+    * before the execution checkpoint), the frozen plan rides with the
+    * index. Fresh staging per call, deleted after the checkpointed
+    * results materialize — idempotent under re-runs and cross-mode
+    * fingerprinting.
+    */
+  def deltaEmbedChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBase = Tables.embeddings(spark, sfDir).count()
+    val corpusL = embedHiCorpus(spark, sfDir)
+    val n = nBase + nBase / 10
+    // Solve on the UNcheckpointed lineage so the sampled selectivity
+    // pools with the file-backed "hi" cache, then checkpoint for the
+    // five execution consumers.
+    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1Cached(corpusL, n, "hi")))
+    val corpus = corpusL.localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_chain")
+    try {
+      seedEmbedDeltaIndex(spark, corpus,
+        c => !(embedChainB1(c) || embedChainB2(c)), plan, EmbedDim, dir.toString)
+      val s1 = deltaEmbedIngestStep(spark, corpus, embedChainB1,
+        EmbedHiThreshold, dir.toString)
+      val s2 = deltaEmbedIngestStep(spark, corpus, embedChainB2,
+        EmbedHiThreshold, dir.toString)
+      s1.withColumn("step", lit(1))
+        .unionByName(s2.withColumn("step", lit(2)))
+        .select(col("step"), col("vec_a"), col("vec_b"), col("cs"))
+    } finally deleteDir(dir)
+  }
+
+  /** Oracle: deltaEmbedSql's deterministic corpus CTEs, quadratic
+    * bipartite form per step — step 1 as of B1's arrival (neither end in
+    * B2), step 2 over the full corpus, pairs touching B2.
+    */
+  val deltaEmbedChainSql: String =
+    """WITH plants AS (
+      |  SELECT a.vec_id + 10000000 AS vec_id,
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> CAST(CAST(a.embedding[i] AS DOUBLE)
+      |                + 0.5 * CAST(b.embedding[i] AS DOUBLE) AS REAL)) AS embedding
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 10 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM plants),
+      |hits AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) AS c
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) >= 0.8)
+      |SELECT 1 AS step, vec_a, vec_b, round(c, 6) AS cs FROM hits
+      |WHERE ((vec_a >= 10000000 AND vec_a % 40 = 0)
+      |    OR (vec_b >= 10000000 AND vec_b % 40 = 0))
+      |  AND NOT (vec_a >= 10000000 AND vec_a % 40 = 20)
+      |  AND NOT (vec_b >= 10000000 AND vec_b % 40 = 20)
+      |UNION ALL
+      |SELECT 2 AS step, vec_a, vec_b, round(c, 6) AS cs FROM hits
+      |WHERE (vec_a >= 10000000 AND vec_a % 40 = 20)
+      |   OR (vec_b >= 10000000 AND vec_b % 40 = 20)""".stripMargin
 
   // --- Exact duplicated-substring detection --------------------------------
 

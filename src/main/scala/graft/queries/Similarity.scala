@@ -169,11 +169,11 @@ object Similarity {
     * measures is not (the round-10/11 lesson: selectivity changes where
     * true neighbors land, so fixed parameters decay).
     */
-  private def calibrationPairsFilteredCached(emb: DataFrame, filtered: DataFrame)
-      : Array[(Array[Double], Array[Double])] = {
+  private def calibrationPairsFilteredCached(emb: DataFrame, filtered: DataFrame,
+      tag: String): Array[(Array[Double], Array[Double])] = {
     val key = corpusKey(emb)
     cachedOrBuild(calCache,
-      if (key.isEmpty) key else s"filtered:$FilterLabel@$key")(
+      if (key.isEmpty) key else s"filtered:$tag@$key")(
       calibrationPairsOver(emb, filtered))
   }
 
@@ -452,18 +452,36 @@ object Similarity {
     */
   private val FilterLabel = 3
 
-  /** Exact filtered brute force — ann_filtered's recall baseline (the
-    * ann_topk shape with the predicate applied before the broadcast
-    * join). Used by SimilaritySpec's floor and RecallProbe; not a
-    * queries() entry.
+  /** The RARE stratum (~1% selectivity): the label equality conjoined
+    * with an id residue — both conjuncts push to the parquet scan. This
+    * is the regime where the post-filter trap and fixed-nprobe decay
+    * bite hardest (round-13: the fixed-parameter-decay lesson needs MORE
+    * THAN ONE point on the selectivity axis, or the re-calibration
+    * machinery is an argument, not a measurement).
     */
-  private[graft] def annFilteredExact(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def filterPred10(): Column = col("label") === FilterLabel
+  private[graft] def filterPredRare(): Column =
+    col("label") === FilterLabel && col("vec_id") % 10 === 1
+
+  /** Exact filtered brute force at an arbitrary predicate — the recall
+    * baseline (the ann_topk shape with the predicate applied before the
+    * broadcast join). Used by SimilaritySpec's floors and RecallProbe;
+    * not a queries() entry.
+    */
+  private[graft] def annFilteredExactWith(spark: SparkSession, sfDir: String,
+      pred: Column): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val e = normed(emb.filter(col("label") === FilterLabel))
+    val e = normed(emb.filter(pred))
     rankTopK(
       broadcast(queries(emb)).join(e, col("vec_id") =!= col("q_id"))
         .withColumn("cs_raw", pairCosine))
   }
+
+  private[graft] def annFilteredExact(spark: SparkSession, sfDir: String): DataFrame =
+    annFilteredExactWith(spark, sfDir, filterPred10())
+
+  private[graft] def annFilteredRareExact(spark: SparkSession, sfDir: String): DataFrame =
+    annFilteredExactWith(spark, sfDir, filterPredRare())
 
   /** ann_filtered — predicate + vector search (filtered ANN): top-k
     * cosine neighbors per query AMONG the corpus vectors satisfying a
@@ -487,7 +505,22 @@ object Similarity {
     * asserts the recall floor vs [[annFilteredExact]] and RecallProbe
     * reports the number per round.
     */
-  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    annFilteredWith(spark, sfDir, filterPred10(), s"label$FilterLabel")
+
+  /** ann_filtered_rare — the same production shape at the ~1% stratum:
+    * identical corpus-wide index, identical machinery, but the probe
+    * depth is re-calibrated on the RARE stratum (under a 1% predicate a
+    * query's true filtered neighbors sit ~10× deeper in its cell order
+    * than at 10%, ~100× deeper than unfiltered — SimilaritySpec asserts
+    * the calibrated nprobe actually moved between strata, so the
+    * re-calibration is an instrumented fact, not a comment).
+    */
+  def annFilteredRare(spark: SparkSession, sfDir: String): DataFrame =
+    annFilteredWith(spark, sfDir, filterPredRare(), "rare")
+
+  private[graft] def annFilteredWith(spark: SparkSession, sfDir: String,
+      pred: Column, tag: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val n = corpusSize(emb)
     val k = centroidCount(n)
@@ -497,13 +530,29 @@ object Similarity {
       emb
         .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .select(col("vec_id"), col("embedding"))))
-    val filtered = Tables.embeddings(spark, sfDir)
-      .filter(col("label") === FilterLabel)
+    val filtered = Tables.embeddings(spark, sfDir).filter(pred)
     val assigned = assignedCells(normed(filtered), unit, ids)
-    val nprobe = calibratedNprobe(
-      calibrationPairsFilteredCached(emb, filtered), unit, ids)
-    val probed = probedCells(queries(emb), unit, ids, nprobe)
+    val probed = probedCells(queries(emb), unit, ids,
+      filteredNprobe(spark, sfDir, pred, tag))
     searchCells(probed, assigned)
+  }
+
+  /** The per-stratum calibrated probe depth — factored out so the spec
+    * can read the number each stratum actually serves (the instrument
+    * that proves re-calibration mattered).
+    */
+  private[graft] def filteredNprobe(spark: SparkSession, sfDir: String,
+      pred: Column, tag: String): Int = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
+      emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))))
+    calibratedNprobe(
+      calibrationPairsFilteredCached(emb, emb.filter(pred), tag), unit, ids)
   }
 
   /** Training-sample ceiling for the driver-side fit: 131,072 rows × 64

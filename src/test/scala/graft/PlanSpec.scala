@@ -132,11 +132,15 @@ class PlanSpec extends SparkSuite {
   test("ann_filtered: metadata predicate pushed to the parquet scan") {
     // The filtered path's whole point: the predicate prunes at the SCAN,
     // before assignment and the probe join — never as a post-filter on
-    // search results.
-    val p = plan("ann_filtered")
-    assert(p.contains("EqualTo(label,3)"),
-      s"label predicate not pushed to the scan:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // search results. Both strata: the rare stratum's label conjunct
+    // pushes too (its id-residue conjunct is not a source filter, so it
+    // runs right above the pruned scan).
+    Seq("ann_filtered", "ann_filtered_rare").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("EqualTo(label,3)"),
+        s"$q: label predicate not pushed to the scan:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
   }
 
   test("dd_embed_bucketed: candidate generation is hash joins, never a cartesian") {

@@ -526,4 +526,96 @@ class DedupSpec extends SparkSuite {
     assert(new java.io.File(s"$staging/old_embed_buckets.parquet").exists,
       "old-corpus embed bucket table must be materialized")
   }
+
+  test("delta ingest chain: appended index, per-step pairs, no re-emission, no re-signing") {
+    val sess = spark
+    import sess.implicits._
+    val base = "one two three four five six seven eight nine ten"
+    val other = "unrelated words entirely different text content here now indeed"
+    // old: 1, 2 identical (old×old — invisible forever), 5 unrelated.
+    // B1 (≡3 mod 10): 3, 23 duplicate the old text.
+    // B2 (≡7 mod 10): 7, 17 duplicate it too; 27 duplicates OLD doc 5.
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, other),
+      (3L, base), (23L, base),
+      (7L, base), (17L, base), (27L, other)
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
+      .distinct().localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain-spec").toString
+    val stagedPath = s"$dir/chain_buckets.parquet"
+    Dedup.seedDeltaIndex(sh, c => c % 10 =!= 3 && c % 10 =!= 7, dir)
+    val seedN = spark.read.parquet(stagedPath).count()
+    val s1 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 3, dir)
+    val afterB1 = spark.read.parquet(stagedPath).count()
+    val s2 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 7, dir)
+    val afterB2 = spark.read.parquet(stagedPath).count()
+    // APPEND semantics: each step adds exactly its batch's bucket rows —
+    // nothing already staged is ever re-signed or re-written.
+    val b1Buckets = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 3),
+      Dedup.BandRows).count()
+    val b2Buckets = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 7),
+      Dedup.BandRows).count()
+    assert(seedN > 0 && afterB1 - seedN == b1Buckets && afterB2 - afterB1 == b2Buckets,
+      s"append must add batch buckets only: $seedN -> $afterB1 -> $afterB2")
+    val p1 = s1.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = s2.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairsAmong(ids: Set[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // step 1: pairs among old ∪ B1 touching B1 (B2 has not arrived)
+    val exp1 = pairsAmong(Set(1L, 2L, 3L, 23L))
+      .filter { case (a, b) => a % 10 == 3 || b % 10 == 3 }
+    // step 2: pairs touching B2 over the full corpus — incl. the old×B2
+    // pair (5, 27); B1's pairs and (1,2) must NOT reappear
+    val exp2 = (pairsAmong(Set(1L, 2L, 3L, 23L, 7L, 17L)) + ((5L, 27L)))
+      .filter { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+    assert(p1 == exp1, s"step 1: got $p1 expected $exp1")
+    assert(p2 == exp2, s"step 2: got $p2 expected $exp2")
+    assert((p1 intersect p2).isEmpty, "a pair may be emitted at exactly one step")
+    // "Reads but never re-signs the staged product": a further batch's
+    // candidate plan joins the parquet bucket table directly — no minhash
+    // aggregate anywhere in it (the only signing happened in the batch's
+    // own checkpointed bucket build).
+    val newB3 = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 1),
+      Dedup.BandRows).localCheckpoint()
+    val candPlan = Dedup.deltaCandidatesLazy(newB3,
+        spark.read.parquet(stagedPath).unionByName(newB3))
+      .queryExecution.executedPlan.toString
+    assert(!candPlan.toLowerCase.contains("minhash"),
+      s"ingest must not re-sign the staged product:\n$candPlan")
+    assert(candPlan.contains("chain_buckets"),
+      s"staged product must be read as parquet:\n$candPlan")
+  }
+
+  test("dd_delta_embed_chain: per-step pairs equal the bipartite exact form; index appended") {
+    // Exact reference: brute-force cosine over the collected hi corpus
+    // (sf0.001 — bounded), split by the chain's batch predicates.
+    val rows = Dedup.embedHiCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def inB1(v: Long) = v >= 10000000L && v % 40 == 0
+    def inB2(v: Long) = v >= 10000000L && v % 40 == 20
+    val hits = for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib && cos(va, vb) >= 0.8
+    } yield (ia, ib)
+    val exp1 = hits.filter { case (a, b) =>
+      (inB1(a) || inB1(b)) && !inB2(a) && !inB2(b) }.toSet
+    val exp2 = hits.filter { case (a, b) => inB2(a) || inB2(b) }.toSet
+    val out = Dedup.deltaEmbedChain(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toSet
+    val got1 = out.filter(_._1 == 1).map(_._2)
+    val got2 = out.filter(_._1 == 2).map(_._2)
+    assert(got1 == exp1, s"step 1 diff: ${(got1 diff exp1) ++ (exp1 diff got1)}")
+    assert(got2 == exp2, s"step 2 diff: ${(got2 diff exp2) ++ (exp2 diff got2)}")
+    assert(got1.nonEmpty && got2.nonEmpty,
+      "both ingest steps must find batch-touching pairs on this corpus")
+    assert((got1 intersect got2).isEmpty, "a pair may be emitted at exactly one step")
+  }
 }

@@ -188,4 +188,38 @@ class SimilaritySpec extends SparkSuite {
     assert(returned.subsetOf(legal),
       s"neighbors violating the predicate: ${returned diff legal}")
   }
+
+  test("ann_filtered_rare: recall floor at the ~1% stratum; calibration moved with selectivity") {
+    // The selectivity axis needs MORE THAN ONE measured point (round-12
+    // verdict #4): at ~1% the true filtered neighbors sit an order
+    // deeper in each query's cell order, exactly where a fixed nprobe
+    // silently cuts recall.
+    val exact = resultMap(Similarity.annFilteredRareExact(spark, sf))
+    val approx = resultMap(Similarity.annFilteredRare(spark, sf))
+    val recalls = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"rare-filtered mean recall@5 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.88, f"rare-stratum recall too low: $mean%.2f")
+    // Predicate compliance, exactly (the post-filter trap is
+    // probabilistic; this is not).
+    val legal = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("label = 3 AND vec_id % 10 = 1"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val returned = approx.values.flatten.toSet
+    assert(returned.subsetOf(legal),
+      s"neighbors violating the rare predicate: ${returned diff legal}")
+    // The instrument: the nprobe each stratum actually serves. The rare
+    // stratum must calibrate DEEPER than the 10% one — if these were
+    // equal, the per-stratum re-calibration machinery would be dead code
+    // and the 10% parameter would be silently served at 1%.
+    val np10 = Similarity.filteredNprobe(spark, sf,
+      Similarity.filterPred10(), s"label3")
+    val npRare = Similarity.filteredNprobe(spark, sf,
+      Similarity.filterPredRare(), "rare")
+    info(s"calibrated nprobe: 10% stratum = $np10, 1% stratum = $npRare")
+    assert(npRare > np10,
+      s"rare stratum must calibrate deeper: nprobe $npRare !> $np10")
+  }
 }
