@@ -1488,9 +1488,29 @@ object Dedup {
     * full scan that pipeline_clean_corpus's scan-once PlanSpec gate
     * forbids).
     */
+  /** Per-corpus cache for the materialized hot-line set — it IS the
+    * corpus's boilerplate index (an index-build product like the ANN
+    * calibration pairs and centroid models, so it joins the same
+    * per-physical-identity caching scheme): dd_lines and the pipeline's
+    * stage 0 on one corpus build it once per session instead of once per
+    * invocation. Values are a checkpointed DataFrame (bounded by the
+    * distinct-hot-line count) plus its row count; in-memory fixture
+    * corpora have no file identity and bypass the cache (fresh build,
+    * CorpusCaches contract).
+    */
+  private val hotLineCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Long)]()
+
+  private def hotLineChecked(docs: DataFrame): (DataFrame, Long) =
+    CorpusCaches.cachedOrBuild(hotLineCache,
+      { val k = CorpusCaches.corpusKey(docs); if (k.isEmpty) k else s"hotlines@$k" }) {
+      val hot = hotLineDf(docs).localCheckpoint()
+      (hot, hot.count())
+    }
+
   private def hotLineSet(docs: DataFrame, hotBroadcastMax: Long): DataFrame = {
-    val hot = hotLineDf(docs).localCheckpoint()
-    if (hot.count() <= hotBroadcastMax) broadcast(hot) else hot
+    val (hot, n) = hotLineChecked(docs)
+    if (n <= hotBroadcastMax) broadcast(hot) else hot
   }
 
   /** Order-preserving reassembly of surviving lines — the shared tail of
@@ -1529,10 +1549,24 @@ object Dedup {
     */
   private[queries] def lineCleanedDocs(docs: DataFrame, passthrough: Seq[String],
       hotBroadcastMax: Long = HotLineBroadcastMax): DataFrame = {
-    val ln = lineTable(docs, passthrough)
-    ln.join(hotLineSet(docs, hotBroadcastMax), Seq("lh"), "left_anti")
-      .groupBy(col("doc_id") +: passthrough.map(col): _*)
-      .agg(reassembled.as("text"))
+    val (hot, hotN) = hotLineChecked(docs)
+    if (hotN == 0L)
+      // The AQE empty-relation shortcut, made explicit: with an empty hot
+      // set the anti-join removes nothing and split-on-\n + join-with-\n
+      // reassembly is the identity, so the whole stage is a proven no-op
+      // — and the proof (the hot count) was already materialized for the
+      // broadcast size guard, so the shortcut costs nothing it wasn't
+      // paying. Output-identical by construction (DedupSpec asserts the
+      // shortcut against the full path on a hot-free fixture); at web
+      // scale the hot set is never empty and the full path below runs.
+      docs.select(col("doc_id") +: passthrough.map(col) :+ col("text"): _*)
+    else {
+      val ln = lineTable(docs, passthrough)
+      ln.join(if (hotN <= hotBroadcastMax) broadcast(hot) else hot,
+          Seq("lh"), "left_anti")
+        .groupBy(col("doc_id") +: passthrough.map(col): _*)
+        .agg(reassembled.as("text"))
+    }
   }
 
   /** Oracle: the same pipeline over raw line strings (DuckDB groups by

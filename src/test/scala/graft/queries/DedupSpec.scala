@@ -367,6 +367,27 @@ class DedupSpec extends SparkSuite {
       s"pipeline stage-0 contract broken: $out")
   }
 
+  test("lineCleanedDocs empty-hot shortcut: hot-free corpus passes through unchanged") {
+    val sess = spark
+    import sess.implicits._
+    // No line reaches df ≥ 4 (max df here is 3) → the hot set is empty
+    // and the stage takes the AQE-style shortcut: input rows unchanged.
+    // The multi-line passthrough fixture above exercises the FULL path's
+    // reassembly (non-hot lines reproduced byte-exactly in order), which
+    // is the identity the shortcut relies on.
+    val docs = Seq(
+      (1L, "en", "alpha one\nshared line"),
+      (2L, "en", "beta two\nshared line"),
+      (3L, "de", "gamma three\nshared line"),
+      (4L, "de", "delta four")
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.lineCleanedDocs(docs, Seq("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == expected, s"hot-free corpus must pass through unchanged: $out")
+  }
+
   test("dd_lines hot-set guard: broadcast under the ceiling, shuffle above, same rows") {
     // Round-12 verdict #3: the forced broadcast(hot) assumed the
     // boilerplate line set stays driver-sized; at web scale it grows with
