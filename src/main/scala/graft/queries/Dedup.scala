@@ -1488,25 +1488,19 @@ object Dedup {
     * full scan that pipeline_clean_corpus's scan-once PlanSpec gate
     * forbids).
     */
-  /** Per-corpus cache for the materialized hot-line set — it IS the
-    * corpus's boilerplate index (an index-build product like the ANN
-    * calibration pairs and centroid models, so it joins the same
-    * per-physical-identity caching scheme): dd_lines and the pipeline's
-    * stage 0 on one corpus build it once per session instead of once per
-    * invocation. Values are a checkpointed DataFrame (bounded by the
-    * distinct-hot-line count) plus its row count; in-memory fixture
-    * corpora have no file identity and bypass the cache (fresh build,
-    * CorpusCaches contract).
+  /** Materialize the hot-line set and its count — per invocation, NOT
+    * per-corpus-cached: the CorpusCaches scheme stores driver-side
+    * values (arrays, fitted models), and a cached checkpointed DataFrame
+    * dies the moment any consumer unpersists session RDDs (Bench does
+    * between laps — a cached entry then fails with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its next use, observed in this
+    * round's capture). The build is one linear partial-agg'd pass; at
+    * production scale it runs once per ingest pass anyway.
     */
-  private val hotLineCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Long)]()
-
-  private def hotLineChecked(docs: DataFrame): (DataFrame, Long) =
-    CorpusCaches.cachedOrBuild(hotLineCache,
-      { val k = CorpusCaches.corpusKey(docs); if (k.isEmpty) k else s"hotlines@$k" }) {
-      val hot = hotLineDf(docs).localCheckpoint()
-      (hot, hot.count())
-    }
+  private def hotLineChecked(docs: DataFrame): (DataFrame, Long) = {
+    val hot = hotLineDf(docs).localCheckpoint()
+    (hot, hot.count())
+  }
 
   private def hotLineSet(docs: DataFrame, hotBroadcastMax: Long): DataFrame = {
     val (hot, n) = hotLineChecked(docs)
