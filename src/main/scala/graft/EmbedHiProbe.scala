@@ -9,14 +9,17 @@ object EmbedHiProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("embedhi-probe")
     val sf = if (args.nonEmpty) args(0) else "/tmp/graft_scale/sf10"
-    val (cands, probes, keyed) = graft.queries.Dedup.embedHiDebug(spark, sf)
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val (cands, probes, keyed) =
+      if (dim == 768) graft.queries.Dedup.embedHi768Debug(spark, sf)
+      else graft.queries.Dedup.embedHiDebug(spark, sf)
     def timed(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[hiprobe] $tag rows=$n wall=${(System.nanoTime()-t0)/1e9}%.1fs")
     }
     timed("keyed")(keyed.count())
-    timed("probes")(probes.count())
+    timed("raw-join")(probes.count())
     timed("candidates")(cands.count())
     spark.stop()
   }

@@ -720,6 +720,22 @@ object Dedup {
       Array.fill(VerifyTables, VerifyBits, d)(rnd.nextGaussian())
     })
 
+  /** Base bucket keys as ONE packed (table << 32 | bucket) long — the
+    * exact key layout [[graft.functions.HyperplaneSigs.probeBuckets]]
+    * emits — so the candidate join compares a single 8-byte key and the
+    * probe side (the BIG side: B/2+1 rows per base row under directional
+    * depth-1 probing) flows into the join with no per-row unpack
+    * projection. Packing is injective for the non-negative 31-bit
+    * table/bucket values the family uses.
+    */
+  private def keyedPacked(sigs: DataFrame): DataFrame =
+    sigs.select(col("vec_id").as("vec_b"),
+      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+      .select(col("vec_b"), packTk(col("tbl"), col("bkt")).as("tk"))
+
+  private def packTk(tbl: Column, bkt: Column): Column =
+    shiftleft(tbl.cast("long"), 32).bitwiseOR(bkt.cast("long"))
+
   private def embedBucketedWithPlan(corpus: DataFrame, plan: LshPlan,
       threshold: Double, dim: Int = EmbedDim): DataFrame = {
     val bits = plan.bits
@@ -736,8 +752,21 @@ object Dedup {
     val sigs = e.select(col("vec_id"),
       graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, tables, bits, dim)
         .as("sig"))
-    val keyed = sigs.select(col("vec_id").as("vec_b"),
-      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+      // Materialized ONCE: sigs feeds TWO consumers (base keys + probe
+      // expansion) and Spark duplicates unshared subtrees, so without a
+      // checkpoint the N·L·B·dim signing pass runs twice per query. At
+      // 64-d that was noise; at production dim it is the single largest
+      // stage (EmbedHiProbe, 100× staging: ~50 s per pass at d=768,
+      // L=107, B=20 — a quarter of the whole query). The stored relation
+      // is small (one long + L ints per vector) and this is exactly the
+      // per-ingest signature product the staged/delta forms persist to
+      // parquet.
+      .localCheckpoint()
+    // Base keys carry the SAME packed (table << 32 | bucket) long the
+    // probe expression emits — the join runs on one 8-byte key, and the
+    // probe side (B/2+1 rows per base row, the big side by construction)
+    // is never projected through an unpack.
+    val keyed = keyedPacked(sigs)
     // DIRECTIONAL multiprobe: flip only 0→1 bits. A hamming-1 pair differs
     // at exactly one position, where exactly one side holds a 0 — that
     // side's flip hits the other's base key, so every qualifying pair is
@@ -751,15 +780,18 @@ object Dedup {
     val probes = sigs.select(col("vec_id").as("vec_a"),
       explode(graft.functions.HyperplaneSigs.probeBuckets(
         col("sig"), tables, bits, depth = 1, directional = true)).as("tk"))
-      .select(col("vec_a"),
-        shiftright(col("tk"), 32).cast("int").as("tbl"),
-        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
     // Candidate pairs: two-long rows — dedupe is a cheap shuffle on ids,
     // never on embedding arrays. Directional probing fixes which side
     // PROBES (the 0-bit holder), not which id is smaller, so orientation
     // is normalized with least/greatest rather than an a<b filter (which
     // would drop pairs whose only discovery ran high→low).
-    val cands = probes.join(keyed, Seq("tbl", "bkt"))
+    // SHUFFLE_HASH on the keyed side: it is ~B/2× the smaller relation
+    // and its per-partition build is bounded (N·L·16 B / partitions —
+    // scales out with the partition count), while the default sort-merge
+    // would SORT the N·L·(B/2+1)-row probe side — the query's largest
+    // shuffle (EmbedHiProbe, 100× staging: 259M probe rows vs 23.5M
+    // keyed rows).
+    val cands = probes.join(keyed.hint("SHUFFLE_HASH"), Seq("tk"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
@@ -791,6 +823,12 @@ object Dedup {
         val vs = corpus.select(col("vec_id"),
           graft.functions.HyperplaneSigs.sigs(col("embedding"), vflat,
             VerifyTables, VerifyBits, dim).as("vsig"))
+          // Same two-consumer duplication as the main sigs relation (the
+          // embedBucketedWithPlan checkpoint rationale): the sketch joins
+          // onto BOTH pair sides, and without a materialization each side
+          // replays the corpus scan + the N·124·dim verify signing. The
+          // stored relation is 16 bytes + id per vector.
+          .localCheckpoint()
         val vham = (0 until VerifyTables).map(i =>
           bit_count(element_at(col("vs_a"), i + 1)
             .bitwiseXOR(element_at(col("vs_b"), i + 1))).cast("double"))
@@ -824,29 +862,42 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val nBase = Tables.embeddings(spark, sfDir).count()
     val corpus = embedHiCorpus(spark, sfDir)
-    val n = nBase + nBase / 10
-    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1Cached(corpus, n, "hi")))
+    embedDebugStages(corpus, nBase + nBase / 10, "hi", EmbedDim)
+  }
+
+  /** 768-d sibling (EmbedHiProbe dim=768): dd_embed_hi768's executed
+    * stages, so the 100×-decade marginal (SCALE_r13: 1.47) can be
+    * decomposed into sign / probe / candidate volumes instead of argued.
+    */
+  private[graft] def embedHi768Debug(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = hi768Base(spark, sfDir)
+    val n0 = base.count()
+    embedDebugStages(plantNearDups(base), n0 + n0 / 10, "hi768", EmbedHiDim)
+  }
+
+  private def embedDebugStages(corpus: DataFrame, n: Long, tag: String,
+      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val plan = solveLsh(n, EmbedHiThreshold, Some(sampledP1Cached(corpus, n, tag, dim)))
     println(s"[hiprobe] plan bits=${plan.bits} tables=${plan.tables} " +
       f"candFrac=${plan.candFraction}%.3g work=${plan.work}%.3g")
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val flat = graft.functions.HyperplaneSigs.flatten(planesFor(EmbedDim), plan.tables, plan.bits, EmbedDim)
+    val flat = graft.functions.HyperplaneSigs.flatten(planesFor(dim), plan.tables, plan.bits, dim)
     val sigs = e.select(col("vec_id"),
-      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, plan.tables, plan.bits, EmbedDim)
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, plan.tables, plan.bits, dim)
         .as("sig"))
-    val keyed = sigs.select(col("vec_id").as("vec_b"),
-      posexplode(col("sig")).as(Seq("tbl", "bkt")))
+      .localCheckpoint() // mirror the query: one signing pass
+    val keyed = keyedPacked(sigs)
     val probes = sigs.select(col("vec_id").as("vec_a"),
       explode(graft.functions.HyperplaneSigs.probeBuckets(
         col("sig"), plan.tables, plan.bits, depth = 1, directional = true)).as("tk"))
-      .select(col("vec_a"),
-        shiftright(col("tk"), 32).cast("int").as("tbl"),
-        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
-    val cands = probes.join(keyed, Seq("tbl", "bkt"))
+    val raw = probes.join(keyed.hint("SHUFFLE_HASH"), Seq("tk"))
       .filter(col("vec_a") =!= col("vec_b"))
+    val cands = raw
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
       .distinct()
-    (cands, probes, keyed)
+    (cands, raw, keyed)
   }
 
   /** dd_embed_hi — the bucketed near-dup pass at a PRODUCTION threshold
@@ -1928,6 +1979,9 @@ object Dedup {
     val sigsAll = corpus.select(col("vec_id"),
       graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
         plan.tables, plan.bits, dim).as("sig"))
+      // Two consumers (base keys + batch probe side) — one signing pass,
+      // the embedBucketedWithPlan rationale.
+      .localCheckpoint()
     deltaEmbedVerify(corpus,
       keyedBuckets(sigsAll),
       sigsAll.filter(isNew(col("vec_id"))),
@@ -1952,10 +2006,15 @@ object Dedup {
       explode(graft.functions.HyperplaneSigs.probeBuckets(
         col("sig"), plan.tables, plan.bits, depth = 1, directional = false))
         .as("tk"))
-      .select(col("vec_a"),
-        shiftright(col("tk"), 32).cast("int").as("tbl"),
-        col("tk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("bkt"))
-    val cands = probesNew.join(keyedAll, Seq("tbl", "bkt"))
+    // The staged index product keeps its inspectable (tbl, bkt, vec_b)
+    // parquet layout; the key is packed at join time so the probe join
+    // runs the same single-long hash join as the closed-corpus pipeline.
+    // The keyed side is the build side here too: symmetric depth-1
+    // probing puts B+1 rows per batch signature on the probe side, so at
+    // any batch fraction above ~1/(B+1) the index side is the smaller.
+    val cands = probesNew.join(
+      keyedAll.select(col("vec_b"), packTk(col("tbl"), col("bkt")).as("tk"))
+        .hint("SHUFFLE_HASH"), Seq("tk"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
