@@ -218,7 +218,12 @@ object CorpusOps {
       .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
     val trainB = buckets.filter(col("doc_id") % EvalModulus =!= 0)
       .select(col("band"), col("bh"), col("doc_id").as("train_doc"))
-    val candidates = evalB.join(trainB, Seq("band", "bh"))
+    // SHUFFLE_HASH on the eval side of both bipartite joins: the eval
+    // stratum is 1/EvalModulus of the corpus by construction, so it is
+    // always the bounded build side, and the default sort-merge would
+    // sort the ~(EvalModulus−1)× larger train side — the dd_embed_hi768
+    // probe-join lesson applied to the bipartite family.
+    val candidates = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct()
     // Exact verification restricted to candidate docs; the eval/train
     // split is a pure doc_id predicate, so each side is a filter.
@@ -230,7 +235,7 @@ object CorpusOps {
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val trainSh = shCand.filter(col("doc_id") % EvalModulus =!= 0)
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    val common = evalSh.join(trainSh, Seq("shingle"))
+    val common = evalSh.hint("SHUFFLE_HASH").join(trainSh, Seq("shingle"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("c"))
       .join(candidates, Seq("train_doc", "eval_doc"), "left_semi")

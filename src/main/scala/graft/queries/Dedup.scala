@@ -2338,10 +2338,16 @@ object Dedup {
       .join(admitted.select(col("doc_a").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("i"), col("g"))
+      // SHUFFLE_HASH on the doc_b side: it is the DISTINCT admitted-doc
+      // window set (output-class after the semi-join pushdown above,
+      // per-partition build bounded and scaling out with partitions)
+      // while the streamed side carries every POSITION of the admitted
+      // doc_a's — the default sort-merge would sort that larger side.
       .join(coolDoc
           .join(admitted.select(col("doc_b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_semi")
-          .select(col("doc_id").as("doc_b"), col("g")),
+          .select(col("doc_id").as("doc_b"), col("g"))
+          .hint("SHUFFLE_HASH"),
         Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("i")).distinct()
