@@ -795,7 +795,6 @@ object Dedup {
       .filter(col("vec_a") =!= col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
-      .distinct()
     cascadeVerify(corpus, cands, threshold, dim)
   }
 
@@ -804,8 +803,16 @@ object Dedup {
     * incremental one ([[deltaEmbedFrom]]): prune candidate pairs on the
     * 16-byte verify sketch at separable thresholds (see VerifyTables),
     * then attach raw embeddings ONLY to survivors for the exact cosine
-    * gate. Input is a canonicalized (vec_a < vec_b) distinct pair set;
-    * output is the verified (vec_a, vec_b, cs) rows.
+    * gate. Input is a canonicalized (vec_a < vec_b) pair stream that MAY
+    * carry duplicates (the multiprobe join emits a qualifying pair once
+    * per shared bucket beyond the directional guarantee): the sketch
+    * verdict is deterministic per pair, so pruning commutes with
+    * dedup, and the distinct runs AFTER the cut — on the ~10⁻³ survivor
+    * volume instead of the full candidate stream (at the 100× staging
+    * the pre-cascade distinct shuffled 56M pairs to remove 6 %
+    * duplication — ~10 s that the reorder deletes). At skipped-cascade
+    * thresholds the distinct stays first, byte-identical to the
+    * pre-cascade plan. Output is the verified (vec_a, vec_b, cs) rows.
     */
   private def cascadeVerify(corpus: DataFrame, cands: DataFrame,
       threshold: Double, dim: Int): DataFrame = {
@@ -816,7 +823,7 @@ object Dedup {
     val sigma = math.sqrt(pThresh * (1.0 - pThresh) / (VerifyTables * VerifyBits))
     val cut = pThresh - 4.0 * sigma
     val candsPruned =
-      if (cut <= 0.60) cands
+      if (cut <= 0.60) cands.distinct()
       else {
         val vflat = graft.functions.HyperplaneSigs.flatten(
           verifyPlanesFor(dim), VerifyTables, VerifyBits, dim)
@@ -839,6 +846,7 @@ object Dedup {
           .filter(lit(1.0) - vham / lit((VerifyTables * VerifyBits).toDouble)
             >= lit(cut))
           .select(col("vec_a"), col("vec_b"))
+          .distinct()
       }
     // Exact verification on the surviving candidates only.
     candsPruned
@@ -2018,7 +2026,6 @@ object Dedup {
       .filter(col("vec_a") =!= col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
-      .distinct()
     cascadeVerify(corpus, cands, threshold, dim)
   }
 
