@@ -44,6 +44,17 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     val v = a.asInstanceOf[ArrayData]
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val n = math.min(dim, v.numElements())
+    // Hoist the vector into a primitive local ONCE: the L·B plane dots
+    // otherwise re-read every element through the ArrayData accessor
+    // (offset arithmetic + bounds handling per element, L·B·dim times per
+    // row — 1.6M accessor calls at the hi768 plan), and the pure
+    // double[]·double[] inner loop is what the JIT auto-vectorizes.
+    val vv = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      vv(j) = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      j += 1
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -54,8 +65,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
         var s = 0.0
         var i = 0
         while (i < n) {
-          val vi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-          s += planes(off + i) * vi
+          s += planes(off + i) * vv(i)
           i += 1
         }
         if (s > 0) acc |= (1 << b)
@@ -74,12 +84,22 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
       val t = ctx.freshName("t")
       val b = ctx.freshName("b")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
       val off = ctx.freshName("off")
+      val vv = ctx.freshName("vv")
+      // The vector is hoisted into a primitive local ONCE (see
+      // nullSafeEval): the accessor-per-element form cost L·B·dim
+      // ArrayData reads per row and defeated auto-vectorization of the
+      // inner dot loop.
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double[] $vv = new double[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $vv[$j] = (double) ${VectorCodegen.elemGet(child.dataType, a, j)};
+         |}
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $acc = 0;
@@ -87,7 +107,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
          |    int $off = ($t * $bits + $b) * $dim;
          |    double $s = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      $s += $pl[$off + $i] * ${VectorCodegen.elemGet(child.dataType, a, i)};
+         |      $s += $pl[$off + $i] * $vv[$i];
          |    }
          |    if ($s > 0) $acc |= (1 << $b);
          |  }
