@@ -37,7 +37,7 @@ object RecallProbe {
     val exactRare = resultMap(
       graft.queries.Similarity.annFilteredRareExact(spark, sfDir))
     val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
-        "ann_filtered", "ann_filtered_rare").map { fam =>
+        "ann_ivf_append", "ann_filtered", "ann_filtered_rare").map { fam =>
       val baseline = fam match {
         case "ann_filtered" => exactFiltered
         case "ann_filtered_rare" => exactRare

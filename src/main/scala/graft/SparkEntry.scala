@@ -49,6 +49,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
     "ann_ivf_pq" -> (Similarity.annIvfPq _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf_append" -> (Similarity.annIvfAppend _),
     "ev_window_agg" -> (Events.windowAgg _),
     "ev_sessionize" -> (Events.sessionize _),
     "ev_json" -> (Events.jsonExtract _),
@@ -160,8 +161,8 @@ object SparkEntry {
     "dd_embed_hi" -> Dedup.embedHiSql,
     "dd_clusters" -> Dedup.clustersSql,
     "ann_topk" -> Similarity.annTopKSql,
-    // ann_ivf / ann_ivf_kmeans / ann_ivf_pq / ann_lsh: approximate BY
-    // CONSTRUCTION — an exact SQL restatement would be ann_topk's
+    // ann_ivf / ann_ivf_kmeans / ann_ivf_pq / ann_lsh / ann_ivf_append:
+    // approximate BY CONSTRUCTION — an exact SQL restatement would be ann_topk's
     // oracle, which they must NOT equal (that's the speed/recall trade).
     // Driver rows-only; SimilaritySpec asserts recall@5 floors vs
     // ann_topk, and RecallProbe measures the multi-scale curve.

@@ -1877,7 +1877,7 @@ object Dedup {
     } finally deleteDir(dir)
   }
 
-  private def deleteDir(dir: java.nio.file.Path): Unit = {
+  private[queries] def deleteDir(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
       .foreach(p => java.nio.file.Files.deleteIfExists(p))

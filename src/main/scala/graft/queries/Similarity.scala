@@ -1084,4 +1084,112 @@ object Similarity {
         .join(broadcast(qEmbs), Seq("q_id"))
         .withColumn("cs_raw", pairCosine))
   }
+
+  // --- IVF index append lifecycle ------------------------------------------
+
+  /** The append lifecycle's batch split over `embeddings`: seed = ~80% of
+    * vectors, B1/B2 ~10% each — disjoint residue classes, the same stable
+    * split device as the delta-dedup chains (Dedup.embedChainB1/B2).
+    */
+  private[graft] def ivfAppendIsB1(c: Column): Column = c % 10 === 1
+  private[graft] def ivfAppendIsB2(c: Column): Column = c % 10 === 6
+  private[graft] def ivfAppendIsOld(c: Column): Column =
+    !(ivfAppendIsB1(c) || ivfAppendIsB2(c))
+
+  private def ivfCentsPath(dir: String): String = s"$dir/ivf_cents.parquet"
+  private def ivfIndexPath(dir: String): String = s"$dir/ivf_index.parquet"
+
+  /** Seed the staged IVF index from the OLD corpus alone: the ann_ivf
+    * hash-strided quantizer (k ≈ √N_old) written out as frozen index
+    * METADATA, plus the old vectors' inverted file — (cell, vec_id,
+    * embedding, nrm) posting rows under CellReplicas-way multi-assignment.
+    * Freezing the quantizer is the load-bearing design point, exactly like
+    * the delta-embed chain's frozen LshPlan (Dedup.seedEmbedDeltaIndex):
+    * re-sampling centroids on the grown corpus would re-key every staged
+    * posting list, so the coarse quantizer versions with the index and
+    * only the PROBE DEPTH adapts to growth (re-calibrated per search
+    * against the current corpus — the fixed-parameter-decay lesson applied
+    * to the index-staleness axis).
+    */
+  private[queries] def seedIvfIndex(spark: SparkSession, emb: DataFrame,
+      isOld: Column => Column, stagingDir: String): Unit = {
+    val old = emb.filter(isOld(col("vec_id")))
+    val nOld = old.count()
+    val k = centroidCount(nOld)
+    val stride = math.max(1L, nOld / k)
+    old.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(ivfCentsPath(stagingDir))
+    val (ids, unit) = stagedCents(spark, emb, stagingDir)
+    assignedCells(normed(old), unit, ids)
+      .write.mode("overwrite").parquet(ivfIndexPath(stagingDir))
+  }
+
+  /** The frozen quantizer read back from the staged metadata — a bounded
+    * ~√N_old-row collect, cached per corpus identity (the cents are
+    * content-deterministic per corpus + split, so a hit is byte-identical;
+    * same argument as centModelCached).
+    */
+  private def stagedCents(spark: SparkSession, emb: DataFrame,
+      stagingDir: String): (Array[Long], Array[Double]) =
+    centModelCached("ivf_append", emb)(
+      collectUnitCents(spark.read.parquet(ivfCentsPath(stagingDir))))
+
+  /** Batch assignment under the frozen quantizer — the rows one append
+    * step writes. Exposed for the lifecycle spec: the plan reads ONLY the
+    * batch stratum (residue filter at the scan) and contains no centroid
+    * derivation from the old corpus.
+    */
+  private[queries] def ivfAppendAssignments(spark: SparkSession, emb: DataFrame,
+      isBatch: Column => Column, stagingDir: String): DataFrame = {
+    val (ids, unit) = stagedCents(spark, emb, stagingDir)
+    assignedCells(normed(emb.filter(isBatch(col("vec_id")))), unit, ids)
+  }
+
+  /** One append step: assign ONLY the batch under the frozen quantizer,
+    * append its posting rows to the staged inverted file. No old vector
+    * is re-read, re-assigned, or re-written — the step's work is
+    * O(|batch| · k), independent of the accumulated index size.
+    */
+  private[queries] def ivfAppendStep(spark: SparkSession, emb: DataFrame,
+      isBatch: Column => Column, stagingDir: String): Unit =
+    ivfAppendAssignments(spark, emb, isBatch, stagingDir)
+      .write.mode("append").parquet(ivfIndexPath(stagingDir))
+
+  /** ann_ivf_append — the ANN-side multi-batch ingest lifecycle (the
+    * dd_delta_chain question asked of a vector index): seed an IVF index
+    * from the old ~80% of the corpus, append two ~10% batches WITHOUT
+    * re-clustering (each batch only assigns itself under the frozen
+    * quantizer), then serve the query batch over the staged index.
+    *
+    * What adapts vs what freezes: the coarse centroids freeze at seed
+    * time (k ≈ √N_old — at two appended batches the fresh-index k would
+    * be ~11% larger and every cell ~11% fuller), while nprobe is
+    * re-calibrated at search time against the CURRENT corpus under the
+    * frozen quantizer — so quantizer staleness surfaces as a measured
+    * probe-depth increase (the recall contract's cost), never as silent
+    * recall loss. SimilaritySpec floors recall@5 against the exact brute
+    * force AND against the fresh re-clustered index (ann_ivf on the same
+    * grown corpus); RecallProbe reports both per scale point, making
+    * append-vs-recluster drift a committed curve rather than an argument.
+    *
+    * Approximate by construction → rows-only in the driver gate, like the
+    * rest of the IVF family. Staging is fresh per call and deleted after
+    * the checkpointed result materializes (idempotent under re-runs and
+    * cross-mode fingerprinting — the delta-chain convention).
+    */
+  def annIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    try {
+      seedIvfIndex(spark, emb, ivfAppendIsOld, dir.toString)
+      ivfAppendStep(spark, emb, ivfAppendIsB1, dir.toString)
+      ivfAppendStep(spark, emb, ivfAppendIsB2, dir.toString)
+      val (ids, unit) = stagedCents(spark, emb, dir.toString)
+      val nprobe = calibratedNprobe(calibrationPairsCached(emb), unit, ids)
+      val probed = probedCells(queries(emb), unit, ids, nprobe)
+      searchCells(probed, spark.read.parquet(ivfIndexPath(dir.toString)))
+        .localCheckpoint()
+    } finally Dedup.deleteDir(dir)
+  }
 }

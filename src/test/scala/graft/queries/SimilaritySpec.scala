@@ -222,4 +222,60 @@ class SimilaritySpec extends SparkSuite {
     assert(npRare > np10,
       s"rare stratum must calibrate deeper: nprobe $npRare !> $np10")
   }
+
+  test("ann_ivf_append: append-only lifecycle — batches assign only themselves, postings grow by exactly the batch") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_spec")
+    try {
+      Similarity.seedIvfIndex(spark, emb, Similarity.ivfAppendIsOld, dir.toString)
+      val idx = () => spark.read.parquet(s"$dir/ivf_index.parquet")
+      val nOld = emb.filter(Similarity.ivfAppendIsOld(col("vec_id"))).count()
+      val nB1 = emb.filter(Similarity.ivfAppendIsB1(col("vec_id"))).count()
+      val nB2 = emb.filter(Similarity.ivfAppendIsB2(col("vec_id"))).count()
+      // Seed postings: CellReplicas rows per old vector, nothing else.
+      assert(idx().count() == 2 * nOld)
+      assert(idx().filter(!Similarity.ivfAppendIsOld(col("vec_id"))).count() == 0)
+
+      // The step's write set is exactly the batch's assignment under the
+      // frozen quantizer: every row in-stratum, CellReplicas per vector.
+      val a1 = Similarity.ivfAppendAssignments(spark, emb,
+        Similarity.ivfAppendIsB1, dir.toString)
+      assert(a1.count() == 2 * nB1)
+      assert(a1.filter(!Similarity.ivfAppendIsB1(col("vec_id"))).count() == 0)
+
+      Similarity.ivfAppendStep(spark, emb, Similarity.ivfAppendIsB1, dir.toString)
+      assert(idx().count() == 2 * (nOld + nB1))
+      // Old postings are untouched by the append (append-only growth).
+      assert(idx().filter(Similarity.ivfAppendIsOld(col("vec_id"))).count() == 2 * nOld)
+
+      Similarity.ivfAppendStep(spark, emb, Similarity.ivfAppendIsB2, dir.toString)
+      assert(idx().count() == 2 * (nOld + nB1 + nB2))
+      assert(idx().filter(Similarity.ivfAppendIsB2(col("vec_id"))).count() == 2 * nB2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ann_ivf_append: recall floor on the grown corpus; staleness bounded vs the re-clustered index") {
+    val exact = resultMap(Similarity.annTopK(spark, sf)).toSeq
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, nn) =>
+        m.get(q).map(f => (f intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val appended = recallOf(resultMap(Similarity.annIvfAppend(spark, sf)))
+    val reclustered = recallOf(resultMap(Similarity.annIvf(spark, sf)))
+    info(f"recall@5: appended-index=$appended%.2f re-clustered=$reclustered%.2f")
+    // The frozen quantizer (k from the 80% seed) + per-search nprobe
+    // re-calibration must hold the family floor AND stay within 0.1 of
+    // the fresh index — if quantizer staleness silently ate recall, the
+    // second assertion catches it before any scale probe does.
+    assert(appended >= 0.85, f"appended-index recall too low: $appended%.2f")
+    assert(appended >= reclustered - 0.1,
+      f"append lost too much vs re-cluster: $appended%.2f vs $reclustered%.2f")
+  }
 }
