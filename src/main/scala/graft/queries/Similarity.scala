@@ -1111,7 +1111,7 @@ object Similarity {
     * against the current corpus — the fixed-parameter-decay lesson applied
     * to the index-staleness axis).
     */
-  private[queries] def seedIvfIndex(spark: SparkSession, emb: DataFrame,
+  private[graft] def seedIvfIndex(spark: SparkSession, emb: DataFrame,
       isOld: Column => Column, stagingDir: String): Unit = {
     val old = emb.filter(isOld(col("vec_id")))
     val nOld = old.count()
@@ -1140,7 +1140,7 @@ object Similarity {
     * batch stratum (residue filter at the scan) and contains no centroid
     * derivation from the old corpus.
     */
-  private[queries] def ivfAppendAssignments(spark: SparkSession, emb: DataFrame,
+  private[graft] def ivfAppendAssignments(spark: SparkSession, emb: DataFrame,
       isBatch: Column => Column, stagingDir: String): DataFrame = {
     val (ids, unit) = stagedCents(spark, emb, stagingDir)
     assignedCells(normed(emb.filter(isBatch(col("vec_id")))), unit, ids)

@@ -442,4 +442,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), s"hot-window df cap missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
   }
+
+  test("ann_ivf_append: the append step is scan -> assign -> write, no join, no aggregate") {
+    // The lifecycle's O(batch·k) claim lives in the PLAN: one append step
+    // filters the batch stratum and assigns it under the driver-resident
+    // frozen quantizer (NearestCells projection). Any join or aggregate
+    // here would mean the step re-derives something from the accumulated
+    // corpus and its cost would grow with index size.
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_plan")
+    try {
+      graft.queries.Similarity.seedIvfIndex(spark, emb,
+        graft.queries.Similarity.ivfAppendIsOld _, dir.toString)
+      val p = graft.queries.Similarity.ivfAppendAssignments(spark, emb,
+        graft.queries.Similarity.ivfAppendIsB1 _, dir.toString)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"append step joins the corpus:\n$p")
+      assert(!p.toLowerCase.contains("aggregate"),
+        s"append step aggregates over the corpus:\n$p")
+      assert(!p.contains("Exchange"), s"append step shuffles:\n$p")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
 }
