@@ -798,6 +798,20 @@ object Dedup {
     cascadeVerify(corpus, cands, threshold, dim)
   }
 
+  /** Broadcast ceiling for the verify-sketch relation, in ROWS of
+    * (vec_id + 4-int sketch ≈ 48 B unsafe — 4M rows ≈ 190 MB raw,
+    * a deliberate dedup-pass budget on production executors, and three
+    * orders above any staged test corpus). The cascade's two sketch
+    * attaches join the CANDIDATE STREAM — the query's largest
+    * intermediate — against this per-vector relation; below the ceiling
+    * the sketch side broadcasts and the stream is never exchanged,
+    * above it (10⁹-vector corpora: 48 GB of sketches) the attach falls
+    * back to a SHUFFLE_HASH build of the sketch side — per-partition
+    * build memory n·48 B / partitions, scaling out with the partition
+    * count, and the stream still never SORTS.
+    */
+  private[queries] val CascadeSketchBroadcastMax = 4000000L
+
   /** The sketch-verify cascade + exact verification tail, shared by the
     * closed-corpus pipeline ([[embedBucketedWithPlan]]) and the
     * incremental one ([[deltaEmbedFrom]]): prune candidate pairs on the
@@ -813,9 +827,23 @@ object Dedup {
     * duplication — ~10 s that the reorder deletes). At skipped-cascade
     * thresholds the distinct stays first, byte-identical to the
     * pre-cascade plan. Output is the verified (vec_a, vec_b, cs) rows.
+    *
+    * Join physics (round 13, measured at the 100× staging): AQE leaves
+    * every attach join here SortMergeJoin — the checkpointed sketch
+    * leaf reports no stats, so the 56M-row candidate stream was
+    * exchanged AND sorted twice for the sketch attach and the exact
+    * tail sorted the 3 KB/row embedding projection. The sketch side now
+    * broadcasts under [[CascadeSketchBroadcastMax]] (SHUFFLE_HASH above
+    * it — the dd_lines hot-set guard pattern), and the exact tail
+    * hash-builds the embedding projection (corpus-sized, so its
+    * per-partition build is predictable — the survivor stream is the
+    * data-dependent side), so nothing in the tail sorts.
+    * `sketchBroadcastMax` is spec-injectable so DedupSpec can force the
+    * fallback regime on a small fixture (the CapBindingSpec pattern).
     */
-  private def cascadeVerify(corpus: DataFrame, cands: DataFrame,
-      threshold: Double, dim: Int): DataFrame = {
+  private[queries] def cascadeVerify(corpus: DataFrame, cands: DataFrame,
+      threshold: Double, dim: Int,
+      sketchBroadcastMax: Long = CascadeSketchBroadcastMax): DataFrame = {
     val e = corpus
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
@@ -836,24 +864,37 @@ object Dedup {
           // replays the corpus scan + the N·124·dim verify signing. The
           // stored relation is 16 bytes + id per vector.
           .localCheckpoint()
+        // Nearly free: the eager checkpoint already materialized the
+        // blocks — the count is one cached-block scan, the same bounded
+        // guard read dd_lines' hot-set ceiling runs.
+        val nSketch = vs.count()
+        def sketchSide(id: String, sg: String): DataFrame = {
+          val s = vs.select(col("vec_id").as(id), col("vsig").as(sg))
+          if (nSketch <= sketchBroadcastMax) broadcast(s)
+          else s.hint("SHUFFLE_HASH")
+        }
         val vham = (0 until VerifyTables).map(i =>
           bit_count(element_at(col("vs_a"), i + 1)
             .bitwiseXOR(element_at(col("vs_b"), i + 1))).cast("double"))
           .reduce(_ + _)
         cands
-          .join(vs.select(col("vec_id").as("vec_a"), col("vsig").as("vs_a")), Seq("vec_a"))
-          .join(vs.select(col("vec_id").as("vec_b"), col("vsig").as("vs_b")), Seq("vec_b"))
+          .join(sketchSide("vec_a", "vs_a"), Seq("vec_a"))
+          .join(sketchSide("vec_b", "vs_b"), Seq("vec_b"))
           .filter(lit(1.0) - vham / lit((VerifyTables * VerifyBits).toDouble)
             >= lit(cut))
           .select(col("vec_a"), col("vec_b"))
           .distinct()
       }
-    // Exact verification on the surviving candidates only.
+    // Exact verification on the surviving candidates only. The embedding
+    // projection is the hash-join BUILD side (never sorted, never the
+    // stream): it is corpus-sized, so per-partition build memory is the
+    // predictable n·(dim·4 B)/partitions, while the survivor stream —
+    // bounded by the cascade math but DATA-dependent — streams through.
     candsPruned
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), Seq("vec_a"))
+        col("nrm").as("nrm_a")).hint("SHUFFLE_HASH"), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), Seq("vec_b"))
+        col("nrm").as("nrm_b")).hint("SHUFFLE_HASH"), Seq("vec_b"))
       .withColumn("cs", graft.functions.vec.dot(col("emb_a"), col("emb_b"))
         / (col("nrm_a") * col("nrm_b")))
       .filter(col("cs") >= threshold)
@@ -891,10 +932,12 @@ object Dedup {
       f"candFrac=${plan.candFraction}%.3g work=${plan.work}%.3g")
     val e = corpus.select(col("vec_id"), col("embedding"))
     val flat = graft.functions.HyperplaneSigs.flatten(planesFor(dim), plan.tables, plan.bits, dim)
+    val t0 = System.nanoTime()
     val sigs = e.select(col("vec_id"),
       graft.functions.HyperplaneSigs.sigs(col("embedding"), flat, plan.tables, plan.bits, dim)
         .as("sig"))
       .localCheckpoint() // mirror the query: one signing pass
+    println(f"[hiprobe] signing-checkpoint wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     val keyed = keyedPacked(sigs)
     val probes = sigs.select(col("vec_id").as("vec_a"),
       explode(graft.functions.HyperplaneSigs.probeBuckets(

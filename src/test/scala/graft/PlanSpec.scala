@@ -151,6 +151,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("embed family: the candidate stream is never sorted — sketch attaches broadcast, exact tail hash-builds") {
+    // Round-13 measurement: AQE left every cascade/verify attach join
+    // SortMergeJoin (the checkpointed sketch leaf reports no stats), so
+    // the 56M-row candidate stream at the 100× staging was exchanged AND
+    // sorted twice before the cut could run. The contract now: below
+    // CascadeSketchBroadcastMax the sketch side broadcasts (zero
+    // exchanges of the stream), the exact tail hash-builds the embedding
+    // projection, and NOTHING in these plans sorts. (The fallback regime
+    // above the ceiling is pinned in DedupSpec on an injected ceiling.)
+    Seq("dd_embed_hi", "dd_embed_hi768", "dd_embed_bucketed", "dd_delta_embed")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin"),
+          s"$q: an attach join degenerated to sort-merge:\n$p")
+      }
+    val hi = plan("dd_embed_hi768")
+    assert(occ(hi, "BroadcastHashJoin") >= 2,
+      s"dd_embed_hi768: sketch attaches are not broadcast under the ceiling:\n$hi")
+  }
+
   test("dd_lines: materialized hot-set anti-join, one corpus scan, no window") {
     // The hot set arrives CHECKPOINTED (the boilerplate index product —
     // its partial-agg build plan is pinned separately in DedupSpec), so

@@ -639,4 +639,57 @@ class DedupSpec extends SparkSuite {
       "both ingest steps must find batch-touching pairs on this corpus")
     assert((got1 intersect got2).isEmpty, "a pair may be emitted at exactly one step")
   }
+
+  test("cascade sketch guard: broadcast under the ceiling, hash-build above, same rows") {
+    // Round-13: the sketch relation broadcasts onto the candidate stream
+    // only under CascadeSketchBroadcastMax (at 10⁹ vectors the sketches
+    // are ~48 GB — no broadcast budget holds them); above it both
+    // attaches fall back to a SHUFFLE_HASH build of the sketch side.
+    // Both regimes on the SAME fixture, ceiling injected (the
+    // CapBindingSpec pattern), and the rows must be identical — the
+    // guard chooses a plan, never an answer.
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val base = (0 until 12).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 3).map { i =>
+      val v = base(i)._2
+      (100L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val ids = (base ++ dups).map(_._1)
+    val cands = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("vec_a", "vec_b")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val small = Dedup.cascadeVerify(corpus, cands, 0.8, dim)
+    val pSmall = small.queryExecution.sparkPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"under-ceiling sketch attach must broadcast:\n$pSmall")
+    assert(!pSmall.contains("SortMergeJoin"),
+      s"the candidate stream must never sort:\n$pSmall")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val gotBig = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = Dedup.cascadeVerify(corpus, cands, 0.8, dim,
+        sketchBroadcastMax = 0L)
+      val pBig = big.queryExecution.sparkPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"over-ceiling sketch attach must not broadcast:\n$pBig")
+      assert(pBig.contains("ShuffledHashJoin"),
+        s"over-ceiling attach must hash-build, not sort-merge:\n$pBig")
+      assert(!pBig.contains("SortMergeJoin"),
+        s"the candidate stream must never sort, either regime:\n$pBig")
+      pairs(big)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    val gotSmall = pairs(small)
+    assert(gotBig == gotSmall, "the guard must choose a plan, never change rows")
+    val planted = (0 until 3).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(gotSmall),
+      s"near-copy pairs at cos ≈ 1 must survive cascade and exact gate: $gotSmall")
+  }
 }
