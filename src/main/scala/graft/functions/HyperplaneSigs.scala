@@ -60,6 +60,32 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     while (t < tables) {
       var acc = 0
       var b = 0
+      // 4 planes per pass, one independent accumulator each (GEMV
+      // register blocking): a single-scalar dot is a loop-carried FP
+      // dependency chain the JIT may not reorder (Java floating-point
+      // addition is order-strict), so it runs FMA-latency-bound —
+      // measured 18.6 s of the hi768 100× query's 41 s. Four chains
+      // hide the latency and share each vv(i) load. Each plane's OWN
+      // summation order is unchanged (i ascending), so every signature
+      // is bit-identical to the scalar kernel's.
+      while (b + 3 < bits) {
+        val off = (t * bits + b) * dim
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        while (i < n) {
+          val v = vv(i)
+          s0 += planes(off + i) * v
+          s1 += planes(off + dim + i) * v
+          s2 += planes(off + 2 * dim + i) * v
+          s3 += planes(off + 3 * dim + i) * v
+          i += 1
+        }
+        if (s0 > 0) acc |= (1 << b)
+        if (s1 > 0) acc |= (1 << (b + 1))
+        if (s2 > 0) acc |= (1 << (b + 2))
+        if (s3 > 0) acc |= (1 << (b + 3))
+        b += 4
+      }
       while (b < bits) {
         val off = (t * bits + b) * dim
         var s = 0.0
@@ -86,14 +112,21 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
+      val s0 = ctx.freshName("s0")
+      val s1 = ctx.freshName("s1")
+      val s2 = ctx.freshName("s2")
+      val s3 = ctx.freshName("s3")
+      val sr = ctx.freshName("sr")
       val acc = ctx.freshName("acc")
       val off = ctx.freshName("off")
       val vv = ctx.freshName("vv")
+      val v = ctx.freshName("v")
       // The vector is hoisted into a primitive local ONCE (see
-      // nullSafeEval): the accessor-per-element form cost L·B·dim
-      // ArrayData reads per row and defeated auto-vectorization of the
-      // inner dot loop.
+      // nullSafeEval), and the plane loop is blocked 4-wide with one
+      // independent accumulator per plane — the single-scalar dot is an
+      // order-strict FP dependency chain and runs FMA-latency-bound
+      // (the nullSafeEval comment has the measurement). Summation order
+      // per plane is unchanged: signatures are bit-identical.
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
          |double[] $vv = new double[$n];
@@ -103,13 +136,29 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $acc = 0;
-         |  for (int $b = 0; $b < $bits; $b++) {
+         |  int $b = 0;
+         |  for (; $b + 3 < $bits; $b += 4) {
          |    int $off = ($t * $bits + $b) * $dim;
-         |    double $s = 0.0;
+         |    double $s0 = 0.0, $s1 = 0.0, $s2 = 0.0, $s3 = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      $s += $pl[$off + $i] * $vv[$i];
+         |      double $v = $vv[$i];
+         |      $s0 += $pl[$off + $i] * $v;
+         |      $s1 += $pl[$off + $dim + $i] * $v;
+         |      $s2 += $pl[$off + 2 * $dim + $i] * $v;
+         |      $s3 += $pl[$off + 3 * $dim + $i] * $v;
          |    }
-         |    if ($s > 0) $acc |= (1 << $b);
+         |    if ($s0 > 0) $acc |= (1 << $b);
+         |    if ($s1 > 0) $acc |= (1 << ($b + 1));
+         |    if ($s2 > 0) $acc |= (1 << ($b + 2));
+         |    if ($s3 > 0) $acc |= (1 << ($b + 3));
+         |  }
+         |  for (; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $sr = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $sr += $pl[$off + $i] * $vv[$i];
+         |    }
+         |    if ($sr > 0) $acc |= (1 << $b);
          |  }
          |  $out[$t] = $acc;
          |}
