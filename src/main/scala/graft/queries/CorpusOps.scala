@@ -223,12 +223,18 @@ object CorpusOps {
     // always the bounded build side, and the default sort-merge would
     // sort the ~(EvalModulus−1)× larger train side — the dd_embed_hi768
     // probe-join lesson applied to the bipartite family.
+    // Guarded attaches keyed on the free corpus-count proxy (the
+    // Dedup.attachGuard note): candidate and size relations broadcast
+    // under the ceiling, hash-build above it — the shingle and pair
+    // streams they join are never sorted in either regime.
+    val g = Dedup.attachGuard(sh.count()) _
     val candidates = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct()
     // Exact verification restricted to candidate docs; the eval/train
-    // split is a pure doc_id predicate, so each side is a filter.
-    val candDocs = candidates.select(col("train_doc").as("doc_id"))
-      .union(candidates.select(col("eval_doc").as("doc_id"))).distinct()
+    // split is a pure doc_id predicate, so each side is a filter. The
+    // doc-id set names its own guard (hints do not survive the union).
+    val candDocs = g(candidates.select(col("train_doc").as("doc_id"))
+      .union(candidates.select(col("eval_doc").as("doc_id"))).distinct())
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val evalSh = shCand.filter(col("doc_id") % EvalModulus === 0)
@@ -238,11 +244,11 @@ object CorpusOps {
     val common = evalSh.hint("SHUFFLE_HASH").join(trainSh, Seq("shingle"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("c"))
-      .join(candidates, Seq("train_doc", "eval_doc"), "left_semi")
+      .join(g(candidates), Seq("train_doc", "eval_doc"), "left_semi")
     common
-      .join(sizes.select(col("doc_id").as("train_doc"), col("n").as("nt")),
+      .join(g(sizes.select(col("doc_id").as("train_doc"), col("n").as("nt"))),
         Seq("train_doc"))
-      .join(sizes.select(col("doc_id").as("eval_doc"), col("n").as("ne")),
+      .join(g(sizes.select(col("doc_id").as("eval_doc"), col("n").as("ne"))),
         Seq("eval_doc"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("nt") + col("ne") - col("c")).cast("double"))

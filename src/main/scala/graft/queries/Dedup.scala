@@ -91,7 +91,18 @@ object Dedup {
     * re-cap aggregation over the full shingle table (measured ~1.5 s per
     * consumer at sf0.1).
     */
-  private[queries] def jaccardPairsCapped(sh: DataFrame, threshold: Double): DataFrame = {
+  private[queries] def jaccardPairsCapped(sh: DataFrame, threshold: Double,
+      guard: Option[DataFrame => DataFrame] = None): DataFrame = {
+    // Join physics (round 13, the cascadeVerify finding generalized): a
+    // DATA-DEPENDENT pair stream is never the sorted side of an attach —
+    // when the caller supplies an attachGuard, the per-doc sizes
+    // relation broadcasts under the ceiling and hash-builds above it.
+    // Callers without a free corpus count (the quadratic oracle form)
+    // pass None and keep the planner's choice. The shingle self-join is
+    // always the planner's: preferSortMergeJoin=false (GraftSession)
+    // picks a hash build when statistics allow, and both of its sides
+    // are the same corpus-linear relation, not the pair stream.
+    val g = guard.getOrElse(identity[DataFrame] _)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -100,8 +111,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(g(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(g(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -248,21 +259,28 @@ object Dedup {
     // 1.89 s with the checkpoint in place.
     val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
       .localCheckpoint()
+    // Free (the checkpoint above already materialized the blocks): the
+    // corpus-count proxy every attachGuard below keys on.
+    val g = attachGuard(sh.count()) _
     val buckets = bandedBuckets(sh, BandRows)
     val candA = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val candB = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     val candidates = candA.join(candB, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // Exact verification restricted to candidate docs only.
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // Exact verification restricted to candidate docs only; the
+    // candidate/doc-id relations are guarded attaches (each one names
+    // its own guard — a hint does not propagate through a union), so
+    // neither the corpus shingle stream nor the pair stream is ever
+    // sorted against them.
+    val candDocs = g(candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct())
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     // sh is already capped over the full corpus basis (top of this
     // method), so cap decisions are identical to ngramJaccard's and the
     // capped core applies directly — no re-cap pass.
-    jaccardPairsCapped(shCand, 0.8)
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    jaccardPairsCapped(shCand, 0.8, Some(g))
+      .join(g(candidates), Seq("doc_a", "doc_b"), "left_semi")
   }
 
   /** Oracle: identical to dd_ngram_jaccard — LSH recall at J≥0.8 with 16
@@ -810,7 +828,30 @@ object Dedup {
     * build memory n·48 B / partitions, scaling out with the partition
     * count, and the stream still never SORTS.
     */
-  private[queries] val CascadeSketchBroadcastMax = 4000000L
+  private[graft] val CascadeSketchBroadcastMax = 4000000L
+
+  /** Guarded attach hint (round 13): broadcast a data-dependent
+    * candidate/size relation onto its consuming joins when the CORPUS
+    * it derives from is small (a row count the caller already has for
+    * free, from an existing checkpoint), SHUFFLE_HASH-build it above
+    * the ceiling. Either way the bigger stream on the other side is
+    * never sorted — the static-stats estimates for these relations are
+    * garbage (distinct/union over join outputs inflate to tens of GB at
+    * sf0.1, read from the optimized plan this round), so without the
+    * hint the planner sort-merges and only AQE's runtime conversion
+    * saves the small scale, while at 10⁹ docs nothing saves the sort.
+    * Two designs measured and rejected this round: bare SHUFFLE_HASH
+    * hints (forfeit the broadcast that is right when the relation is
+    * small — ~1.5-2× across the family at sf0.1) and per-relation
+    * checkpoint-then-count guards (exact, but each one is a serial
+    * materialization job — mm_phash read 2.8× its committed min-lap).
+    * The corpus-count proxy costs nothing and errs only in the
+    * in-between regime (big corpus, small relation), where the fallback
+    * is a hash build, never a sort.
+    */
+  private[graft] def attachGuard(corpusRows: Long)(df: DataFrame): DataFrame =
+    if (corpusRows <= CascadeSketchBroadcastMax) broadcast(df)
+    else df.hint("SHUFFLE_HASH")
 
   /** The sketch-verify cascade + exact verification tail, shared by the
     * closed-corpus pipeline ([[embedBucketedWithPlan]]) and the
@@ -1790,8 +1831,13 @@ object Dedup {
     */
   private[queries] def deltaVerify(sh: DataFrame, candidates: DataFrame,
       isNew: Column => Column, threshold: Double): DataFrame = {
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // Guarded attaches keyed on the corpus-count proxy: sh arrives
+    // checkpointed from every product caller, so the count is free
+    // (spec topologies are tiny either way).
+    val g = attachGuard(sh.count()) _
+    val candG = g(candidates)
+    val candDocs = g(candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct())
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shNew = shCand.filter(isNew(col("doc_id")))
@@ -1808,10 +1854,10 @@ object Dedup {
       .groupBy(least(col("doc_n"), col("doc_o")).as("doc_a"),
         greatest(col("doc_n"), col("doc_o")).as("doc_b"))
       .agg(count(lit(1)).as("c"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .join(candG, Seq("doc_a", "doc_b"), "left_semi")
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(g(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(g(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -2365,13 +2411,24 @@ object Dedup {
     // the admitted PAIR LIST — output-sized, the smallest thing in the
     // query.
     val admitted = coolDoc.select(col("doc_id").as("doc_a"), col("g"))
-      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g"))
+        .hint("SHUFFLE_HASH"), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SubstrMinShared)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
+    // Free (the eager checkpoint materialized the blocks): the guard
+    // count for broadcasting the output-class admitted set onto the
+    // corpus-sized position streams below. Above the ceiling the
+    // semi-joins fall back to a hash build of the admitted side — the
+    // streams still never sort (the jaccardPairsCapped join-physics
+    // note).
+    val nAdmitted = admitted.count()
+    def admittedGuarded(df: DataFrame): DataFrame =
+      if (nAdmitted <= CascadeSketchBroadcastMax) broadcast(df)
+      else df.hint("SHUFFLE_HASH")
     // doc_a positions whose window occurs ANYWHERE in doc_b (distinct: a
     // window repeated in doc_b must not duplicate the position row), then
     // islands: consecutive positions share (i − row_number) and collapse
@@ -2385,7 +2442,7 @@ object Dedup {
     // end (a doc can be admitted with one partner yet share windows with
     // a non-admitted third).
     val sharedPos = coolPos
-      .join(admitted.select(col("doc_a").as("doc_id")).distinct(),
+      .join(admittedGuarded(admitted.select(col("doc_a").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("i"), col("g"))
       // SHUFFLE_HASH on the doc_b side: it is the DISTINCT admitted-doc
@@ -2394,14 +2451,15 @@ object Dedup {
       // while the streamed side carries every POSITION of the admitted
       // doc_a's — the default sort-merge would sort that larger side.
       .join(coolDoc
-          .join(admitted.select(col("doc_b").as("doc_id")).distinct(),
+          .join(admittedGuarded(
+            admitted.select(col("doc_b").as("doc_id")).distinct()),
             Seq("doc_id"), "left_semi")
           .select(col("doc_id").as("doc_b"), col("g"))
           .hint("SHUFFLE_HASH"),
         Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("i")).distinct()
-      .join(admitted, Seq("doc_a", "doc_b"), "left_semi")
+      .join(admittedGuarded(admitted), Seq("doc_a", "doc_b"), "left_semi")
     val byPair = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b")).orderBy(col("i"))
     sharedPos

@@ -55,8 +55,12 @@ object Pipeline {
     // minhashFrom ≡ jaccardPairs on THIS survivor set (not just the raw
     // corpus) so threshold-adjacent drift in the survivors can't silently
     // void the reroute argument.
-    val losers = Dedup.minhashFrom(shinglesOf(kept))
-      .select(col("doc_b").as("doc_id")).distinct()
+    // The loser set is a guarded attach keyed on the survivor count
+    // (free — kept is checkpointed): the survivor corpus — the stream
+    // carrying full text — is never sorted in either guard regime.
+    val losers = Dedup.attachGuard(kept.count())(
+      Dedup.minhashFrom(shinglesOf(kept))
+        .select(col("doc_b").as("doc_id")).distinct())
 
     kept.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),

@@ -171,6 +171,24 @@ class PlanSpec extends SparkSuite {
       s"dd_embed_hi768: sketch attaches are not broadcast under the ceiling:\n$hi")
   }
 
+  test("minhash family: no static sort-merge join on any pair-stream path") {
+    // The attachGuard discipline (round 13): candidate, doc-id, and
+    // size relations broadcast under the corpus-count ceiling and
+    // hash-build above it, so the pair and shingle streams never appear
+    // under a Sort. Statically pinned — AQE rescue at runtime is not
+    // accepted as the mechanism, because it has no answer at the scale
+    // where the relations outgrow its broadcast threshold. (mm_phash is
+    // the documented exception: its corpus-linear int-keyed self-join
+    // is left to the planner.)
+    Seq("dd_minhash", "dd_ngram_jaccard", "dd_editdist", "dd_delta",
+      "dd_decontaminate", "dd_decontaminate_fuzzy", "pipeline_clean_corpus")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin"),
+          s"$q: a pair-stream join degenerated to sort-merge:\n$p")
+      }
+  }
+
   test("dd_lines: materialized hot-set anti-join, one corpus scan, no window") {
     // The hot set arrives CHECKPOINTED (the boilerplate index product —
     // its partial-agg build plan is pinned separately in DedupSpec), so
