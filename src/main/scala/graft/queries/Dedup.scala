@@ -2410,9 +2410,14 @@ object Dedup {
     // gate): checkpointed so the admission join runs once. The table is
     // the admitted PAIR LIST — output-sized, the smallest thing in the
     // query.
+    // The admission self-join is left to the planner: BOTH sides are
+    // the corpus-linear window table — a forced hash build here failed
+    // every 100× lap this round (per-partition builds of a ~300M-row
+    // side × 32 concurrent tasks exhaust the heap; the attachGuard rule
+    // covers bounded relations, not corpus×corpus self-joins, where a
+    // spillable sort-merge is the right default).
     val admitted = coolDoc.select(col("doc_id").as("doc_a"), col("g"))
-      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g"))
-        .hint("SHUFFLE_HASH"), Seq("g"))
+      .join(coolDoc.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
