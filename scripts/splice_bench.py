@@ -19,6 +19,21 @@ def main():
     fresh = json.load(open(sys.argv[2]))
     note = sys.argv[3]
     changed = set(sys.argv[4:])
+    # The re-capture rule this script enforces: a CHANGED query must carry
+    # fresh-HEAD laps. A changed query missing from the fresh capture would
+    # silently keep its stale min-lap — hard error (ADVICE r13).
+    missing = changed - set(fresh["queries"])
+    if missing:
+        print(f"splice_bench: changed query(ies) absent from fresh "
+              f"capture: {sorted(missing)}", file=sys.stderr)
+        sys.exit(2)
+    # Old-only queries either left the suite (should be dropped by hand)
+    # or were noise-dropped this capture (legitimately keep their laps) —
+    # flag them so neither case passes silently.
+    for q in sorted(set(old["queries"]) - set(fresh["queries"])):
+        print(f"splice_bench: {q} present in OLD but not in the fresh "
+              f"capture — stale min-lap kept; remove it if the query left "
+              f"the suite", file=sys.stderr)
     out = dict(old)
     queries, diag = dict(old["queries"]), dict(old.get("diag", {}))
     for q, sec in fresh["queries"].items():

@@ -10,7 +10,12 @@ REPLACES that query's points wholesale (never min-merging across code
 identities), then refits the exponent and consecutive-segment marginals
 with the same formulas as merge_scale.py.
 
-Usage: splice_scale.py EXISTING.json FRESH.jsonl > OUT.json
+A partial recapture (fewer tags for a query than the existing artifact
+carries) would silently thin that query's curve and refit the exponent on
+the remainder — so losing tags is an ERROR unless --allow-partial is
+passed explicitly (ADVICE r13).
+
+Usage: splice_scale.py [--allow-partial] EXISTING.json FRESH.jsonl > OUT.json
 """
 import sys, json, math
 
@@ -38,6 +43,11 @@ def refit(points):
 
 
 def main():
+    args = sys.argv[1:]
+    allow_partial = "--allow-partial" in args
+    if allow_partial:
+        args.remove("--allow-partial")
+    sys.argv[1:] = args
     out = json.load(open(sys.argv[1]))
     fresh = {}
     for l in open(sys.argv[2]):
@@ -64,6 +74,18 @@ def main():
             entry["maxJitMs"] = max(entry["maxJitMs"], prev["maxJitMs"])
             entry["maxGcMs"] = max(entry["maxGcMs"], prev["maxGcMs"])
         fresh[q][tag] = entry
+    partial = False
+    for q, tags in fresh.items():
+        lost = set(out["queries"].get(q, {}).get("points", {})) - set(tags)
+        if lost:
+            partial = True
+            print(f"splice_scale: {q} recapture drops existing scale "
+                  f"point(s) {sorted(lost)} — the refit would thin the "
+                  f"curve", file=sys.stderr)
+    if partial and not allow_partial:
+        print("splice_scale: refusing partial recapture (pass "
+              "--allow-partial to override)", file=sys.stderr)
+        sys.exit(2)
     for q, tags in fresh.items():
         exp, marginals = refit(tags)
         out["queries"][q] = {"points": tags, "exponent": exp,
