@@ -88,6 +88,20 @@ object GraftSession {
       // pure waste — broadcast still wins when a side is small, and
       // stats-blind sites (checkpoint-descended relations) carry their
       // own explicit guarded-broadcast/SHUFFLE_HASH treatment.
+      // Deliberately SESSION-wide, with the trade-off on record
+      // (ADVICE r13): a ShuffledHashJoin build side cannot spill the
+      // way sort-merge does, so a badly mis-estimated build side at
+      // untested scale trades a sort for an executor OOM. Accepted
+      // because (a) the conf only changes STATS-KNOWN joins, where the
+      // planner still requires the build side to estimate under
+      // spark.sql.shuffledHashJoinFactor × the other side — the blind
+      // sites that motivated the sweep are all explicitly
+      // guarded/hinted, (b) corpus×corpus self-joins that genuinely
+      // need a spillable sort (dd_substring's admission join) carry no
+      // hint and exceed the factor, keeping sort-merge, and (c) the
+      // SmjScan join-strategy census runs in the per-round evidence
+      // gate (round_probes.sh step 6), so a strategy flip on any heavy
+      // query surfaces as an artifact diff, not a silent plan change.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 rejects it unless
       // nanos are read as long (Tables.events then divides to µs).

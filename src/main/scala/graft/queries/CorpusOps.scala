@@ -223,13 +223,17 @@ object CorpusOps {
     // always the bounded build side, and the default sort-merge would
     // sort the ~(EvalModulus−1)× larger train side — the dd_embed_hi768
     // probe-join lesson applied to the bipartite family.
-    // Guarded attaches keyed on the free corpus-count proxy (the
-    // Dedup.attachGuard note): candidate and size relations broadcast
-    // under the ceiling, hash-build above it — the shingle and pair
-    // streams they join are never sorted in either regime.
+    // Guarded attaches: per-doc size and doc-id relations key on the
+    // free corpus-count proxy (the Dedup.attachGuard note — a true
+    // upper bound for corpus-bounded relations), while the candidate
+    // PAIR set — not corpus-bounded — is checkpointed (two consumers:
+    // the candidate-doc semi-join and the final pair gate) and guarded
+    // on its OWN count (Dedup.pairGuard).
     val g = Dedup.attachGuard(sh.count()) _
     val candidates = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct()
+      .localCheckpoint()
+    val candG = Dedup.pairGuard(candidates)
     // Exact verification restricted to candidate docs; the eval/train
     // split is a pure doc_id predicate, so each side is a filter. The
     // doc-id set names its own guard (hints do not survive the union).
@@ -244,7 +248,7 @@ object CorpusOps {
     val common = evalSh.hint("SHUFFLE_HASH").join(trainSh, Seq("shingle"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("c"))
-      .join(g(candidates), Seq("train_doc", "eval_doc"), "left_semi")
+      .join(candG, Seq("train_doc", "eval_doc"), "left_semi")
     common
       .join(g(sizes.select(col("doc_id").as("train_doc"), col("n").as("nt"))),
         Seq("train_doc"))

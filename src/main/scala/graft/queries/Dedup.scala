@@ -265,9 +265,16 @@ object Dedup {
     val buckets = bandedBuckets(sh, BandRows)
     val candA = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val candB = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    // Checkpointed: two consumers (the candidate-doc semi-join and the
+    // final pair gate) would otherwise each replay the band-bucket
+    // self-join, and the materialization makes the pair set's OWN count
+    // a free metadata read for its guard (pair sets are not
+    // corpus-bounded — the attachGuard/pairGuard contract).
     val candidates = candA.join(candB, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint()
+    val candG = pairGuard(candidates)
     // Exact verification restricted to candidate docs only; the
     // candidate/doc-id relations are guarded attaches (each one names
     // its own guard — a hint does not propagate through a union), so
@@ -280,7 +287,7 @@ object Dedup {
     // method), so cap decisions are identical to ngramJaccard's and the
     // capped core applies directly — no re-cap pass.
     jaccardPairsCapped(shCand, 0.8, Some(g))
-      .join(g(candidates), Seq("doc_a", "doc_b"), "left_semi")
+      .join(candG, Seq("doc_a", "doc_b"), "left_semi")
   }
 
   /** Oracle: identical to dd_ngram_jaccard — LSH recall at J≥0.8 with 16
@@ -816,25 +823,50 @@ object Dedup {
     cascadeVerify(corpus, cands, threshold, dim)
   }
 
-  /** Broadcast ceiling for the verify-sketch relation, in ROWS of
-    * (vec_id + 4-int sketch ≈ 48 B unsafe — 4M rows ≈ 190 MB raw,
-    * a deliberate dedup-pass budget on production executors, and three
-    * orders above any staged test corpus). The cascade's two sketch
-    * attaches join the CANDIDATE STREAM — the query's largest
-    * intermediate — against this per-vector relation; below the ceiling
-    * the sketch side broadcasts and the stream is never exchanged,
-    * above it (10⁹-vector corpora: 48 GB of sketches) the attach falls
-    * back to a SHUFFLE_HASH build of the sketch side — per-partition
-    * build memory n·48 B / partitions, scaling out with the partition
-    * count, and the stream still never SORTS.
+  /** Shared byte budget for any guarded-broadcast build relation
+    * (~192 MB raw — a deliberate dedup-pass budget on production
+    * executors, three orders above any staged test corpus). Every
+    * ceiling below divides THIS budget by its own relation's
+    * approximate unsafe-row width: the ceilings are row counts only
+    * per-width, so a reuse cannot silently inherit another relation's
+    * width assumption (ADVICE r13 — the 48 B sketch ceiling was being
+    * compared against 8 B and 16 B relations as a bare 4M-row
+    * constant).
     */
-  private[graft] val CascadeSketchBroadcastMax = 4000000L
+  private[graft] val GuardBroadcastBudgetBytes: Long = 192L << 20
 
-  /** Guarded attach hint (round 13): broadcast a data-dependent
-    * candidate/size relation onto its consuming joins when the CORPUS
-    * it derives from is small (a row count the caller already has for
-    * free, from an existing checkpoint), SHUFFLE_HASH-build it above
-    * the ceiling. Either way the bigger stream on the other side is
+  private[graft] def guardCeilingRows(rowBytes: Long): Long =
+    GuardBroadcastBudgetBytes / rowBytes
+
+  /** Approximate guarded-relation row widths (unsafe-row bytes). Pair
+    * and per-doc relations are two-long rows (id/id or id/count); the
+    * verify sketch is vec_id + a 4-int sketch.
+    */
+  private[graft] val PairRowBytes = 16L
+  private[graft] val SketchRowBytes = 48L
+
+  /** Broadcast ceiling for the verify-sketch relation, in ROWS of
+    * (vec_id + 4-int sketch ≈ 48 B unsafe — ~4M rows under the shared
+    * budget). The cascade's two sketch attaches join the CANDIDATE
+    * STREAM — the query's largest intermediate — against this
+    * per-vector relation; below the ceiling the sketch side broadcasts
+    * and the stream is never exchanged, above it (10⁹-vector corpora:
+    * 48 GB of sketches) the attach falls back to a SHUFFLE_HASH build
+    * of the sketch side — per-partition build memory n·48 B /
+    * partitions, scaling out with the partition count, and the stream
+    * still never SORTS.
+    */
+  private[graft] val CascadeSketchBroadcastMax = guardCeilingRows(SketchRowBytes)
+
+  /** Guarded attach hint (round 13): broadcast a CORPUS-BOUNDED
+    * relation (per-doc sizes, candidate-doc-id sets — anything whose
+    * cardinality is ≤ the corpus row count by construction) onto its
+    * consuming joins when the corpus it derives from is small (a row
+    * count the caller already has for free, from an existing
+    * checkpoint), SHUFFLE_HASH-build it above the ceiling. The proxy is
+    * a true UPPER bound only for such relations — candidate PAIR sets
+    * are not corpus-bounded and must use [[pairGuard]] instead
+    * (ADVICE r13). Either way the bigger stream on the other side is
     * never sorted — the static-stats estimates for these relations are
     * garbage (distinct/union over join outputs inflate to tens of GB at
     * sf0.1, read from the optimized plan this round), so without the
@@ -849,9 +881,28 @@ object Dedup {
     * in-between regime (big corpus, small relation), where the fallback
     * is a hash build, never a sort.
     */
-  private[graft] def attachGuard(corpusRows: Long)(df: DataFrame): DataFrame =
-    if (corpusRows <= CascadeSketchBroadcastMax) broadcast(df)
+  private[graft] def attachGuard(corpusRows: Long,
+      rowBytes: Long = PairRowBytes)(df: DataFrame): DataFrame =
+    if (corpusRows <= guardCeilingRows(rowBytes)) broadcast(df)
     else df.hint("SHUFFLE_HASH")
+
+  /** Pair-relation guard (round 14, ADVICE r13 medium): a candidate
+    * PAIR set is NOT bounded by the corpus row count — on
+    * duplication-heavy corpora (many docs sharing LSH buckets) it grows
+    * super-linearly in corpus size, so the corpus-count proxy that is a
+    * true upper bound for per-doc relations (sizes, candidate-doc sets)
+    * could force a multi-GB broadcast here and OOM the driver. Pair
+    * sets are therefore guarded on their OWN cardinality. Contract:
+    * `pairs` must arrive localCheckpoint'ed — the count is then a
+    * cached-block metadata read, not a new job. (Round 13 measured and
+    * rejected per-relation checkpoint+count guards for SINGLE-consumer
+    * relations — each checkpoint was a serial materialization job;
+    * every pair set guarded here has ≥ 2 consumers, so its checkpoint
+    * also deletes a replay of the candidate join that produced it.)
+    */
+  private[graft] def pairGuard(pairs: DataFrame,
+      rowBytes: Long = PairRowBytes): DataFrame =
+    attachGuard(pairs.count(), rowBytes)(pairs)
 
   /** The sketch-verify cascade + exact verification tail, shared by the
     * closed-corpus pipeline ([[embedBucketedWithPlan]]) and the
@@ -1585,8 +1636,8 @@ object Dedup {
     linesFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
   /** Broadcast ceiling for the hot-line set, in ROWS of one 8-byte hash
-    * (4M rows ≈ 32 MB of keys — comfortably under executor broadcast
-    * budgets, far above any test corpus). Round-12 verdict: an UNGUARDED
+    * (~16 B unsafe — 12M rows under the shared byte budget; far above
+    * any test corpus). Round-12 verdict: an UNGUARDED
     * `broadcast(hot)` is a latent scale-killer — "tiny by construction"
     * holds while df ≥ k prunes hard, but a web-scale corpus's boilerplate
     * vocabulary grows with SOURCE DIVERSITY, not df (CCNet's hot line
@@ -1594,7 +1645,7 @@ object Dedup {
     * 8 bytes/line). Above the ceiling the anti-join falls back to a plain
     * shuffle on the 8-byte hash — cheap, spillable, skew-splittable.
     */
-  private[queries] val HotLineBroadcastMax = 4000000L
+  private[queries] val HotLineBroadcastMax = guardCeilingRows(PairRowBytes)
 
   /** Core over an arbitrary (doc_id, text) corpus so the planted
     * boilerplate fixture spec drives the threshold (the driver corpus is
@@ -1833,9 +1884,11 @@ object Dedup {
       isNew: Column => Column, threshold: Double): DataFrame = {
     // Guarded attaches keyed on the corpus-count proxy: sh arrives
     // checkpointed from every product caller, so the count is free
-    // (spec topologies are tiny either way).
+    // (spec topologies are tiny either way). The candidate PAIR set is
+    // guarded on its own count — deltaCandidates checkpoints it, so
+    // that count is free too (pairGuard contract).
     val g = attachGuard(sh.count()) _
-    val candG = g(candidates)
+    val candG = pairGuard(candidates)
     val candDocs = g(candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct())
     val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
@@ -2432,7 +2485,7 @@ object Dedup {
     // note).
     val nAdmitted = admitted.count()
     def admittedGuarded(df: DataFrame): DataFrame =
-      if (nAdmitted <= CascadeSketchBroadcastMax) broadcast(df)
+      if (nAdmitted <= guardCeilingRows(PairRowBytes)) broadcast(df)
       else df.hint("SHUFFLE_HASH")
     // doc_a positions whose window occurs ANYWHERE in doc_b (distinct: a
     // window repeated in doc_b must not duplicate the position row), then
