@@ -44,6 +44,7 @@ object SparkEntry {
     "dd_embed_bucketed" -> (Dedup.embedCosineBucketed _),
     "dd_embed_hi" -> (Dedup.embedHi _),
     "dd_clusters" -> (Dedup.clusters _),
+    "dd_keep_best" -> (Dedup.keepBest _),
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_kmeans" -> (Similarity.annIvfKmeans _),
@@ -160,6 +161,7 @@ object SparkEntry {
     // oracle restates the plant construction + all-pairs form
     "dd_embed_hi" -> Dedup.embedHiSql,
     "dd_clusters" -> Dedup.clustersSql,
+    "dd_keep_best" -> Dedup.keepBestSql,
     "ann_topk" -> Similarity.annTopKSql,
     // ann_ivf / ann_ivf_kmeans / ann_ivf_pq / ann_lsh / ann_ivf_append:
     // approximate BY CONSTRUCTION — an exact SQL restatement would be ann_topk's

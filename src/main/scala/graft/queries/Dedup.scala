@@ -1374,6 +1374,97 @@ object Dedup {
          |  SELECT e.doc_b, r.r FROM reach r JOIN edges e ON e.doc_a = r.doc_id)
          |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin
 
+  /** dd_keep_best — canonical-survivor selection by QUALITY: for every
+    * near-dup cluster (dd_clusters' components), keep the member with
+    * the highest ta_quality score, ties to the lowest doc_id — the
+    * production dedup policy (CCNet/RefinedWeb keep the best-scoring
+    * representative, not the arbitrary minimum id that dd_clusters'
+    * label happens to be). Output labels every clustered doc with its
+    * cluster and the cluster's survivor, so the drop set is
+    * `doc_id != keep_id` and the survivor set is output-derivable.
+    *
+    * Scale shape: the argmax is ONE partial-aggregable aggregate —
+    * `max(struct(quality_score, -doc_id))` — so the per-cluster best
+    * combines map-side like any sum, no Window (a
+    * Window.partitionBy(cluster) would shuffle and SORT every clustered
+    * row; TopKAgg's lesson applied to rank-1). The tie-break rides in
+    * the same struct: maximizing -doc_id IS minimizing doc_id, all in
+    * long/double comparisons both engines share. The best-per-cluster
+    * relation is #clusters-sized (corpus-bounded), and its attach joins
+    * a clustered-doc stream that is itself output-sized; both sides
+    * carry agg-derived stats, so the planner's hash-join choice
+    * (preferSortMergeJoin=false) needs no guard here.
+    */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    // Quality = the ta_quality blend (documents carry no stored score;
+    // the pipeline computes it, and reusing the SAME formula keeps the
+    // argmax comparable bit-for-bit across engines — ta_quality's own
+    // oracle is hash-green on this expression).
+    val docs = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = clusters(spark, sfDir).localCheckpoint()
+    // The join attaches quality to clustered docs only (left_semi-sized:
+    // |labeled| ≪ |docs| — near-dup members), then one agg per cluster.
+    val best = labeled.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("keep_id"))
+    labeled.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"))
+  }
+
+  /** Oracle: the dd_clusters closure, then rank-1 by (quality DESC,
+    * doc_id ASC) per cluster restated as a window — the engine runs the
+    * agg form precisely to AVOID this window at scale; the oracle states
+    * the semantic, not the plan.
+    */
+  val keepBestSql: String =
+    raw"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in generate_series(1, len(w)-2)]) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT e.doc_b, r.r FROM reach r JOIN edges e ON e.doc_a = r.doc_id),
+         |labeled AS (
+         |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text))
+         |      + 0.3 * (1.0 - len(list_filter(regexp_split_to_array(text, '\s+'),
+         |          t -> t IN ('a','the','of','and','to'))) * 1.0
+         |          / len(regexp_split_to_array(text, '\s+')))
+         |      + 0.3 * least(1.0, len(regexp_split_to_array(text, '\s+')) / 100.0), 4)
+         |      AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY d.quality_score DESC, l.doc_id) AS rn
+         |  FROM labeled l JOIN quality d ON l.doc_id = d.doc_id)
+         |SELECT l.doc_id, l.cluster_id, k.doc_id AS keep_id
+         |FROM labeled l
+         |JOIN ranked k ON l.cluster_id = k.cluster_id AND k.rn = 1""".stripMargin
+
   /** dd_editdist — Levenshtein verification over the near-dup candidate
     * pairs: edit distance + length-normalized similarity. The expensive
     * O(len²) distance only ever runs on the ~|pairs| rows the candidate

@@ -692,4 +692,73 @@ class DedupSpec extends SparkSuite {
     assert(planted.subsetOf(gotSmall),
       s"near-copy pairs at cos ≈ 1 must survive cascade and exact gate: $gotSmall")
   }
+
+  test("keep_best picks the max-quality member per cluster, ties to min id") {
+    val quality = TextAnalysis.quality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val out = Dedup.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "planted near-dups must produce clusters")
+    // Exactly the clustered docs, each labeled once.
+    assert(out.map(_._1).toSet == members.values.flatten.toSet)
+    assert(out.length == out.map(_._1).distinct.length)
+    for ((doc, cl, keep) <- out) {
+      val mem = members(cl)
+      assert(mem.contains(doc) && mem.contains(keep))
+      // keep = rank-1 by (quality DESC, doc_id ASC), brute-forced.
+      val expect = mem.toSeq.sortBy(d => (-quality(d), d)).head
+      assert(keep == expect,
+        s"cluster $cl keeps $keep, brute force says $expect " +
+          s"(qualities ${mem.toSeq.sorted.map(d => d -> quality(d))})")
+    }
+  }
+
+  test("pair guard: keyed on the pair set's OWN count, not the corpus proxy") {
+    // ADVICE r13 (medium): a candidate PAIR set grows super-linearly on
+    // duplication-heavy corpora, so a sub-ceiling CORPUS can still carry
+    // an over-ceiling pair list — guarding it on the corpus-count proxy
+    // would force a driver-OOM broadcast. pairGuard keys on the
+    // relation's own cardinality: fixture with corpus (5 rows) UNDER an
+    // injected ceiling of 6 and its all-pairs set (10 rows) OVER it —
+    // the old proxy guard would broadcast; the own-count guard must
+    // hash-build. Both regimes row-identical (a guard chooses a plan,
+    // never an answer).
+    val sess = spark
+    import sess.implicits._
+    val corpusIds = (1L to 5L)
+    val pairsDf = (for { a <- corpusIds; b <- corpusIds if a < b }
+      yield (a, b)).toDF("doc_a", "doc_b").localCheckpoint()
+    assert(pairsDf.count() == 10)
+    val stream = (for { a <- corpusIds; b <- corpusIds; r <- 1 to 3 }
+      yield (a, b, r)).toDF("doc_a", "doc_b", "r")
+    // ceiling 6: corpus (5) under it, pair set (10) over it.
+    val rowBytesFor6 = Dedup.GuardBroadcastBudgetBytes / 6
+    assert(Dedup.guardCeilingRows(rowBytesFor6) == 6L)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (pOver, gotOver) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = stream.join(
+        Dedup.pairGuard(pairsDf, rowBytes = rowBytesFor6),
+        Seq("doc_a", "doc_b"), "left_semi")
+      (joined.queryExecution.sparkPlan.toString,
+        joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(!pOver.contains("BroadcastHashJoin"),
+      s"an over-ceiling pair set must not broadcast even when the corpus is small:\n$pOver")
+    assert(pOver.contains("ShuffledHashJoin") && !pOver.contains("SortMergeJoin"),
+      s"over-ceiling pair attach must hash-build, never sort:\n$pOver")
+    val under = stream.join(Dedup.pairGuard(pairsDf),
+      Seq("doc_a", "doc_b"), "left_semi")
+    val pUnder = under.queryExecution.sparkPlan.toString
+    assert(pUnder.contains("BroadcastHashJoin"),
+      s"an under-ceiling pair set must still broadcast:\n$pUnder")
+    val gotUnder = under.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotOver == gotUnder, "the guard must choose a plan, never change rows")
+    assert(gotUnder.nonEmpty)
+  }
 }
