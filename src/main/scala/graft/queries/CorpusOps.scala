@@ -198,22 +198,64 @@ object CorpusOps {
     * threshold, vanishing above; the corpus' qualifying pairs all sit at
     * J ≥ 0.9 where miss ≈ 4e-23) — then a BIPARTITE bucket join (eval
     * side × train side only, never train×train), exact Jaccard verify on
-    * the candidate pairs. Work is O(candidate pairs), not
+    * the candidate pairs. A signature-agreement sketch cut
+    * ([[Dedup.sketchCutPairs]], round 14) prunes the candidate stream
+    * before verification: at τ = 0.5 the 2-row bands admit J ≈ 0.15
+    * pairs with p ≈ 0.5, so the RAW candidate set grows ~quadratically
+    * at corpus scale while true pairs stay rare — the cut dismisses
+    * that mass on 520 B of already-materialized signature (miss
+    * ≈ 1.2e-5 for a true pair at exactly τ, an order under the banding
+    * miss), so the expensive shingle re-join touches survivors only.
+    * Exact verification work is then O(surviving pairs), not
     * O(eval·train); the df cap bounds every bucket the same way
     * dd_minhash's does. Oracle states the exact quadratic bipartite form
     * — equality holds because candidates are exact-verified and the
-    * banding miss rate is negligible at the pairs' actual similarities
-    * (the dd_minhash ≡ dd_ngram_jaccard argument, bipartite).
+    * combined banding + sketch miss (≈ 1.1e-4) is negligible at the
+    * pairs' actual similarities (the dd_minhash ≡ dd_ngram_jaccard
+    * argument, bipartite).
     */
   private val FuzzyTau = 0.5
   private val FuzzyBandRows = 2
 
-  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Candidate-pair count above which the sketch cut pays for itself:
+    * the cut's two signature attaches cost ~0.4 s at sf0.1 (same-window
+    * A/B, where candidates are a few hundred and verification is already
+    * cheap), while at the 30× staging the raw candidate set reads ~1M
+    * pairs and the cut deletes 15 s of bipartite shingle verification.
+    * The switch is keyed on the raw set's own materialized count (free —
+    * it is checkpointed either way), the attachGuard pattern on the
+    * work-volume axis.
+    */
+  private[queries] val SketchCutMinPairs = 100000L
+
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateFuzzyCut(spark, sfDir, SketchCutMinPairs)
+
+  /** Core with the sketch-cut threshold injectable so the spec can force
+    * both regimes on the same corpus (cut-on ≡ cut-off row identity —
+    * the CapBindingSpec pattern).
+    */
+  private[queries] def decontaminateFuzzyCut(spark: SparkSession,
+      sfDir: String, cutMinPairs: Long): DataFrame = {
     // Capped over the FULL corpus basis before signing (the cap-ordering
     // invariant minhashFrom documents); checkpointed — signatures,
     // candidate semi-join, and verification sizes all branch off it.
     val sh = Dedup.cappedShingles(spark, sfDir).localCheckpoint()
-    val buckets = Dedup.bandedBuckets(sh, FuzzyBandRows)
+    // Signatures are materialized ONCE and serve twice: band keys for
+    // candidate generation, and the per-pair Jaccard sketch that prunes
+    // the candidate stream (round 14). At τ = 0.5 the 2-row bands are
+    // deliberately unselective (banding miss (1−τ²)³² ≈ 1e-4), which at
+    // 30× staged scale admitted ~1M candidate pairs covering 83% of the
+    // corpus — the downstream bipartite shingle join was doing
+    // near-all-corpus work for 57 true pairs (FuzzyProbe decomposition:
+    // 15.9 s of a 31.9 s wall). The sketch cut dismisses the low-J
+    // candidate mass on signature agreement before any shingle re-join.
+    // LAZY checkpoint: the signature blocks materialize as a side effect
+    // of the candidate job (buckets consume sigs), so the small-corpus
+    // path pays no extra barrier; the cut branch then reads the same
+    // blocks for its attaches and its (free) doc count.
+    val sigs = Dedup.minhashSigs(sh).localCheckpoint(eager = false)
+    val buckets = Dedup.bucketsFromSigs(sigs, FuzzyBandRows)
     val evalB = buckets.filter(col("doc_id") % EvalModulus === 0)
       .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
     val trainB = buckets.filter(col("doc_id") % EvalModulus =!= 0)
@@ -230,9 +272,14 @@ object CorpusOps {
     // the candidate-doc semi-join and the final pair gate) and guarded
     // on its OWN count (Dedup.pairGuard).
     val g = Dedup.attachGuard(sh.count()) _
-    val candidates = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
+    val candRaw = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct()
       .localCheckpoint()
+    val candidates =
+      if (candRaw.count() > cutMinPairs)
+        Dedup.sketchCutPairs(candRaw, sigs, sigs.count(), FuzzyTau,
+          "train_doc", "eval_doc").localCheckpoint()
+      else candRaw
     val candG = Dedup.pairGuard(candidates)
     // Exact verification restricted to candidate docs; the eval/train
     // split is a pure doc_id predicate, so each side is a filter. The

@@ -203,8 +203,15 @@ object Dedup {
     * One permutation set (64 perms, fixed seed) serves every consumer —
     * signatures are computed identically, only the banding regroups.
     */
-  private[queries] def bandedBuckets(sh: DataFrame, bandRows: Int): DataFrame = {
-    require(NumPerms % bandRows == 0, s"bandRows=$bandRows must divide $NumPerms")
+  private[queries] def bandedBuckets(sh: DataFrame, bandRows: Int): DataFrame =
+    bucketsFromSigs(minhashSigs(sh), bandRows)
+
+  /** The 64-perm MinHash signature per doc, split out of
+    * [[bandedBuckets]] (round 14) so a caller can materialize signatures
+    * ONCE and reuse them both for band keys and as a per-pair Jaccard
+    * sketch (decontaminateFuzzy's candidate cut).
+    */
+  private[queries] def minhashSigs(sh: DataFrame): DataFrame = {
     // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
     val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
     val hashed = sh.select(col("doc_id"), h)
@@ -213,8 +220,12 @@ object Dedup {
     // array value across the shuffle (vs 64 separate min-agg slots).
     // (a*h+b)%p on positive operands == pmod, so signatures are identical
     // to the column-wise formulation.
-    val sigs = hashed.groupBy(col("doc_id")).agg(
+    hashed.groupBy(col("doc_id")).agg(
       graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"))
+  }
+
+  private[queries] def bucketsFromSigs(sigs: DataFrame, bandRows: Int): DataFrame = {
+    require(NumPerms % bandRows == 0, s"bandRows=$bandRows must divide $NumPerms")
     // Band key: hash of the band's signature values (element_at is
     // 1-indexed).
     val bands = (0 until NumPerms / bandRows).map { bnd =>
@@ -225,6 +236,38 @@ object Dedup {
     sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Estimated-Jaccard sketch cut over a candidate pair stream (round
+    * 14, the cascadeVerify idea applied to the Jaccard family): attach
+    * the two docs' 64-perm signatures and keep only pairs whose
+    * position-agreement fraction clears `threshold − 4σ`, where each
+    * position matches independently with probability J (the MinHash
+    * property) and σ = sqrt(τ(1−τ)/64). A true pair at J = τ = 0.5
+    * fails the cut with P(Binom(64,.5) < 16) ≈ 1.2e-5 — an order under
+    * the banding miss (1−τ²)³² ≈ 1.0e-4 the family already documents —
+    * while the low-J candidate mass that unselective 2-row bands admit
+    * at scale (J ≈ 0.15 pairs collide with p ≈ 0.5 at 32 bands)
+    * concentrates 4σ BELOW the cut and is dismissed on 520 B of
+    * signature instead of re-joining its whole shingle sets. The sig
+    * relation is per-doc (corpus-bounded): guarded attach at its own
+    * ~528 B row width.
+    */
+  private[queries] def sketchCutPairs(cands: DataFrame, sigs: DataFrame,
+      nDocs: Long, threshold: Double,
+      aCol: String, bCol: String): DataFrame = {
+    val sigma = math.sqrt(threshold * (1.0 - threshold) / NumPerms)
+    val cut = threshold - 4.0 * sigma
+    val sg = attachGuard(nDocs, rowBytes = 8L * NumPerms + 16L) _
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+    cands
+      .join(sg(sigs.select(col("doc_id").as(aCol), col("sig").as("sig_a"))), Seq(aCol))
+      .join(sg(sigs.select(col("doc_id").as(bCol), col("sig").as("sig_b"))), Seq(bCol))
+      .filter(matches.cast("double") / lit(NumPerms.toDouble) >= lit(cut))
+      .select(col(aCol), col(bCol))
   }
 
   /** Package-visible so Pipeline's near-dup stage runs the SAME banded-LSH

@@ -67,6 +67,24 @@ class CorpusOpsSpec extends SparkSuite {
         s"extra=${got.keySet diff expected.keySet}")
   }
 
+  test("fuzzy sketch cut: forced-on regime is row-identical to cut-off") {
+    // The sketch cut (round 14) prunes candidates on signature agreement
+    // only when the raw candidate set clears SketchCutMinPairs — never
+    // on the test corpora. Force BOTH regimes on the same corpus: with
+    // the threshold at 0 every candidate passes through the cut, and the
+    // output must be row-identical to the cut-off plan (the cut may only
+    // dismiss pairs exact verification would reject anyway; a true pair
+    // failing its 4σ sketch bound on this tiny planted set would be a
+    // construction bug, not bad luck).
+    def rows(t: Long) = CorpusOps.decontaminateFuzzyCut(spark, sf, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cutOff = rows(Long.MaxValue)
+    val cutOn = rows(0L)
+    assert(cutOff.nonEmpty, "planted cross-split near-dups expected")
+    assert(cutOn == cutOff,
+      s"sketch cut changed rows: missing=${cutOff diff cutOn} extra=${cutOn diff cutOff}")
+  }
+
   test("perplexity: finite positive scores; rare-token docs score above common-token docs") {
     val rows = CorpusOps.perplexity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
