@@ -99,6 +99,7 @@ object SparkEntry {
     "ev_rolling" -> (Events.rolling _),
     "dd_winnow" -> (Dedup.winnowPairs _),
     "dd_substring" -> (Dedup.substringDup _),
+    "dd_substring_cut" -> (Dedup.substringCut _),
     "st_dedup" -> (graft.streaming.StreamingQueries.dedup _),
     "ev_paths" -> (Events.paths _),
     "ev_histogram" -> (Events.histogram _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "ev_rolling" -> Events.rollingSql,
     "dd_winnow" -> Dedup.winnowPairsSql,
     "dd_substring" -> Dedup.substringDupSql,
+    "dd_substring_cut" -> Dedup.substringCutSql,
     "st_dedup" -> graft.streaming.StreamingQueries.dedupSql,
     "ev_paths" -> Events.pathsSql,
     "ev_histogram" -> Events.histogramSql,

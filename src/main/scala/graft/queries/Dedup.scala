@@ -1428,15 +1428,25 @@ object Dedup {
     *
     * Scale shape: the argmax is ONE partial-aggregable aggregate —
     * `max(struct(quality_score, -doc_id))` — so the per-cluster best
-    * combines map-side like any sum, no Window (a
-    * Window.partitionBy(cluster) would shuffle and SORT every clustered
-    * row; TopKAgg's lesson applied to rank-1). The tie-break rides in
+    * combines map-side like any sum and only #clusters partial rows
+    * cross the exchange, where a Window.partitionBy(cluster) would
+    * shuffle every clustered row (TopKAgg's lesson applied to rank-1).
+    * The physical agg is SortAggregate (a struct buffer is not
+    * hash-agg-mutable), so rows do get sorted WITHIN partitions — but
+    * per-partition, spillable, and pre-combine, which is the part that
+    * matters at scale; the alternative single-long bit-pack of
+    * (score, doc_id) would silently corrupt the tie-break past 2^49
+    * doc_ids and was rejected. The tie-break rides in
     * the same struct: maximizing -doc_id IS minimizing doc_id, all in
     * long/double comparisons both engines share. The best-per-cluster
-    * relation is #clusters-sized (corpus-bounded), and its attach joins
-    * a clustered-doc stream that is itself output-sized; both sides
-    * carry agg-derived stats, so the planner's hash-join choice
-    * (preferSortMergeJoin=false) needs no guard here.
+    * relation is #clusters-sized and attaches back to the clustered-doc
+    * stream under [[attachGuard]]: the r14 SmjScan census caught the
+    * planner leaving this join SortMergeJoin even post-AQE (the agg side
+    * sits above the checkpointed propagation leaf, whose stats don't
+    * survive the loop), which sorted BOTH output-sized streams. The
+    * guard keys on labeled's own count — a cheap read over its
+    * checkpointed blocks, and a true upper bound since best carries one
+    * row per cluster vs labeled's one per member (≥ 2 per cluster).
     */
   def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
     // Quality = the ta_quality blend (documents carry no stored score;
@@ -1453,7 +1463,7 @@ object Dedup {
       .agg(max(struct(col("quality_score").as("q"),
         (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), (-col("b.nd")).as("keep_id"))
-    labeled.join(best, Seq("cluster_id"))
+    labeled.join(attachGuard(labeled.count())(best), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("keep_id"))
   }
 
@@ -2690,4 +2700,98 @@ object Dedup {
        |  max(i) - min(i) + $SubstrWindow AS span_len,
        |  count(*) AS n_windows
        |FROM isl GROUP BY doc_a, doc_b, grp""".stripMargin
+
+  /** dd_substring_cut — per-DOCUMENT duplicated-span extraction: for every
+    * document, the maximal spans whose 40-char windows occur in at least
+    * one OTHER document. This is the production deliverable of Lee et
+    * al. 2022's ExactSubstr pass — the byte ranges a training-data
+    * pipeline actually cuts — where [[substringDup]] is the pair-evidence
+    * form (who shares what with whom).
+    *
+    * The split matters at scale, and SCALE_r14 measured why: dd_substring
+    * read a 30→100× marginal of 1.45, and the superlinear term is
+    * intrinsic to PAIR-LIST semantics on a duplication-heavy corpus — a
+    * span shared by d documents admits d(d−1)/2 pairs, so on mosaic
+    * growth (df of a copied window rises with corpus size) the OUTPUT
+    * itself compounds quadratically until the df cap bounds it. Cutting
+    * needs none of that: "does this window occur elsewhere" is a per-g
+    * predicate, so the whole query is one partial-aggregable test per
+    * window (min(doc_id) ≠ max(doc_id) ⟺ ≥ 2 distinct docs — combinable,
+    * unlike count-distinct), one semi-join of positions against the
+    * duplicated-window set (both sides corpus-LINEAR, no pair fan-out),
+    * and one islands window partitioned by doc_id (bounded by a doc's own
+    * window count, never by corpus size). No df cap either: boilerplate
+    * (df ≫ cap) is precisely what a cut pass must mark, and without a
+    * pair join high df costs nothing — each position row joins the g SET
+    * once however many documents share it.
+    *
+    * Window generation duplicates [[substringDup]]'s ~10-line block
+    * deliberately rather than sharing a helper: the pair form's committed
+    * r14 evidence (scale curve, cluster fingerprint, bench laps) was
+    * captured at its exact plan, and an extraction — however
+    * plan-identical — would re-open its code identity mid-round for zero
+    * runtime gain (the block is corpus-idiom, not logic).
+    */
+  def substringCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= SubstrWindow)
+      .select(col("doc_id"), col("text"))
+    val spread =
+      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    // One row per window position; xxhash64 as a top-level projection for
+    // the same codegen reasons as substringDup. (doc_id, i) is unique by
+    // construction, so no distinct is ever needed on the position side.
+    val gramsPos = spread
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SubstrWindow - 1)))
+          .as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        xxhash64(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
+      // Two consumers (the df test + the position stream) — checkpointed
+      // so the 40×-scan-bytes hashing pass runs once, as in substringDup.
+      .localCheckpoint()
+    // Cross-doc duplication test, one combinable agg: a window hash seen
+    // in ≥ 2 distinct documents has min(doc_id) ≠ max(doc_id). Within-doc
+    // repeats of a cross-doc window still mark BOTH positions (the
+    // content is duplicated elsewhere; within-doc-only repetition is
+    // ta_repetition's domain and stays out).
+    val dup = gramsPos.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("g"))
+    // Corpus-linear semi-join (position stream × duplicated-g set), then
+    // islands per document: consecutive duplicated positions share
+    // (i − row_number) and collapse to one maximal span of run + 39
+    // chars. The window partitions by doc_id — per-doc bounded state.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    gramsPos.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) - min(col("i")) + SubstrWindow).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  val substringCutSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), $SubstrWindow)) AS g
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+       |    length(text) - ${SubstrWindow - 1})) AS i)
+       |  WHERE length(text) >= $SubstrWindow),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM grams WHERE g IN (SELECT g FROM dup))
+       |SELECT doc_id, min(i) AS span_start,
+       |  max(i) - min(i) + $SubstrWindow AS span_len,
+       |  count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
 }

@@ -283,6 +283,52 @@ class DedupSpec extends SparkSuite {
       "planted near-dups should yield at least one multi-window span")
   }
 
+  test("substring-cut spans equal a plain-Scala reference and cover the pair form") {
+    // Independent reference for the per-DOC cut form: a position is
+    // duplicated iff its raw 40-char window occurs in at least one OTHER
+    // document (set membership over substrings — no hashing); runs fold
+    // the dumb way, independently of the islands row_number trick.
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val winSets = docs.map { case (id, t) =>
+      id -> (if (t.length < 40) Set.empty[String]
+             else (0 to t.length - 40).map(i => t.substring(i, i + 40)).toSet)
+    }.toMap
+    val want = (for {
+      (id, t) <- docs if t.length >= 40
+      others = winSets.collect { case (o, s) if o != id => s }
+        .foldLeft(Set.empty[String])(_ ++ _)
+      pos = (0 to t.length - 40)
+        .filter(i => others.contains(t.substring(i, i + 40))).map(_ + 1)
+      runs = pos.foldLeft(List.empty[List[Int]]) {
+        case (run :: rest, p) if run.head == p - 1 => (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      run <- runs
+    } yield (id, run.min.toLong, (run.max - run.min + 40).toLong,
+      run.size.toLong)).toSet
+    val got = Dedup.substringCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"cut spans diverge (missing ${want -- got}, extra ${got -- want})")
+    assert(got.nonEmpty, "planted near-dups should yield cut spans")
+    // Cross-query invariant: every pair-evidence span (doc_a positions
+    // shared with a specific partner) lies inside some cut span of doc_a
+    // — pair-shared windows are by definition cross-doc duplicated, and
+    // maximal runs over a superset of positions can only extend.
+    val cutByDoc = got.groupBy(_._1)
+    val pairSpans = Dedup.substringDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(pairSpans.nonEmpty)
+    for ((a, s, l) <- pairSpans) {
+      val covered = cutByDoc.getOrElse(a, Set.empty)
+        .exists { case (_, cs, cl, _) => cs <= s && s + l <= cs + cl }
+      assert(covered, s"pair span (doc=$a start=$s len=$l) not inside any cut span")
+    }
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap

@@ -11,7 +11,8 @@ object SmjScan {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession("smj-scan")
     val sf = "/root/testdata/sf0.1"
-    val qs = Seq("dd_minhash","dd_simhash","dd_clusters","dd_substring","dd_winnow",
+    val qs = Seq("dd_minhash","dd_simhash","dd_clusters","dd_substring","dd_substring_cut",
+      "dd_keep_best","dd_winnow",
       "dd_decontaminate","dd_decontaminate_fuzzy","dd_lines","dd_delta","dd_delta_chain",
       "dd_delta_embed_chain","mm_phash","pipeline_clean_corpus","dd_editdist",
       "dd_ngram_jaccard","ta_tfidf","ev_sessionize","ev_attribution","dd_embed_auto")
