@@ -37,10 +37,15 @@ object RecallProbe {
     val exactRare = resultMap(
       graft.queries.Similarity.annFilteredRareExact(spark, sfDir))
     val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
-        "ann_ivf_append", "ann_filtered", "ann_filtered_rare").map { fam =>
+        "ann_ivf_append", "ann_filtered", "ann_filtered_rare",
+        "ann_filtered_auto").map { fam =>
       val baseline = fam match {
         case "ann_filtered" => exactFiltered
-        case "ann_filtered_rare" => exactRare
+        // auto ships on the rare stratum; below the cost crossover its
+        // recall is 1.0 BY CONSTRUCTION (exact branch) — the probe row
+        // exists to catch a dispatch flip at a grown corpus, where the
+        // IVF branch's calibrated recall takes over.
+        case "ann_filtered_rare" | "ann_filtered_auto" => exactRare
         case _ => exact
       }
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))

@@ -121,6 +121,11 @@ object SparkEntry {
     "ann_filtered" -> (Similarity.annFiltered _),
     // the ~1% stratum: same index, probe depth re-calibrated per stratum
     "ann_filtered_rare" -> (Similarity.annFilteredRare _),
+    // selectivity-axis dispatch: exact stratum brute force below the
+    // 2.5*N^(-1/4) crossover (recall 1.0 AND fewer rows than the index
+    // would touch), the re-calibrated IVF path above it. At oracle scale
+    // the decision is exact-by-cost-rule, so it carries a full oracle.
+    "ann_filtered_auto" -> (Similarity.annFilteredAuto _),
     "mm_phash" -> (graft.multimodal.Multimodal.phash _),
     "dd_embed_hi768" -> (Dedup.embedHi768 _),
     "dd_delta_embed" -> (Dedup.deltaEmbed _),
@@ -164,6 +169,11 @@ object SparkEntry {
     "dd_clusters" -> Dedup.clustersSql,
     "dd_keep_best" -> Dedup.keepBestSql,
     "ann_topk" -> Similarity.annTopKSql,
+    // ann_filtered_auto: the dispatch picks the EXACT stratum brute force
+    // below the cost crossover — every oracle-scale corpus is — so this
+    // one member of the filtered family is fully SQL-restatable; a
+    // decision flip at oracle scale is a loud gate failure by design.
+    "ann_filtered_auto" -> Similarity.annFilteredAutoSql,
     // ann_ivf / ann_ivf_kmeans / ann_ivf_pq / ann_lsh / ann_ivf_append:
     // approximate BY CONSTRUCTION — an exact SQL restatement would be ann_topk's
     // oracle, which they must NOT equal (that's the speed/recall trade).

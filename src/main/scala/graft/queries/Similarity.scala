@@ -537,6 +537,105 @@ object Similarity {
     searchCells(probed, assigned)
   }
 
+  /** ann_filtered_auto — the selectivity-AXIS dispatch (round 14): given
+    * a predicate, choose between the two filtered-search regimes the
+    * family already ships, on a cost rule instead of a human reading the
+    * stratum. ann_filtered / ann_filtered_rare prove the IVF machinery
+    * re-calibrates per stratum; this entry answers the follow-on
+    * question — WHEN should a filtered search use the index at all?
+    *
+    * The rule is the two paths' touched-row counts. Exact filtered brute
+    * force touches `sel·N` corpus rows per query (the stratum, scanned
+    * under a pushed predicate). The IVF path touches
+    * `nprobe · ⌈N/k⌉ ≈ 2.5·N^(3/4)` rows per query (probe depth × mean
+    * posting size) — AND can only lose recall on top. So below the
+    * crossover (stratum ≤ touched rows, i.e. selectivity ≲ 2.5·N^(-1/4):
+    * ~1.4 % at 10⁹ vectors, ~0.25 % at 10¹²) the index is strictly
+    * dominated — brute force on the stratum reads less and is exact.
+    * This is the regime ann_filtered_rare measures the decay of; the
+    * dispatch routes it out entirely.
+    *
+    * Two deliberate asymmetries, both conservative toward the exact
+    * branch (the one with recall 1.0): (1) the yardstick nprobe is the
+    * calibration-FREE fallback formula (2.5·N^(1/4)), not the calibrated
+    * stratum value — the dispatch must not pay an index build + a
+    * filtered calibration pass on the branch whose whole point is
+    * avoiding the index (the calibrated filtered nprobe is ≥ the
+    * fallback, so using it could only move MORE strata to exact);
+    * (2) the stratum count is a real pushed-filter scan count, cached
+    * per corpus identity + predicate tag (the CorpusCaches discipline) —
+    * an estimate that undercounted could silently route a huge stratum
+    * to brute force.
+    *
+    * At the test corpora every stratum sits below the crossover (N^(3/4)
+    * dwarfs N at small N), so the shipped entry exercises the exact
+    * branch and carries a full DuckDB oracle — SimilaritySpec pins the
+    * decision and drives the IVF branch through an injected budget (the
+    * CapBindingSpec pattern), asserting row identity with
+    * ann_filtered_rare's output on the same stratum.
+    */
+  def annFilteredAuto(spark: SparkSession, sfDir: String): DataFrame =
+    annFilteredAutoWith(spark, sfDir, filterPredRare(), "rare")
+
+  private[graft] def annFilteredAutoWith(spark: SparkSession, sfDir: String,
+      pred: Column, tag: String, budgetOverride: Option[Long] = None)
+      : DataFrame =
+    if (autoPicksExact(spark, sfDir, pred, tag, budgetOverride))
+      annFilteredExactWith(spark, sfDir, pred)
+    else annFilteredWith(spark, sfDir, pred, tag)
+
+  /** The dispatch decision, exposed so the spec asserts it rather than
+    * inferring it from timing (the dd_embed_auto instrument pattern).
+    */
+  private[graft] def autoPicksExact(spark: SparkSession, sfDir: String,
+      pred: Column, tag: String, budgetOverride: Option[Long] = None)
+      : Boolean = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val stratum = stratumCountCached(emb, pred, tag)
+    stratum <= budgetOverride.getOrElse(ivfTouchedRowsPerQuery(corpusSize(emb)))
+  }
+
+  /** Rows the IVF path reads per query at the calibration-free probe
+    * depth: nprobeFallback(k) cells × the mean posting size ⌈n/k⌉. Pure
+    * arithmetic — no index build, no calibration jobs.
+    */
+  private[graft] def ivfTouchedRowsPerQuery(n: Long): Long = {
+    val k = centroidCount(n)
+    nprobeFallback(k).toLong * ((n + k - 1) / k)
+  }
+
+  private val stratumCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def stratumCountCached(emb: DataFrame, pred: Column,
+      tag: String): Long = {
+    val key = corpusKey(emb)
+    cachedOrBuild(stratumCache,
+      if (key.isEmpty) key else s"stratum:$tag@$key")(
+      java.lang.Long.valueOf(emb.filter(pred).count())).longValue()
+  }
+
+  /** Oracle for ann_filtered_auto at the shipped stratum: the dispatch
+    * picks the exact branch below the crossover (every test corpus is),
+    * so the entry is SQL-restatable — ann_topk's form with the rare
+    * predicate on the corpus side. If a corpus ever flips the decision
+    * at oracle scale, the driver gate fails loudly and the spec's
+    * decision assert catches it first in CI — that is the contract
+    * working, not an approximation leak.
+    */
+  val annFilteredAutoSql: String =
+    s"""SELECT q_id, neighbor_id, rank, cs FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(e.embedding AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < ${MaxQueries * 50L}
+       |    AND e.label = $FilterLabel AND e.vec_id % 10 = 1) t
+       |WHERE rank <= $K""".stripMargin
+
   /** The per-stratum calibrated probe depth — factored out so the spec
     * can read the number each stratum actually serves (the instrument
     * that proves re-calibration mattered).

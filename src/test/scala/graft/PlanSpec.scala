@@ -337,6 +337,10 @@ class PlanSpec extends SparkSuite {
       // same bounded-|Q| contract as ann_topk; exact radius form is the
       // LSH-recall measurement instrument, deliberately no-miss
       "ann_range" -> "bounded query-side broadcast",
+      // below the cost crossover the dispatch serves the exact stratum
+      // brute force — ann_topk's bounded-|Q| BNLJ against the PUSHED
+      // predicate stratum (sel·N rows, fewer than the index would touch)
+      "ann_filtered_auto" -> "bounded query-side broadcast on the stratum",
       // per-source aggregate crossed with the 1-row corpus total —
       // both sides constant-or-|sources| sized at any corpus scale
       "ds_weights" -> "1-row corpus-total cross",

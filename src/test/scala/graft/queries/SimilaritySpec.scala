@@ -223,6 +223,44 @@ class SimilaritySpec extends SparkSuite {
       s"rare stratum must calibrate deeper: nprobe $npRare !> $np10")
   }
 
+  test("ann_filtered_auto: dispatch picks exact below the crossover, IVF above (injected budget)") {
+    // Default decision at the test corpus: the rare stratum is far under
+    // 2.5·N^(3/4) touched rows, so the dispatch MUST pick the exact
+    // branch — asserted on the decision function (the dd_embed_auto
+    // instrument pattern), then on literal row identity with the exact
+    // filtered brute force (not a recall floor: recall 1.0 is the whole
+    // point of the branch).
+    assert(Similarity.autoPicksExact(spark, sf,
+      Similarity.filterPredRare(), "rare"),
+      "rare stratum must sit below the ivfTouchedRowsPerQuery crossover")
+    val auto = Similarity.annFilteredAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.annFilteredRareExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == exact,
+      s"auto(exact branch) diverges from brute force: ${auto diff exact} / ${exact diff auto}")
+    assert(auto.nonEmpty)
+    // Injected budget 0 forces the other regime (the CapBindingSpec
+    // pattern): the auto entry must then BE ann_filtered_rare — same
+    // IVF path, same stratum tag, row-identical output.
+    val ivf = Similarity.annFilteredAutoWith(spark, sf,
+      Similarity.filterPredRare(), "rare", Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rare = Similarity.annFilteredRare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == rare, "budget-0 auto must equal the ann_filtered_rare path")
+    // The crossover moves the right way with corpus size: touched rows
+    // grow ~N^(3/4), so the exact-branch region (selectivity below
+    // touched/N ≈ 2.5·N^(-1/4)) NARROWS as corpora grow — the rule
+    // dispatches big-corpus mid-selectivity strata to the index, never
+    // the reverse.
+    val small = Similarity.ivfTouchedRowsPerQuery(100000L)
+    val big = Similarity.ivfTouchedRowsPerQuery(1000000000L)
+    assert(big > small)
+    assert(big.toDouble / 1000000000L < small.toDouble / 100000L,
+      "crossover selectivity must shrink with corpus growth")
+  }
+
   test("ann_ivf_append: append-only lifecycle — batches assign only themselves, postings grow by exactly the batch") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)
