@@ -100,6 +100,7 @@ object SparkEntry {
     "dd_winnow" -> (Dedup.winnowPairs _),
     "dd_substring" -> (Dedup.substringDup _),
     "dd_substring_cut" -> (Dedup.substringCut _),
+    "dd_dup_stats" -> (Dedup.dupStats _),
     "st_dedup" -> (graft.streaming.StreamingQueries.dedup _),
     "ev_paths" -> (Events.paths _),
     "ev_histogram" -> (Events.histogram _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "dd_winnow" -> Dedup.winnowPairsSql,
     "dd_substring" -> Dedup.substringDupSql,
     "dd_substring_cut" -> Dedup.substringCutSql,
+    "dd_dup_stats" -> Dedup.dupStatsSql,
     "st_dedup" -> graft.streaming.StreamingQueries.dedupSql,
     "ev_paths" -> Events.pathsSql,
     "ev_histogram" -> Events.histogramSql,

@@ -2778,6 +2778,99 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** dd_dup_stats — the corpus duplication report: per SOURCE, how many
+    * documents carry cross-doc duplicated content and what fraction of
+    * their characters it covers. This is the number a pipeline owner
+    * reads before deciding whether a cut pass is worth a cluster-day —
+    * the report composes [[substringCut]] the way dd_keep_best composes
+    * dd_clusters.
+    *
+    * Exactness detail: cut spans are maximal runs of duplicated window
+    * POSITIONS, so two spans of one doc are separated by ≥ 1 clean
+    * position — but their CHARACTER ranges still overlap whenever the
+    * gap is under the window length (positions 1-5 and 7 cover chars
+    * 1-44 and 7-46). Summing span_len would double-count; duplicated
+    * chars are the INTERVAL UNION, computed with one more islands pass:
+    * a span opens a new group iff its start clears the running max end
+    * of its predecessors ([[mergedDupChars]], window partitioned by
+    * doc_id over the output-class span set — per-doc bounded, never
+    * corpus-bounded). The per-source rollup is then one partial
+    * aggregate over documents left-joined with the per-doc totals (the
+    * join's build side is ≤ one row per doc with any duplication —
+    * output-class).
+    */
+  def dupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = substringCut(spark, sfDir)
+      .select(col("doc_id"), col("span_start").as("s"),
+        (col("span_start") + col("span_len")).as("e"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(mergedDupChars(spans), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_chars")).as("dup_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        coalesce(sum(col("dup_chars")), lit(0L)).as("dup_chars"),
+        round(coalesce(sum(col("dup_chars")), lit(0L)) /
+          sum(col("n_chars")), 4).as("dup_ratio"))
+  }
+
+  /** Interval union per doc over (doc_id, s, e) half-open char ranges →
+    * (doc_id, dup_chars). Factored so DedupSpec can drive it with
+    * synthetic overlapping / touching / disjoint intervals — the corpus
+    * does not guarantee every merge case occurs.
+    */
+  private[queries] def mergedDupChars(spans: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    spans
+      .withColumn("flag",
+        when(col("s") > coalesce(max(col("e")).over(wPrev),
+          lit(Long.MinValue)), 1).otherwise(0))
+      .withColumn("grp", sum(col("flag")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("me") - col("ms")).as("dup_chars"))
+  }
+
+  val dupStatsSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), $SubstrWindow)) AS g
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+       |    length(text) - ${SubstrWindow - 1})) AS i)
+       |  WHERE length(text) >= $SubstrWindow),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM grams WHERE g IN (SELECT g FROM dup)),
+       |spans AS (
+       |  SELECT doc_id, min(i) AS s, max(i) + $SubstrWindow AS e
+       |  FROM isl GROUP BY doc_id, grp),
+       |flagged AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS flag
+       |  FROM spans),
+       |grp AS (
+       |  SELECT doc_id, s, e,
+       |    sum(flag) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |  FROM flagged),
+       |iv AS (SELECT doc_id, min(s) AS ms, max(e) AS me FROM grp GROUP BY doc_id, grp),
+       |dupc AS (SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS dup_chars
+       |  FROM iv GROUP BY doc_id)
+       |SELECT source, count(*) AS n_docs, count(dup_chars) AS dup_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(coalesce(sum(dup_chars), 0) AS BIGINT) AS dup_chars,
+       |  round(coalesce(sum(dup_chars), 0) * 1.0 / sum(n_chars), 4) AS dup_ratio
+       |FROM documents LEFT JOIN dupc USING (doc_id)
+       |GROUP BY source""".stripMargin
+
   val substringCutSql: String =
     s"""WITH grams AS (
        |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), $SubstrWindow)) AS g

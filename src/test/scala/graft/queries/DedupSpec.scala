@@ -329,6 +329,48 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dup_stats: interval union merges overlap/touch/disjoint; report equals a plain-Scala rollup") {
+    // The merge kernel on synthetic intervals — the corpus doesn't
+    // guarantee every case occurs. Doc 1: [1,45)+[7,47) overlap → 46;
+    // [100,140)+[140,180) touch (half-open: contiguous, one interval) →
+    // 80; [500,540) disjoint → 40; total 166. Doc 2: nested [10,90) ⊃
+    // [20,60) → 80.
+    val spans = spark.createDataFrame(Seq(
+      (1L, 1L, 45L), (1L, 7L, 47L), (1L, 100L, 140L), (1L, 140L, 180L),
+      (1L, 500L, 540L), (2L, 10L, 90L), (2L, 20L, 60L)
+    )).toDF("doc_id", "s", "e")
+    val merged = Dedup.mergedDupChars(spans).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 166L, 2L -> 80L), s"bad union: $merged")
+    // End-to-end: the per-source report equals an independent plain-Scala
+    // rollup over substringCut's own output + the documents table.
+    val cut = Dedup.substringCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dupByDoc = cut.groupBy(_._1).map { case (id, ss) =>
+      val ivs = ss.map(t => (t._2, t._2 + t._3)).sortBy(x => (x._1, x._2))
+      val folded = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: rest, (s, e)) if s <= b => (a, math.max(b, e)) :: rest
+        case (acc, iv) => iv :: acc
+      }
+      id -> folded.map { case (a, b) => b - a }.sum
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val dup = ds.flatMap(d => dupByDoc.get(d._1))
+      (src, ds.length.toLong, dup.length.toLong, ds.map(_._3).sum,
+        dup.sum,
+        BigDecimal(dup.sum.toDouble / ds.map(_._3).sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Dedup.dupStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want, s"report diverges: ${got diff want} / ${want diff got}")
+    assert(got.exists(_._5 > 0), "planted dups should yield duplicated chars")
+  }
+
   test("langid is deterministic and confident on stopword-bearing docs") {
     val r1 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     val r2 = TextAnalysis.langId(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
