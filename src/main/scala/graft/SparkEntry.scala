@@ -133,6 +133,15 @@ object SparkEntry {
     "dd_delta_chain" -> (Dedup.deltaChain _),
     "dd_delta_embed_chain" -> (Dedup.deltaEmbedChain _)
   )
+  /** DuckDB oracles whose SQL depends on the corpus (the approximate-ANN
+    * family: the frozen index artifacts — centroids, codebooks, planes,
+    * calibrated probe depths — are deterministic per corpus and are
+    * inlined into the SQL as literals; every distributed search stage is
+    * independently recomputed by DuckDB). Verify merges these into
+    * oracle_sql.json next to [[oracleSql]].
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Similarity.oracleSqlDynamic(spark, sfDir)
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -432,17 +432,27 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val n = corpusSize(emb)
-    val k = centroidCount(n)
-    val stride = math.max(1L, n / k)
-    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
-      emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-        .select(col("vec_id"), col("embedding"))))
+    val (ids, unit) = ivfModelOf(emb)
     val assigned = assignedCells(normed(emb), unit, ids)
     val probed = probedCells(queries(emb),
       unit, ids, calibratedNprobe(calibrationPairsCached(emb), unit, ids))
     searchCells(probed, assigned)
+  }
+
+  /** The shared hash-sampled coarse quantizer ("ivf" model slot): every
+    * vector whose id-hash clears a stride derived from k ≈ √N. One build
+    * per corpus serves ann_ivf / ann_ivf_pq / the filtered family / the
+    * dynamic oracle generator (which inlines the SAME frozen matrix into
+    * the DuckDB restatement — see [[oracleSqlDynamic]]).
+    */
+  private def ivfModelOf(emb: DataFrame): (Array[Long], Array[Double]) = {
+    val n = corpusSize(emb)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    centModelCached("ivf", emb)(collectUnitCents(
+      emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))))
   }
 
   /** The metadata predicate for the filtered search path: a single
@@ -522,14 +532,8 @@ object Similarity {
   private[graft] def annFilteredWith(spark: SparkSession, sfDir: String,
       pred: Column, tag: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val n = corpusSize(emb)
-    val k = centroidCount(n)
-    val stride = math.max(1L, n / k)
     // Coarse quantizer: the corpus-wide index, shared with ann_ivf/pq.
-    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
-      emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-        .select(col("vec_id"), col("embedding"))))
+    val (ids, unit) = ivfModelOf(emb)
     val filtered = Tables.embeddings(spark, sfDir).filter(pred)
     val assigned = assignedCells(normed(filtered), unit, ids)
     val probed = probedCells(queries(emb), unit, ids,
@@ -643,13 +647,7 @@ object Similarity {
   private[graft] def filteredNprobe(spark: SparkSession, sfDir: String,
       pred: Column, tag: String): Int = {
     val emb = Tables.embeddings(spark, sfDir)
-    val n = corpusSize(emb)
-    val k = centroidCount(n)
-    val stride = math.max(1L, n / k)
-    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
-      emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-        .select(col("vec_id"), col("embedding"))))
+    val (ids, unit) = ivfModelOf(emb)
     calibratedNprobe(
       calibrationPairsFilteredCached(emb, emb.filter(pred), tag), unit, ids)
   }
@@ -740,11 +738,23 @@ object Similarity {
     */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.embeddings(spark, sfDir)
+    val (ids, unit) = kmeansModelOf(raw)
+    val assigned = assignedCells(normed(raw), unit, ids)
+    val probed = probedCells(queries(raw),
+      unit, ids, calibratedNprobe(calibrationPairsCached(raw), unit, ids))
+    searchCells(probed, assigned)
+  }
+
+  /** The trained ("kmeans" slot) coarse model — factored out of
+    * [[annIvfKmeans]] so the oracle generator inlines the identical
+    * frozen centroid matrix (cell ids are centroid indices 0..k-1).
+    */
+  private def kmeansModelOf(raw: DataFrame): (Array[Long], Array[Double]) = {
     val n = corpusSize(raw)
     val k = centroidCount(n)
     val target = math.min(64L * k, KmeansSampleCap)
     val stride = math.max(1L, n / target)
-    val (ids, unit) = centModelCached("kmeans", raw) {
+    centModelCached("kmeans", raw) {
       val sample = raw
         .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .select(col("vec_id"), col("embedding"))
@@ -765,10 +775,6 @@ object Similarity {
       }
       (Array.tabulate(kEff)(_.toLong), flat)
     }
-    val assigned = assignedCells(normed(raw), unit, ids)
-    val probed = probedCells(queries(raw),
-      unit, ids, calibratedNprobe(calibrationPairsCached(raw), unit, ids))
-    searchCells(probed, assigned)
   }
 
   /** ann_ivf_pq — IVF coarse search + product-quantized scan + exact
@@ -997,14 +1003,9 @@ object Similarity {
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val n = corpusSize(emb)
-    val k = centroidCount(n)
-    val stride = math.max(1L, n / k)
     // Coarse quantizer: the SAME hash-sampled centroid model as ann_ivf
     // (shared cache slot — one coarse index per corpus serves both).
-    val (ids, unit) = centModelCached("ivf", emb)(collectUnitCents(
-      emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-        .select(col("vec_id"), col("embedding"))))
+    val (ids, unit) = ivfModelOf(emb)
     val (ksub, books) = pqBooksCached(emb, n)
     val e = normed(emb)
     // Scan side: (cell, vec_id, 8-byte code) — assignment and encoding
@@ -1290,5 +1291,266 @@ object Similarity {
       searchCells(probed, spark.read.parquet(ivfIndexPath(dir.toString)))
         .localCheckpoint()
     } finally Dedup.deleteDir(dir)
+  }
+
+  // -------------------------------------------------------------------
+  // Dynamic DuckDB oracles (round 15): full hash-checked correctness
+  // rows for the approximate family. The contract split:
+  //
+  //   * The INDEX ARTIFACTS — coarse centroid matrices, PQ codebooks,
+  //     LSH planes, calibrated probe depths — are deterministic per
+  //     corpus (seeded fits, sorted collects, measured quantiles; the
+  //     cross-mode fingerprint gate has pinned this since round 7) and
+  //     are emitted INTO the oracle SQL as literals: the frozen index
+  //     restated as data, the same way a real serving system versions
+  //     its index artifacts. Their own correctness is covered by the
+  //     unit specs (CalibrationSpec, SimilaritySpec) and the recall
+  //     floors (RECALL_rN ≥ 0.945).
+  //
+  //   * Every DISTRIBUTED stage — cell assignment, probe expansion,
+  //     candidate generation (including PQ encode + ADC scan and the
+  //     LSH hamming-ball membership), shortlisting, exact re-rank,
+  //     top-k with tie-breaks — is INDEPENDENTLY RECOMPUTED by DuckDB
+  //     from the base parquet + those literals. A defect anywhere in
+  //     the engine's search path (NearestCells, HyperplaneSigs,
+  //     PqCodes, TopKAgg, the join topology) now fails the driver's
+  //     rows+schema+hash gate instead of hiding behind rows-only.
+  //
+  // Generated per corpus by Verify (the artifacts depend on the data),
+  // merged into oracle_sql.json next to the static oracles. Floating-
+  // point conventions mirror the engine exactly where the engines'
+  // summation orders could differ only at decision boundaries — the
+  // same measured-safe ground ann_topk's oracle has stood on since
+  // round 2 (distinct random vectors never tie within rounding noise;
+  // exact replica ties break by id identically in both engines).
+  // -------------------------------------------------------------------
+
+  /** Shortest round-trip decimal for a double — Java's Double.toString,
+    * which DuckDB's correctly-rounded parser maps back to the identical
+    * bit pattern.
+    */
+  private def fmtD(d: Double): String = java.lang.Double.toString(d)
+
+  private def vecLit(a: Array[Double], off: Int, len: Int): String =
+    (0 until len).map(i => fmtD(a(off + i))).mkString("[", ",", "]")
+
+  /** `VALUES` rows for a centroid model: (cell id, unit centroid). */
+  private def centsValues(ids: Array[Long], unit: Array[Double]): String =
+    ids.indices.map { c =>
+      s"(${ids(c)}, ${vecLit(unit, c * Dim, Dim)}::DOUBLE[])"
+    }.mkString(",")
+
+  private def queryPredSql(a: String): String =
+    s"$a.vec_id % 50 = 0 AND $a.vec_id < ${MaxQueries * 50L}"
+
+  /** Exact cosine top-K re-rank over a (q_id, vec_id) candidate CTE —
+    * the SQL restatement of [[rankTopK]]: rank by (cosine desc, id asc),
+    * candidates pre-deduped, output (q_id, neighbor_id, rank, cs).
+    */
+  private def exactTopKTail(candCte: String): String =
+    s"""SELECT q_id, neighbor_id, rank, cs FROM (
+       |  SELECT t.q_id, t.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY t.q_id
+       |      ORDER BY list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+       |        CAST(ee.embedding AS DOUBLE[])) DESC, t.vec_id) AS INT) AS rank,
+       |    round(list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+       |      CAST(ee.embedding AS DOUBLE[])), 6) AS cs
+       |  FROM $candCte t JOIN embeddings ee ON ee.vec_id = t.vec_id
+       |    JOIN embeddings qq ON qq.vec_id = t.q_id) z
+       |WHERE rank <= $K""".stripMargin
+
+  /** Assignment + probe CTEs shared by every IVF-shaped oracle:
+    * CellReplicas-way corpus assignment (argmax-r dot against the unit
+    * centroids, ties by cell id asc — NearestCells' comparator), nprobe
+    * probe expansion over the bounded query set, hash join on cell.
+    * `corpusPred` filters the scan side for the filtered family (the
+    * pre-filter semantics, not post-filter).
+    */
+  private def ivfOracleSql(ids: Array[Long], unit: Array[Double],
+      nprobe: Int, corpusPred: Option[String]): String = {
+    val predSql = corpusPred.map(p => s"WHERE $p").getOrElse("")
+    s"""WITH cents(cid, cvec) AS (VALUES ${centsValues(ids, unit)}),
+       |assigned AS (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT c.cid AS cell, e.vec_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+       |          DESC, c.cid) AS r
+       |    FROM embeddings e CROSS JOIN cents c $predSql) s
+       |  WHERE r <= $CellReplicas),
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), c.cvec)
+       |          DESC, c.cid) AS r
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE ${queryPredSql("q")}) s
+       |  WHERE r <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probed p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.q_id)
+       |${exactTopKTail("cand")}""".stripMargin
+  }
+
+  /** ann_ivf_pq restated: PQ ENCODE (per-subspace argmin against the
+    * codebook literals, strict-< tie toward the lower entry — PqEncode's
+    * convention), ADC scan over the probed cells (query sub-dots against
+    * the reconstructed entries, summed subspace-major), calibrated
+    * shortlist by (adc desc, id asc), exact cosine re-rank.
+    */
+  private def pqOracleSql(ids: Array[Long], unit: Array[Double], nprobe: Int,
+      ksub: Int, books: Array[Double], shortK: Int): String = {
+    // books[m][ksub][subDim] as one nested literal m[s+1][j+1][t+1].
+    val bm = (0 until PqM).map { s =>
+      (0 until ksub).map { j =>
+        vecLit(books, (s * ksub + j) * PqSubDim, PqSubDim)
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    val adcTerms = (0 until PqM).map { s =>
+      s"list_dot_product(list_slice(CAST(qq.embedding AS DOUBLE[]), ${s * PqSubDim + 1}, ${(s + 1) * PqSubDim}), m[${s + 1}][cd.code[${s + 1}] + 1])"
+    }.mkString(" + ")
+    s"""WITH cents(cid, cvec) AS (VALUES ${centsValues(ids, unit)}),
+       |bm(m) AS (SELECT CAST($bm AS DOUBLE[][][])),
+       |bk AS (
+       |  SELECT CAST(s.range - 1 AS INT) AS s, CAST(j.range - 1 AS INT) AS j,
+       |    m[CAST(s.range AS INT)][CAST(j.range AS INT)] AS bvec
+       |  FROM bm, range(1, ${PqM + 1}) s, range(1, $ksub + 1) j),
+       |uv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x *
+       |      (CASE WHEN s2 = 0 THEN 1.0 ELSE 1.0 / sqrt(s2) END)) AS u
+       |  FROM (SELECT vec_id, embedding,
+       |      list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[])) AS s2 FROM embeddings) t),
+       |codes AS (
+       |  SELECT vec_id, list(j ORDER BY s) AS code FROM (
+       |    SELECT u.vec_id, b.s, b.j,
+       |      row_number() OVER (PARTITION BY u.vec_id, b.s
+       |        ORDER BY list_distance(list_slice(u.u, b.s * $PqSubDim + 1,
+       |          (b.s + 1) * $PqSubDim), b.bvec) ASC, b.j ASC) AS rn
+       |    FROM uv u CROSS JOIN bk b) t
+       |  WHERE rn = 1 GROUP BY vec_id),
+       |assigned AS (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT c.cid AS cell, e.vec_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+       |          DESC, c.cid) AS r
+       |    FROM embeddings e CROSS JOIN cents c) s
+       |  WHERE r <= $CellReplicas),
+       |probed AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), c.cvec)
+       |          DESC, c.cid) AS r
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE ${queryPredSql("q")}) s
+       |  WHERE r <= $nprobe),
+       |cpair AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probed p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT cp.q_id, cp.vec_id, $adcTerms AS adc
+       |  FROM cpair cp CROSS JOIN bm
+       |    JOIN codes cd ON cd.vec_id = cp.vec_id
+       |    JOIN embeddings qq ON qq.vec_id = cp.q_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc DESC, vec_id ASC) AS rn
+       |    FROM adc) s
+       |  WHERE rn <= $shortK)
+       |${exactTopKTail("shortlist")}""".stripMargin
+  }
+
+  /** ann_lsh restated: per-(vector, table) sign signatures against the
+    * plane literals (bit b set iff dot > 0 — HyperplaneSigs' convention),
+    * then candidate membership AS A SET: hamming(sig_q, sig_v) ≤ depth in
+    * ≥ 1 of the L tables — exactly the set the engine's multiprobe key
+    * enumeration joins to, restated as the hamming-ball predicate it
+    * expands (the oracle is allowed to be O(|Q|·N·L); it runs at sf0.01).
+    */
+  private def lshOracleSql(tables: Int, bits: Int, depth: Int): String = {
+    val planeRows = (for {
+      t <- 0 until tables
+      b <- 0 until bits
+    } yield {
+      val p = hyperplanes(t)(b)
+      s"($t, $b, ${(0 until Dim).map(i => fmtD(p(i))).mkString("[", ",", "]")}::DOUBLE[])"
+    }).mkString(",")
+    s"""WITH planes(tbl, b, pvec) AS (VALUES $planeRows),
+       |sig AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |      p.pvec) > 0 THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT)
+       |      AS sg
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, v.vec_id
+       |  FROM sig q JOIN sig v USING (tbl)
+       |  WHERE ${queryPredSql("q")} AND v.vec_id <> q.vec_id
+       |    AND bit_count(xor(q.sg, v.sg)) <= $depth)
+       |${exactTopKTail("cand")}""".stripMargin
+  }
+
+  /** The append lifecycle's frozen quantizer, computed directly from the
+    * old stratum (content-identical to what [[seedIvfIndex]] stages —
+    * the cents parquet round-trips floats exactly; same cache slot).
+    */
+  private def appendModelOf(emb: DataFrame): (Array[Long], Array[Double]) = {
+    val old = emb.filter(ivfAppendIsOld(col("vec_id")))
+    val nOld = old.count()
+    val kOld = centroidCount(nOld)
+    val strideOld = math.max(1L, nOld / kOld)
+    centModelCached("ivf_append", emb)(collectUnitCents(
+      old.filter(pmod(xxhash64(col("vec_id")), lit(strideOld)) === 0)
+        .select(col("vec_id"), col("embedding"))))
+  }
+
+  /** Generate the per-corpus DuckDB oracles for the whole approximate
+    * family. Called by Verify AFTER the queries run (all index-build
+    * products are then cache hits; a cold call rebuilds them
+    * identically — everything is deterministic per corpus).
+    */
+  private[graft] def oracleSqlDynamic(spark: SparkSession, sfDir: String)
+      : Map[String, String] = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
+    val pairs = calibrationPairsCached(emb)
+
+    val (ivfIds, ivfUnit) = ivfModelOf(emb)
+    val ivfNprobe = calibratedNprobe(pairs, ivfUnit, ivfIds)
+
+    val (kmIds, kmUnit) = kmeansModelOf(emb)
+    val kmNprobe = calibratedNprobe(pairs, kmUnit, kmIds)
+
+    val (apIds, apUnit) = appendModelOf(emb)
+    val apNprobe = calibratedNprobe(pairs, apUnit, apIds)
+
+    val (ksub, books) = pqBooksCached(emb, n)
+    val shortK = calibratedPqShortlist(emb, books, ksub, pairs)
+
+    val bits = lshBits(n)
+    val (tables, depth) = calibratedLsh(pairs, bits)
+
+    val np10 = filteredNprobe(spark, sfDir, filterPred10(), s"label$FilterLabel")
+    val npRare = filteredNprobe(spark, sfDir, filterPredRare(), "rare")
+
+    Map(
+      "ann_ivf" -> ivfOracleSql(ivfIds, ivfUnit, ivfNprobe, None),
+      "ann_ivf_kmeans" -> ivfOracleSql(kmIds, kmUnit, kmNprobe, None),
+      "ann_ivf_append" -> ivfOracleSql(apIds, apUnit, apNprobe, None),
+      "ann_filtered" -> ivfOracleSql(ivfIds, ivfUnit, np10,
+        Some(s"e.label = $FilterLabel")),
+      "ann_filtered_rare" -> ivfOracleSql(ivfIds, ivfUnit, npRare,
+        Some(s"e.label = $FilterLabel AND e.vec_id % 10 = 1")),
+      "ann_ivf_pq" -> pqOracleSql(ivfIds, ivfUnit, ivfNprobe, ksub, books, shortK),
+      "ann_lsh" -> lshOracleSql(tables, bits, depth))
   }
 }
