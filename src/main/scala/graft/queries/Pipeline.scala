@@ -15,16 +15,26 @@ import graft.Tables
   *      and every later stage (quality score, fingerprint, shingles)
   *      judges the CONTENT of a page rather than its chrome
   *   1. quality gate   (ta_quality score ≥ 0.55, on the CLEANED text)
-  *   2. exact dedup    (normalization fingerprint, keep min doc_id)
-  *   3. near-dup drop  (word-3-gram Jaccard ≥ 0.8 among survivors,
-  *                      drop the higher doc_id of each pair)
+  *   2. exact dedup    (normalization fingerprint; keep the BEST-QUALITY
+  *                      member per fingerprint, ties → lowest doc_id)
+  *   3. near-dup dedup (word-3-gram Jaccard ≥ 0.8 among survivors →
+  *                      connected components → keep the BEST-QUALITY
+  *                      member per cluster, ties → lowest doc_id)
+  *
+  * Stages 2 and 3 carry the PRODUCTION survivor policy — dd_keep_best's
+  * quality-argmax (CCNet/RefinedWeb keep the best-scoring representative)
+  * — composed into the flagship rather than the min-doc_id convenience
+  * the standalone pair queries orient by (VERDICT r14 #2: a user running
+  * "the pipeline" should get the policy dd_keep_best's Scaladoc calls
+  * production). The tie-break makes the policy total: exact replicas
+  * score identically, so ties fall back to the stable minimum id.
   *
   * Emits the surviving corpus with its provenance columns. Every stage is
   * the same logic as the standalone queries, so the whole chain is
   * SQL-expressible and oracle-checked end-to-end — the strongest
   * correctness statement in the suite, since stage-composition bugs
-  * (dedup before/after filter, pair orientation) don't show up in
-  * per-stage checks.
+  * (dedup before/after filter, survivor policy, pair orientation) don't
+  * show up in per-stage checks.
   */
 object Pipeline {
 
@@ -42,12 +52,11 @@ object Pipeline {
     // stage-1+2 subtree scans `documents` exactly once.
     val kept = exactKept(spark, sfDir).localCheckpoint()
 
-    // Stage 3: near-dup removal among survivors — drop doc_b of each
-    // Jaccard≥0.8 pair (higher id loses; transitive chains collapse to
-    // their minimum via repeated pair membership). Runs the dd_minhash
-    // funnel (banded LSH candidates → df-capped exact verification), NOT
-    // the exact shingle self-join: identical output at J ≥ 0.8 (candidates
-    // are exact-verified; P(miss) ≈ 2e-4 — same reroute argument as
+    // Stage 3: near-dup dedup among survivors under the keep-best policy.
+    // Candidate pairs come from the dd_minhash funnel (banded LSH
+    // candidates → df-capped exact verification), NOT the exact shingle
+    // self-join: identical output at J ≥ 0.8 (candidates are
+    // exact-verified; P(miss) ≈ 2e-4 — same reroute argument as
     // dd_editdist), but candidate generation stays hash-join-shaped at
     // corpus scale instead of quadratic in shingle-sharing docs. The
     // oracle states the exact form, so the equivalence is hash-checked
@@ -55,14 +64,34 @@ object Pipeline {
     // minhashFrom ≡ jaccardPairs on THIS survivor set (not just the raw
     // corpus) so threshold-adjacent drift in the survivors can't silently
     // void the reroute argument.
-    // The loser set is a guarded attach keyed on the survivor count
-    // (free — kept is checkpointed): the survivor corpus — the stream
-    // carrying full text — is never sorted in either guard regime.
-    val losers = Dedup.attachGuard(kept.count())(
-      Dedup.minhashFrom(shinglesOf(kept))
-        .select(col("doc_b").as("doc_id")).distinct())
+    //
+    // Pair orientation alone can't express keep-best (the best member of
+    // a chain may sit mid-id), so the pairs close into components via
+    // dd_clusters' propagation loop and each cluster keeps its quality
+    // argmax — dd_keep_best's partial-aggregable max(struct(q, -id)):
+    // only #clusters rows cross the exchange, never a window over the
+    // clustered rows. Quality rides in from the checkpointed survivor
+    // table (computed once at stage 1 — no second documents scan).
+    val pairs = Dedup.minhashFrom(shinglesOf(kept))
+      .select(col("doc_a"), col("doc_b"))
+    val labeled = Dedup.propagateComponents(pairs).localCheckpoint()
+    val best = labeled
+      .join(kept.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("keep_id"))
+    // Losers = clustered docs that are not their cluster's keeper. Both
+    // attaches are guarded (labeled is checkpointed, so its count is a
+    // cached-block read; kept's count keys the final anti-join) — the
+    // survivor corpus, the stream carrying full text, is never sorted in
+    // either guard regime.
+    val losers = labeled
+      .join(Dedup.attachGuard(labeled.count())(best), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
 
-    kept.join(losers, Seq("doc_id"), "left_anti")
+    kept.join(Dedup.attachGuard(kept.count())(losers), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         col("quality_score"), col("fp"))
   }
@@ -71,7 +100,18 @@ object Pipeline {
     * deduplicates. Package-visible so the equivalence spec runs the LSH
     * funnel and the exact self-join over the same survivor basis.
     */
-  private[graft] def exactKept(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def exactKept(spark: SparkSession, sfDir: String): DataFrame =
+    exactKeptFrom(Tables.documents(spark, sfDir))
+
+  /** Stages 0–2 parameterized on the raw documents table, so the planted
+    * keep-best fixture (PipelineEquivalenceSpec) can drive the survivor
+    * policy on a corpus where best-quality provably diverges from min-id
+    * — at oracle scale every post-gate fingerprint group is a singleton,
+    * so the driver hash can't distinguish the two policies at stage 2
+    * (stage 3 it can: 10 of 23 cluster keepers are non-minimal at
+    * sf0.01).
+    */
+  private[graft] def exactKeptFrom(rawDocs: DataFrame): DataFrame = {
     // Stage 0: line-level boilerplate removal (the dd_lines pass in its
     // pipeline-composable form — pass-through columns ride the explode,
     // fully-boilerplate docs drop, ONE documents scan in the plan; the
@@ -79,8 +119,7 @@ object Pipeline {
     // as in standalone dd_lines). On the driver corpora (single-line
     // docs, max line df 2 < 4) this is a verified no-op — the planted
     // fixture spec and the oracle CTE carry the behavioral check.
-    val docs = Dedup.lineCleanedDocs(
-      Tables.documents(spark, sfDir), Seq("lang", "source"))
+    val docs = Dedup.lineCleanedDocs(rawDocs, Seq("lang", "source"))
 
     // Stage 1: quality gate (subset of ta_quality's score formula).
     val toks = split(col("text"), "\\s+")
@@ -95,14 +134,21 @@ object Pipeline {
       .withColumn("quality_score", round(score, 4))
       .filter(col("quality_score") >= 0.55)
 
-    // Stage 2: exact dedup — keep the minimum doc_id per fingerprint.
+    // Stage 2: exact dedup — keep-best within each fingerprint group:
+    // the fp normalizes case and non-letters, so two docs can share a
+    // fingerprint while scoring differently on their RAW text; the
+    // production policy keeps the best-scoring one (ties → lowest
+    // doc_id, via the same max(struct(q, -id)) device as dd_keep_best).
+    // Same single-window shuffle shape as the previous min-id form —
+    // the struct max replaces the min, nothing else moves.
     val fp = md5(regexp_replace(lower(col("text")), "[^a-z]", ""))
     quality
       .withColumn("fp", fp)
-      .withColumn("min_id", min(col("doc_id"))
+      .withColumn("bst", max(struct(col("quality_score").as("q"),
+          (-col("doc_id")).as("nd")))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("min_id"))
-      .drop("min_id")
+      .filter(col("doc_id") === -col("bst.nd"))
+      .drop("bst")
   }
 
   /** Distinct word-3-gram shingles of a survivor table — the stage-3
@@ -121,7 +167,7 @@ object Pipeline {
     shinglesOf(exactKept(spark, sfDir))
 
   val cleanCorpusSql: String =
-    raw"""WITH ln AS (
+    raw"""WITH RECURSIVE ln AS (
          |  SELECT doc_id, lang, source, i - 1 AS idx, l[i] AS line
          |  FROM (SELECT doc_id, lang, source,
          |          regexp_split_to_array(text, chr(10)) AS l
@@ -147,8 +193,9 @@ object Pipeline {
          |exact_kept AS (
          |  SELECT *, md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fp
          |  FROM gated
-         |  QUALIFY doc_id = min(doc_id) OVER (
-         |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z]', '', 'g')))),
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |    ORDER BY quality_score DESC, doc_id) = 1),
          |tok AS (
          |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM exact_kept
          |  WHERE len(regexp_split_to_array(text, '\s+')) >= 3),
@@ -158,14 +205,32 @@ object Pipeline {
          |            for i in generate_series(1, len(w)-2)]) AS shingle
          |  FROM tok),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |losers AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
          |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |    GROUP BY 1, 2) p
          |  JOIN sizes sa ON p.doc_a = sa.doc_id
          |  JOIN sizes sb ON p.doc_b = sb.doc_id
-         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_a, doc_a FROM edges
+         |  UNION
+         |  SELECT e.doc_b, r.r FROM reach r JOIN edges e ON e.doc_a = r.doc_id),
+         |labeled AS (
+         |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |keepers AS (
+         |  SELECT l.cluster_id, l.doc_id AS keep_id FROM labeled l
+         |  JOIN exact_kept e USING (doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+         |    ORDER BY e.quality_score DESC, l.doc_id) = 1),
+         |losers AS (
+         |  SELECT l.doc_id FROM labeled l
+         |  JOIN keepers k ON l.cluster_id = k.cluster_id
+         |  WHERE l.doc_id <> k.keep_id)
          |SELECT doc_id, lang, source, quality_score, fp
          |FROM exact_kept
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin

@@ -31,4 +31,39 @@ class PipelineEquivalenceSpec extends SparkSuite {
     // empty pair set means the basis changed, not that the proof got easier.
     assert(exact.nonEmpty, "survivor set has no near-dup pairs to compare on")
   }
+
+  test("stage-2 keeps the best-quality member per fingerprint, not min id") {
+    // Planted pair sharing one normalization fingerprint (identical
+    // letters-only-lowercase text) where the HIGHER id scores higher:
+    // doc 10's title-casing lowers its [a-z] alpha ratio more than its
+    // zero stopword ratio buys back ("The" ≠ "the" for the stoplist).
+    // The old min-id policy kept doc 10; keep-best must keep doc 11.
+    // At oracle scale this stage is vacuously policy-free (every
+    // post-gate fp group is a singleton at sf0.01), so THIS fixture is
+    // the stage-2 policy's behavioral check; stage 3's policy is
+    // driver-hash-checked (10 of 23 keepers non-minimal at sf0.01).
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "The Quick Brown Fox Jumps Over The Lazy Dog", "en", "web"),
+      (11L, "the quick brown fox jumps over the lazy dog", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Pipeline.exactKeptFrom(docs)
+      .select("doc_id", "quality_score").collect()
+    // Premise: one fp group, both pass the gate, 11 outscores 10 — if a
+    // formula tweak breaks the premise the assert explains itself.
+    val solo = docs.collect().map { r =>
+      val one = Pipeline.exactKeptFrom(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") === r.getLong(0)))
+        .select("doc_id", "quality_score").collect()
+      assert(one.length == 1, s"doc ${r.getLong(0)} must pass the gate alone")
+      one(0).getLong(0) -> one(0).getDouble(1)
+    }.toMap
+    assert(solo(11L) > solo(10L),
+      s"premise: 11 must outscore 10 (got $solo) — formula drifted?")
+    val byId = kept.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.length == 1,
+      s"expected one survivor from the shared-fp pair, got ${byId.keySet}")
+    assert(byId.keySet == Set(11L),
+      s"keep-best must keep the best-quality member (11), kept ${byId.keySet}")
+  }
 }
