@@ -36,9 +36,11 @@ object RecallProbe {
       graft.queries.Similarity.annFilteredExact(spark, sfDir))
     val exactRare = resultMap(
       graft.queries.Similarity.annFilteredRareExact(spark, sfDir))
+    val exactRange = resultMap(
+      graft.queries.Similarity.annFilteredRangeExact(spark, sfDir))
     val entries = Seq("ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
         "ann_ivf_append", "ann_filtered", "ann_filtered_rare",
-        "ann_filtered_auto").map { fam =>
+        "ann_filtered_auto", "ann_filtered_range").map { fam =>
       val baseline = fam match {
         case "ann_filtered" => exactFiltered
         // auto ships on the rare stratum; below the cost crossover its
@@ -46,6 +48,10 @@ object RecallProbe {
         // exists to catch a dispatch flip at a grown corpus, where the
         // IVF branch's calibrated recall takes over.
         case "ann_filtered_rare" | "ann_filtered_auto" => exactRare
+        // the range stratum sits ABOVE the crossover on grown corpora
+        // (50% selectivity, scale-invariant), so this row reads the IVF
+        // branch's calibrated recall across the scale curve.
+        case "ann_filtered_range" => exactRange
         case _ => exact
       }
       val approx = resultMap(SparkEntry.queries(fam)(spark, sfDir))

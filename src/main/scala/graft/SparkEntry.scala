@@ -127,6 +127,7 @@ object SparkEntry {
     // would touch), the re-calibrated IVF path above it. At oracle scale
     // the decision is exact-by-cost-rule, so it carries a full oracle.
     "ann_filtered_auto" -> (Similarity.annFilteredAuto _),
+    "ann_filtered_range" -> (Similarity.annFilteredRange _),
     "mm_phash" -> (graft.multimodal.Multimodal.phash _),
     "dd_embed_hi768" -> (Dedup.embedHi768 _),
     "dd_delta_embed" -> (Dedup.deltaEmbed _),

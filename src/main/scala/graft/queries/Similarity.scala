@@ -170,10 +170,13 @@ object Similarity {
     * true neighbors land, so fixed parameters decay).
     */
   private def calibrationPairsFilteredCached(emb: DataFrame, filtered: DataFrame,
-      tag: String): Array[(Array[Double], Array[Double])] = {
+      tag: String, predSql: String): Array[(Array[Double], Array[Double])] = {
     val key = corpusKey(emb)
+    // Predicate SQL rides in the key next to the tag (the same ADVICE-r14
+    // fix as stratumCountCached): a tag reused with a different predicate
+    // must rebuild, never serve the other stratum's calibration pairs.
     cachedOrBuild(calCache,
-      if (key.isEmpty) key else s"filtered:$tag@$key")(
+      if (key.isEmpty) key else s"filtered:$tag:$predSql@$key")(
       calibrationPairsOver(emb, filtered))
   }
 
@@ -581,6 +584,40 @@ object Similarity {
   def annFilteredAuto(spark: SparkSession, sfDir: String): DataFrame =
     annFilteredAutoWith(spark, sfDir, filterPredRare(), "rare")
 
+  /** The RANGE stratum (round 15, VERDICT r14 #5): `vec_id < N/2` — the
+    * third point on the selectivity axis and STRUCTURALLY different from
+    * the equality/residue strata (a range pushes to parquet as a
+    * LessThan filter; its 50% selectivity is scale-invariant, so the
+    * dispatch flips with N alone).
+    */
+  private[graft] def filterPredRange(n: Long): Column =
+    col("vec_id") < lit(n / 2)
+
+  /** ann_filtered_range — the auto dispatch on the range stratum. The
+    * crossover rule sel·N ≤ nprobe_fallback·⌈N/k⌉ holds at 50% exactly
+    * when N^(1/4) ≲ 5, so the SAME entry exercises BOTH branches across
+    * the committed corpora: exact at the oracle scale (stratum 250 ≤ 264
+    * touched rows at N=500), IVF at sf0.1 (1000 > 765 at N=2000) and at
+    * any production scale. Its oracle is generated FOLLOWING the
+    * dispatch: the generator evaluates the same cost rule and emits the
+    * exact brute-force restatement or the IVF restatement (with the
+    * range stratum's own re-calibrated nprobe) accordingly — both
+    * regimes are hash-checked, not just the exact one. Per-stratum
+    * recalibration + branch identity are pinned in SimilaritySpec;
+    * RecallProbe carries the family's row across the scale curve (where
+    * grown corpora keep it on the IVF branch).
+    */
+  def annFilteredRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annFilteredAutoWith(spark, sfDir, filterPredRange(corpusSize(emb)), "range")
+  }
+
+  private[graft] def annFilteredRangeExact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annFilteredExactWith(spark, sfDir, filterPredRange(corpusSize(emb)))
+  }
+
   private[graft] def annFilteredAutoWith(spark: SparkSession, sfDir: String,
       pred: Column, tag: String, budgetOverride: Option[Long] = None)
       : DataFrame =
@@ -614,8 +651,13 @@ object Similarity {
   private def stratumCountCached(emb: DataFrame, pred: Column,
       tag: String): Long = {
     val key = corpusKey(emb)
+    // The key carries the PREDICATE ITSELF (its canonical SQL), not just
+    // the caller's tag (ADVICE r14): a future caller reusing a tag with
+    // a different predicate must miss, never silently serve the other
+    // stratum's count and misroute the dispatch.
+    val predSql = predSqlOf(pred)
     cachedOrBuild(stratumCache,
-      if (key.isEmpty) key else s"stratum:$tag@$key")(
+      if (key.isEmpty) key else s"stratum:$tag:$predSql@$key")(
       java.lang.Long.valueOf(emb.filter(pred).count())).longValue()
   }
 
@@ -649,8 +691,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val (ids, unit) = ivfModelOf(emb)
     calibratedNprobe(
-      calibrationPairsFilteredCached(emb, emb.filter(pred), tag), unit, ids)
+      calibrationPairsFilteredCached(emb, emb.filter(pred), tag,
+        predSqlOf(pred)), unit, ids)
   }
+
+  private def predSqlOf(pred: Column): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred).sql
 
   /** Training-sample ceiling for the driver-side fit: 131,072 rows × 64
     * floats ≈ 33 MB — a bounded driver read (same policy class as footer
@@ -1359,6 +1405,22 @@ object Similarity {
        |    JOIN embeddings qq ON qq.vec_id = t.q_id) z
        |WHERE rank <= $K""".stripMargin
 
+  /** Exact filtered brute force restated (the ann_topk form with a
+    * corpus-side predicate) — the oracle for an auto entry whose
+    * dispatch lands on the exact branch at this corpus.
+    */
+  private def exactOracleSql(corpusPred: String): String =
+    s"""SELECT q_id, neighbor_id, rank, cs FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(e.embedding AS DOUBLE[])), 6) AS cs
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE ${queryPredSql("q")} AND $corpusPred) t
+       |WHERE rank <= $K""".stripMargin
+
   /** Assignment + probe CTEs shared by every IVF-shaped oracle:
     * CellReplicas-way corpus assignment (argmax-r dot against the unit
     * centroids, ties by cell id asc — NearestCells' comparator), nprobe
@@ -1542,7 +1604,22 @@ object Similarity {
     val np10 = filteredNprobe(spark, sfDir, filterPred10(), s"label$FilterLabel")
     val npRare = filteredNprobe(spark, sfDir, filterPredRare(), "rare")
 
+    // ann_filtered_range's oracle FOLLOWS the dispatch: the generator
+    // evaluates the same cost rule as the entry and restates whichever
+    // branch serves this corpus — exact brute force below the crossover,
+    // the IVF search (with the range stratum's re-calibrated nprobe)
+    // above it. Both regimes are hash-checked across the committed
+    // scales (sf0.01 lands exact, sf0.1 lands IVF).
+    val rangePred = filterPredRange(n)
+    val rangePredSql = s"e.vec_id < ${n / 2}"
+    val rangeSql =
+      if (autoPicksExact(spark, sfDir, rangePred, "range"))
+        exactOracleSql(rangePredSql)
+      else ivfOracleSql(ivfIds, ivfUnit,
+        filteredNprobe(spark, sfDir, rangePred, "range"), Some(rangePredSql))
+
     Map(
+      "ann_filtered_range" -> rangeSql,
       "ann_ivf" -> ivfOracleSql(ivfIds, ivfUnit, ivfNprobe, None),
       "ann_ivf_kmeans" -> ivfOracleSql(kmIds, kmUnit, kmNprobe, None),
       "ann_ivf_append" -> ivfOracleSql(apIds, apUnit, apNprobe, None),

@@ -16,7 +16,8 @@ class AnnOracleSpec extends SparkSuite {
 
   private val dynamicNames = Set(
     "ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
-    "ann_ivf_append", "ann_filtered", "ann_filtered_rare")
+    "ann_ivf_append", "ann_filtered", "ann_filtered_rare",
+    "ann_filtered_range")
 
   test("dynamic oracles cover exactly the approximate-ANN family") {
     val dyn = graft.SparkEntry.dynamicOracleSql(spark, sf)

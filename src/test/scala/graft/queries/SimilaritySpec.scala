@@ -261,6 +261,50 @@ class SimilaritySpec extends SparkSuite {
       "crossover selectivity must shrink with corpus growth")
   }
 
+  test("ann_filtered_range: third stratum exercises both branches; calibration is per-stratum") {
+    // The 50% range stratum (vec_id < N/2) sits just BELOW the crossover
+    // at the test corpus (N=500: stratum 250 ≤ 264 touched rows), so the
+    // shipped entry takes the exact branch here — row-identical to the
+    // exact filtered brute force — while the SAME scale-invariant
+    // selectivity lands ABOVE the crossover at any grown corpus
+    // (50% > 2.5·N^(-1/4) for N > ~625): sf0.1 and every scale-curve
+    // point exercise the IVF branch for real, no injection needed.
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val pred = Similarity.filterPredRange(n)
+    assert(Similarity.autoPicksExact(spark, sf, pred, "range"),
+      s"range stratum must sit below the crossover at n=$n")
+    val out = Similarity.annFilteredRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.annFilteredRangeExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == exact,
+      s"range auto(exact branch) diverges: ${out diff exact} / ${exact diff out}")
+    assert(out.nonEmpty)
+    // And the predicate itself is honored on the IVF branch (forced via
+    // injected budget): every neighbor is in the range stratum, and the
+    // branch is row-identical to the plain filtered path on the same
+    // stratum — the dispatch adds routing, never changes a branch.
+    val ivf = Similarity.annFilteredAutoWith(spark, sf, pred, "range",
+      Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = Similarity.annFilteredWith(spark, sf, pred, "range").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == plain, "budget-0 range auto must equal the filtered IVF path")
+    assert(ivf.forall(_._2 < n / 2), "IVF-branch neighbor outside the range stratum")
+    // Per-stratum recalibration ordering across all THREE strata: deeper
+    // probing as the stratum thins (50% ≤ 10% < 1%) — if the range
+    // stratum served the rare depth (or vice versa) the per-predicate
+    // calibration keying would be dead code.
+    val npRange = Similarity.filteredNprobe(spark, sf, pred, "range")
+    val np10 = Similarity.filteredNprobe(spark, sf,
+      Similarity.filterPred10(), "label3")
+    val npRare = Similarity.filteredNprobe(spark, sf,
+      Similarity.filterPredRare(), "rare")
+    info(s"calibrated nprobe: 50% = $npRange, 10% = $np10, 1% = $npRare")
+    assert(npRange <= np10 && np10 < npRare,
+      s"stratum depths out of order: 50%=$npRange, 10%=$np10, 1%=$npRare")
+  }
+
   test("ann_ivf_append: append-only lifecycle — batches assign only themselves, postings grow by exactly the batch") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, sf)
