@@ -62,5 +62,11 @@ run_point sf10 dd_decontaminate_fuzzy
 # output compounds, so its curve runs the same far points.
 run_point sf3 dd_substring_cut
 run_point sf10 dd_substring_cut
+# 300x (round 15, verdict r14 #3/#4): the fuzzy 30->100x marginal was
+# 0.841 AND RISING, and dd_substring_cut's was 1.297 — both watch items
+# get their next decade measured instead of argued. sf30 is a
+# documents-only staging (~1.5M docs).
+run_point sf30 dd_decontaminate_fuzzy
+run_point sf30 dd_substring_cut
 python3 scripts/merge_scale.py "$tmp" > "$out"
 echo "[scale] wrote $out" >&2

@@ -144,7 +144,7 @@ object CorpusOps {
     * contamination signal anyway). Cap far above any test-data df, so
     * output is unchanged there — the oracle states the uncapped form.
     */
-  private val EvalModulus = 7
+  private[queries] val EvalModulus = 7
   private val EvalGramDfCap = 1000
 
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
@@ -215,7 +215,7 @@ object CorpusOps {
     * argument, bipartite).
     */
   private val FuzzyTau = 0.5
-  private val FuzzyBandRows = 2
+  private[queries] val FuzzyBandRows = 2
 
   /** Candidate-pair count above which the sketch cut pays for itself:
     * the cut's two signature attaches cost ~0.4 s at sf0.1 (same-window

@@ -878,8 +878,21 @@ object Dedup {
     */
   private[graft] val GuardBroadcastBudgetBytes: Long = 192L << 20
 
+  /** Expected in-memory inflation of a BroadcastHashJoin build over raw
+    * unsafe-row bytes (ADVICE r14): a HashedRelation is not the packed
+    * rows — LongHashedRelation carries a key array + row pages at a
+    * sub-1.0 load factor, and slim two-long rows inflate the most
+    * (measured 2–4× for this row-width class in Spark's own
+    * LongToUnsafeRowMap sizing; 3× is the midpoint). Ceilings divide the
+    * byte budget by rowBytes × THIS factor, so "192 MB" budgets the
+    * driver/executor-resident structure, not an optimistic raw width
+    * (the r14 ceiling rise from 4M to ~12M rows for 16 B relations is
+    * walked back to ~4M).
+    */
+  private[graft] val HashedRelationOverhead = 3L
+
   private[graft] def guardCeilingRows(rowBytes: Long): Long =
-    GuardBroadcastBudgetBytes / rowBytes
+    GuardBroadcastBudgetBytes / (rowBytes * HashedRelationOverhead)
 
   /** Approximate guarded-relation row widths (unsafe-row bytes). Pair
     * and per-doc relations are two-long rows (id/id or id/count); the
@@ -944,8 +957,21 @@ object Dedup {
     * also deletes a replay of the candidate join that produced it.)
     */
   private[graft] def pairGuard(pairs: DataFrame,
-      rowBytes: Long = PairRowBytes): DataFrame =
+      rowBytes: Long = PairRowBytes): DataFrame = {
+    // The checkpoint contract is ENFORCED, not just documented (ADVICE
+    // r14): an un-checkpointed caller would silently pay a full count
+    // job plus a lineage replay per consumer. Every leaf of the analyzed
+    // plan must be a checkpoint scan (LogicalRDD — localCheckpoint's
+    // plan; narrow projections over it are fine, joins/aggregates that
+    // would replay are not). Name-matched to avoid depending on the
+    // node's package visibility.
+    val leaves = pairs.queryExecution.analyzed.collectLeaves()
+    require(leaves.nonEmpty && leaves.forall(
+        _.getClass.getSimpleName.startsWith("LogicalRDD")),
+      "pairGuard input must arrive localCheckpoint'ed (its count is then " +
+        s"a cached-block read); got leaves: ${leaves.map(_.nodeName)}")
     attachGuard(pairs.count(), rowBytes)(pairs)
+  }
 
   /** The sketch-verify cascade + exact verification tail, shared by the
     * closed-corpus pipeline ([[embedBucketedWithPlan]]) and the

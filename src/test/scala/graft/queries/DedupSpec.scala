@@ -823,8 +823,12 @@ class DedupSpec extends SparkSuite {
     assert(pairsDf.count() == 10)
     val stream = (for { a <- corpusIds; b <- corpusIds; r <- 1 to 3 }
       yield (a, b, r)).toDF("doc_a", "doc_b", "r")
-    // ceiling 6: corpus (5) under it, pair set (10) over it.
-    val rowBytesFor6 = Dedup.GuardBroadcastBudgetBytes / 6
+    // ceiling 6: corpus (5) under it, pair set (10) over it. The width
+    // backs out the HashedRelation overhead factor the ceiling divides
+    // by (ADVICE r14: the budget prices the in-memory hash structure,
+    // not raw unsafe-row bytes).
+    val rowBytesFor6 =
+      Dedup.GuardBroadcastBudgetBytes / (6 * Dedup.HashedRelationOverhead)
     assert(Dedup.guardCeilingRows(rowBytesFor6) == 6L)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val (pOver, gotOver) = try {

@@ -64,8 +64,14 @@ object ScaleCorpus {
     // r8 #5): the doc family's steepest curve needs a far point to
     // distinguish "flattening" from "compounding". sf10 (100×, ~500k
     // docs) is the next decade of that same watch item (verdict r10 #5).
+    // sf30 (300x, ~1.5M docs) is documents-only: the round-15 far decade
+    // for dd_decontaminate_fuzzy (verdict r14 #3: 30->100x marginal 0.841
+    // and rising - the next decade is measured, not argued) and
+    // dd_substring_cut (verdict r14 #4: far marginal 1.297). The
+    // embedding stagings stop at sf10 - no embedding-family query runs
+    // past 100x.
     for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9,
-        "sf3" -> 29, "sf10" -> 99)) {
+        "sf3" -> 29, "sf10" -> 99, "sf30" -> 299)) {
       val out = new java.io.File(s"$outBase/$tag/documents.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         val docs =
