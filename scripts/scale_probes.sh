@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_substring_cut dd_dup_stats dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_delta_embed dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered ann_filtered_rare ann_filtered_auto mm_phash dd_delta_chain dd_delta_embed_chain ann_ivf_append dd_keep_best"}
+queries=${@:-"dd_substring dd_substring_cut dd_dup_stats dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_delta_embed dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered ann_filtered_rare ann_filtered_auto ann_filtered_range mm_phash dd_delta_chain dd_delta_embed_chain ann_ivf_append dd_keep_best"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \

@@ -235,6 +235,25 @@ object CorpusOps {
     * both regimes on the same corpus (cut-on ≡ cut-off row identity —
     * the CapBindingSpec pattern).
     */
+  /** Minimum surviving shingles for a doc to be COMPARABLE by the fuzzy
+    * family (round 15). The 300× staging measured the failure mode this
+    * floor exists for: when the corpus is so duplication-saturated that
+    * the df cap deletes almost every shingle (1.5M docs → 423k signed
+    * docs averaging 1.2 surviving shingles), MinHash signatures
+    * degenerate — a doc reduced to one residual shingle scores J = 1.0
+    * against every doc sharing it, and the candidate set exploded to
+    * 54M pairs of which the sketch cut (correctly — the signatures
+    * really do agree) kept 53M, OOMing verification. A doc whose
+    * content the df cap classified as corpus-wide boilerplate carries
+    * no discriminative fingerprint; production pipelines skip such docs
+    * rather than compare noise (the CCNet/Gopher "too little content
+    * after cleaning" discipline). Not restated in the oracle for the
+    * same reason the df cap isn't: at every oracle scale the floor is
+    * measured inert (min shingles/doc = 8 at sf0.01 AND sf0.1 vs the
+    * floor of 5); FuzzyFloorSpec pins the planted behavior.
+    */
+  private[queries] val MinCappedShingles = 5L
+
   private[queries] def decontaminateFuzzyCut(spark: SparkSession,
       sfDir: String, cutMinPairs: Long): DataFrame = {
     // Capped over the FULL corpus basis before signing (the cap-ordering
@@ -254,7 +273,19 @@ object CorpusOps {
     // of the candidate job (buckets consume sigs), so the small-corpus
     // path pays no extra barrier; the cut branch then reads the same
     // blocks for its attaches and its (free) doc count.
-    val sigs = Dedup.minhashSigs(sh).localCheckpoint(eager = false)
+    // Degenerate-basis floor (round 15): only docs with >=
+    // MinCappedShingles surviving shingles are COMPARABLE (see the
+    // constant's note) — the count rides the signature aggregate for
+    // free (minhashSigs' nsh column), so the floor is ONE filter over
+    // the signature relation: zero extra jobs, plan-identical to the
+    // pre-floor form wherever the floor is inert (all driver corpora and
+    // stagings through 30×). The verification tail needs no floor of its
+    // own — candidate docs derive from floored signatures, so the
+    // shingle semi-join is floored transitively.
+    val sigs = Dedup.minhashSigs(sh)
+      .filter(col("nsh") >= MinCappedShingles)
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint(eager = false)
     val buckets = Dedup.bucketsFromSigs(sigs, FuzzyBandRows)
     val evalB = buckets.filter(col("doc_id") % EvalModulus === 0)
       .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))

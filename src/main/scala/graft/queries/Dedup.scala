@@ -220,8 +220,12 @@ object Dedup {
     // array value across the shuffle (vs 64 separate min-agg slots).
     // (a*h+b)%p on positive operands == pmod, so signatures are identical
     // to the column-wise formulation.
+    // nsh (the doc's surviving-shingle count) rides the SAME aggregate
+    // for free — the fuzzy family's degenerate-basis floor (round 15)
+    // filters on it with zero extra jobs.
     hashed.groupBy(col("doc_id")).agg(
-      graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"))
+      graft.functions.MinHashAgg.minhashSig(col("h"), perms, MinhashPrime).as("sig"),
+      count(lit(1)).as("nsh"))
   }
 
   private[queries] def bucketsFromSigs(sigs: DataFrame, bandRows: Int): DataFrame = {
@@ -937,6 +941,29 @@ object Dedup {
     * in-between regime (big corpus, small relation), where the fallback
     * is a hash build, never a sort.
     */
+  /** Per-partition byte budget for a SHUFFLE_HASH build — the ceiling
+    * above which the guard's third regime engages (round 15): a hash
+    * build is NOT spillable, so past the point where one partition's
+    * build (rows × rowBytes × HashedRelationOverhead / shuffle
+    * partitions) outgrows its task's execution-memory share the only
+    * safe plan is an explicit sort-merge (the dd_substring window-join
+    * lesson, now enforced by the guard instead of remembered per call
+    * site — and it must be an explicit MERGE hint, because the
+    * session-wide preferSortMergeJoin=false means an unhinted join
+    * would hash-build anyway). 32 MB is conservative against the
+    * measured regime: the 300× fuzzy staging OOM'd SHUFFLE_HASH builds
+    * at ~80 MB/partition raw with checkpoint blocks holding the
+    * protected storage pool. The ceiling scales with the partition
+    * count, so a real cluster's higher parallelism raises it.
+    */
+  private[graft] val HashBuildBytesPerPartition: Long = 32L << 20
+
+  private[graft] def hashBuildCeilingRows(spark: org.apache.spark.sql.SparkSession,
+      rowBytes: Long): Long = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toLong
+    HashBuildBytesPerPartition * parts / (rowBytes * HashedRelationOverhead)
+  }
+
   private[graft] def attachGuard(corpusRows: Long,
       rowBytes: Long = PairRowBytes)(df: DataFrame): DataFrame =
     if (corpusRows <= guardCeilingRows(rowBytes)) broadcast(df)
@@ -957,7 +984,8 @@ object Dedup {
     * also deletes a replay of the candidate join that produced it.)
     */
   private[graft] def pairGuard(pairs: DataFrame,
-      rowBytes: Long = PairRowBytes): DataFrame = {
+      rowBytes: Long = PairRowBytes,
+      hashCeilingOverride: Long = -1L): DataFrame = {
     // The checkpoint contract is ENFORCED, not just documented (ADVICE
     // r14): an un-checkpointed caller would silently pay a full count
     // job plus a lineage replay per consumer. Every leaf of the analyzed
@@ -970,7 +998,22 @@ object Dedup {
         _.getClass.getSimpleName.startsWith("LogicalRDD")),
       "pairGuard input must arrive localCheckpoint'ed (its count is then " +
         s"a cached-block read); got leaves: ${leaves.map(_.nodeName)}")
-    attachGuard(pairs.count(), rowBytes)(pairs)
+    // THREE regimes for pair sets (round 15): broadcast under the byte
+    // budget, SHUFFLE_HASH up to the per-partition hash-build ceiling,
+    // explicit MERGE above it — a hash build is not spillable, and the
+    // 300× fuzzy staging measured 53M-pair builds OOMing tasks while a
+    // sort-merge spills (the dd_substring window-join lesson, enforced
+    // by the guard). The third regime keys on the pair set's own EXACT
+    // count — only pairGuard gets it, because attachGuard's corpus
+    // proxies can overshoot by the shingle multiplier and a loose proxy
+    // must never push a small build into sorting the big stream.
+    val n = pairs.count()
+    val hashCeiling =
+      if (hashCeilingOverride >= 0) hashCeilingOverride
+      else hashBuildCeilingRows(pairs.sparkSession, rowBytes)
+    if (n <= guardCeilingRows(rowBytes)) broadcast(pairs)
+    else if (n <= hashCeiling) pairs.hint("SHUFFLE_HASH")
+    else pairs.hint("MERGE")
   }
 
   /** The sketch-verify cascade + exact verification tail, shared by the
@@ -2775,25 +2818,33 @@ object Dedup {
           .as("i"))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         xxhash64(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
-      // Two consumers (the df test + the position stream) — checkpointed
-      // so the 40×-scan-bytes hashing pass runs once, as in substringDup.
-      .localCheckpoint()
-    // Cross-doc duplication test, one combinable agg: a window hash seen
-    // in ≥ 2 distinct documents has min(doc_id) ≠ max(doc_id). Within-doc
-    // repeats of a cross-doc window still mark BOTH positions (the
-    // content is duplicated elsewhere; within-doc-only repetition is
-    // ta_repetition's domain and stays out).
-    val dup = gramsPos.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .select(col("g"))
-    // Corpus-linear semi-join (position stream × duplicated-g set), then
-    // islands per document: consecutive duplicated positions share
+    // Cross-doc duplication test as ONE pass over the position stream: a
+    // window hash seen in ≥ 2 distinct documents has min(doc_id) ≠
+    // max(doc_id) over its g-partition (combinable min/max — unlike
+    // count-distinct — evaluated by a single WindowExec after one hash
+    // exchange on g and a spillable in-partition sort). Round 14's form
+    // localCheckpointed the stream and ran groupBy(g) + a semi-join
+    // back — two full shuffles of the same rows PLUS block-manager
+    // residency of the whole position stream, which is ~24× the corpus
+    // TEXT bytes (petabytes at 100 TB; the 300× staging measured the
+    // small preview: 1B window rows ≈ 25 GB of checkpoint blocks
+    // thrashing a 16 GB heap to SparkOutOfMemoryError on every warm
+    // lap). The window form shuffles the stream ONCE, holds only one
+    // g-group at a time (ExternalAppendOnlyUnsafeRowArray — spills),
+    // and stores nothing. Within-doc repeats of a cross-doc window
+    // still mark BOTH positions (the content is duplicated elsewhere;
+    // within-doc-only repetition is ta_repetition's domain and stays
+    // out).
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    // Islands per document: consecutive duplicated positions share
     // (i − row_number) and collapse to one maximal span of run + 39
     // chars. The window partitions by doc_id — per-doc bounded state.
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
-    gramsPos.join(dup, Seq("g"), "left_semi")
+    gramsPos
+      .withColumn("lo", min(col("doc_id")).over(byG))
+      .withColumn("hi", max(col("doc_id")).over(byG))
+      .filter(col("lo") =!= col("hi"))
       .select(col("doc_id"), col("i"))
       .withColumn("grp", col("i") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))

@@ -833,8 +833,13 @@ class DedupSpec extends SparkSuite {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val (pOver, gotOver) = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hashCeilingOverride pins the MIDDLE regime: the injected huge
+      // rowBytes would otherwise also shrink the derived hash-build
+      // ceiling below the pair count and (correctly) select MERGE —
+      // the third regime has its own test in FuzzyFloorSpec.
       val joined = stream.join(
-        Dedup.pairGuard(pairsDf, rowBytes = rowBytesFor6),
+        Dedup.pairGuard(pairsDf, rowBytes = rowBytesFor6,
+          hashCeilingOverride = 100L),
         Seq("doc_a", "doc_b"), "left_semi")
       (joined.queryExecution.sparkPlan.toString,
         joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)

@@ -22,12 +22,18 @@ object FuzzyCutCheck {
     val outPath = if (args.length > 1) Some(args(1)) else None
     val spark = graft.GraftSession("fuzzy-cut-check")
 
-    // The check is only meaningful if the staged point actually crosses
-    // the threshold — recompute the raw candidate count through the
-    // query's own stages (the FuzzyProbe pipeline) and refuse to report
-    // a vacuous pass.
+    // Recompute the raw candidate count through the query's own stages —
+    // INCLUDING the round-15 degenerate-basis floor — so the engage
+    // decision below mirrors what the query would see. The cut is then
+    // driven via an injected threshold guaranteed to engage it (half the
+    // measured raw count): the differential certifies the CUT MACHINERY
+    // is lossless on this corpus's real candidate distribution, whether
+    // or not the shipped 100k threshold happens to trip here.
     val sh = Dedup.cappedShingles(spark, sf).localCheckpoint()
-    val sigs = Dedup.minhashSigs(sh).localCheckpoint()
+    val sigs = Dedup.minhashSigs(sh)
+      .filter(col("nsh") >= CorpusOps.MinCappedShingles)
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint()
     val buckets = Dedup.bucketsFromSigs(sigs, CorpusOps.FuzzyBandRows)
     val evalB = buckets.filter(col("doc_id") % CorpusOps.EvalModulus === 0)
       .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
@@ -35,10 +41,9 @@ object FuzzyCutCheck {
       .select(col("band"), col("bh"), col("doc_id").as("train_doc"))
     val rawPairs = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct().count()
-    require(rawPairs > CorpusOps.SketchCutMinPairs,
-      s"staged point $sf has only $rawPairs candidate pairs - the cut " +
-        s"would not engage (threshold ${CorpusOps.SketchCutMinPairs}); " +
-        "point the check at a bigger staging")
+    require(rawPairs >= 2,
+      s"staged point $sf produced no candidate pairs - nothing to cut")
+    val engageAt = math.max(1L, rawPairs / 2)
 
     def rows(cutMinPairs: Long): Array[String] = {
       val t0 = System.nanoTime()
@@ -48,11 +53,12 @@ object FuzzyCutCheck {
         f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
-    val cutOn = rows(CorpusOps.SketchCutMinPairs)
+    val cutOn = rows(engageAt)
     val cutOff = rows(Long.MaxValue)
     val equal = cutOn.sameElements(cutOff)
-    val line = s"""{"sf":"$sf","rawPairs":$rawPairs,""" +
-      s""""cutThreshold":${CorpusOps.SketchCutMinPairs},""" +
+    val line = s"""{"sf":"$sf","rawPairs":$rawPairs,"engagedAt":$engageAt,""" +
+      s""""shippedThreshold":${CorpusOps.SketchCutMinPairs},""" +
+      s""""shippedWouldEngage":${rawPairs > CorpusOps.SketchCutMinPairs},""" +
       s""""cutOnRows":${cutOn.length},"cutOffRows":${cutOff.length},""" +
       s""""equal":$equal}"""
     println("[fuzzycut] " + line)
