@@ -341,6 +341,11 @@ class PlanSpec extends SparkSuite {
       // brute force — ann_topk's bounded-|Q| BNLJ against the PUSHED
       // predicate stratum (sel·N rows, fewer than the index would touch)
       "ann_filtered_auto" -> "bounded query-side broadcast on the stratum",
+      // the range stratum sits below the crossover at THIS corpus, so
+      // the dispatch serves the same bounded-|Q| exact BNLJ; at grown
+      // corpora it flips to the IVF plan (hash joins) — the flip is
+      // hash-checked by the dispatch-following oracle at sf0.1
+      "ann_filtered_range" -> "bounded query-side broadcast on the stratum",
       // per-source aggregate crossed with the 1-row corpus total —
       // both sides constant-or-|sources| sized at any corpus scale
       "ds_weights" -> "1-row corpus-total cross",

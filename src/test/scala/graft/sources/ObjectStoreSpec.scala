@@ -1,74 +1,62 @@
 package graft.sources
 
-import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
 
 /** Conf-profile assertion for the S3A data plane (VERDICT r14 missing #1 /
   * next-round #6): the reference runs S3 by DEFAULT (mr/const.go:15
   * `UseS3 = true`, mr/s3.go:43-124), while this engine's object-store
   * path is config-only in the zero-egress sandbox — the one shipped code
-  * path that had never been asserted. This spec applies the profile to
-  * the session and checks the EXACT key/value set lands on the Hadoop
-  * configuration, so a typo'd conf key (silently ignored by Hadoop — the
-  * failure mode conf profiles are prone to) fails CI instead of shipping.
+  * path that had never been asserted. This spec checks the EXACT
+  * key/value set the profile applies, so a typo'd conf key (silently
+  * ignored by Hadoop — the failure mode conf profiles are prone to)
+  * fails CI instead of shipping.
+  *
+  * Deliberately applied to an ISOLATED Configuration, never the shared
+  * test session's: the committer classes come from the hadoop-cloud
+  * module (absent here), and setting them on the live Hadoop conf breaks
+  * every concurrently-running suite's parquet writes.
   */
-class ObjectStoreSpec extends SparkSuite {
+class ObjectStoreSpec extends AnyFunSuite {
 
-  test("configureS3a sets the exact s3a + committer key/value profile") {
-    val hc = spark.sparkContext.hadoopConfiguration
-    val keys = Seq(
-      "fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint",
-      "fs.s3a.committer.name",
-      "spark.sql.parquet.output.committer.class",
-      "spark.sql.sources.commitProtocolClass",
-      "fs.s3a.experimental.input.fadvise", "fs.s3a.connection.maximum")
-    val before = keys.map(k => k -> Option(hc.get(k))).toMap
-    try {
-      ObjectStore.configureS3a(spark,
-        accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
-        endpoint = Some("https://s3.example.test"))
-      val expected = Map(
-        "fs.s3a.access.key" -> "AKTEST",
-        "fs.s3a.secret.key" -> "SKTEST",
-        "fs.s3a.endpoint" -> "https://s3.example.test",
-        // Magic committer: multipart-completion commit instead of the
-        // rename-as-copy the reference's worker relies on.
-        "fs.s3a.committer.name" -> "magic",
-        "spark.sql.parquet.output.committer.class" ->
-          "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
-        "spark.sql.sources.commitProtocolClass" ->
-          "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
-        // Parquet range reads over a high-latency store.
-        "fs.s3a.experimental.input.fadvise" -> "random",
-        "fs.s3a.connection.maximum" -> "96")
-      val actual = expected.keys.map(k => k -> hc.get(k)).toMap
-      assert(actual == expected,
-        s"s3a profile drifted: ${actual.toSet diff expected.toSet}")
-    } finally {
-      // The suite session is shared — restore whatever was there.
-      before.foreach {
-        case (k, Some(v)) => hc.set(k, v)
-        case (k, None)    => hc.unset(k)
-      }
+  test("s3aProfile carries the exact s3a + committer key/value set") {
+    val profile = ObjectStore.s3aProfile(
+      accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
+      endpoint = Some("https://s3.example.test")).toMap
+    val expected = Map(
+      "fs.s3a.access.key" -> "AKTEST",
+      "fs.s3a.secret.key" -> "SKTEST",
+      "fs.s3a.endpoint" -> "https://s3.example.test",
+      // Magic committer: multipart-completion commit instead of the
+      // rename-as-copy the reference's worker relies on.
+      "fs.s3a.committer.name" -> "magic",
+      "spark.sql.parquet.output.committer.class" ->
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+      "spark.sql.sources.commitProtocolClass" ->
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+      // Parquet range reads over a high-latency store.
+      "fs.s3a.experimental.input.fadvise" -> "random",
+      "fs.s3a.connection.maximum" -> "96")
+    assert(profile == expected,
+      s"s3a profile drifted: ${profile.toSet diff expected.toSet} / " +
+        s"${expected.toSet diff profile.toSet}")
+  }
+
+  test("profile applies cleanly to a Hadoop configuration") {
+    val hc = new org.apache.hadoop.conf.Configuration(false)
+    ObjectStore.s3aProfile(Some("AK"), None, None).foreach {
+      case (k, v) => hc.set(k, v)
     }
+    assert(hc.get("fs.s3a.access.key") == "AK")
+    assert(hc.get("fs.s3a.committer.name") == "magic")
+    assert(hc.get("fs.s3a.secret.key") == null,
+      "no-credential keys must stay unset (instance-profile deployments)")
   }
 
   test("credentials are optional: region-only deployments set no static keys") {
-    val hc = spark.sparkContext.hadoopConfiguration
-    val credKeys = Seq("fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint")
-    val before = credKeys.map(k => k -> Option(hc.get(k))).toMap
-    try {
-      credKeys.foreach(hc.unset)
-      ObjectStore.configureS3a(spark)
-      credKeys.foreach { k =>
-        assert(hc.get(k) == null,
-          s"no-credential profile must not set $k (instance-profile deployments)")
-      }
-      assert(hc.get("fs.s3a.committer.name") == "magic")
-    } finally {
-      before.foreach {
-        case (k, Some(v)) => hc.set(k, v)
-        case (k, None)    => hc.unset(k)
-      }
-    }
+    val keys = ObjectStore.s3aProfile().map(_._1).toSet
+    assert(!keys.contains("fs.s3a.access.key") &&
+      !keys.contains("fs.s3a.secret.key") && !keys.contains("fs.s3a.endpoint"),
+      s"no-credential profile must not carry static credential keys: $keys")
+    assert(keys.contains("fs.s3a.committer.name"))
   }
 }
