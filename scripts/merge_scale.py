@@ -12,7 +12,7 @@ points — exponent ~= 1 means the df-cap / hash-join shape is holding
 import sys, json, math
 
 DOCS = {"sf0.1": 1.0, "sf0.3": 3.0, "sf1": 10.0, "sf3": 30.0,
-        "sf10": 100.0}  # relative corpus scale
+        "sf10": 100.0, "sf30": 300.0}  # relative corpus scale
 
 def main():
     lines = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
