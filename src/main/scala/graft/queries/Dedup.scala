@@ -990,14 +990,26 @@ object Dedup {
     // r14): an un-checkpointed caller would silently pay a full count
     // job plus a lineage replay per consumer. Every leaf of the analyzed
     // plan must be a checkpoint scan (LogicalRDD — localCheckpoint's
-    // plan; narrow projections over it are fine, joins/aggregates that
-    // would replay are not). Name-matched to avoid depending on the
-    // node's package visibility.
-    val leaves = pairs.queryExecution.analyzed.collectLeaves()
+    // plan; narrow projections over it are fine), AND no Join/Aggregate
+    // may sit ABOVE the checkpoint (ADVICE r15 low: a join over
+    // checkpointed leaves passes a leaves-only check yet still replays
+    // the join per consumer and pays a full recompute for the count —
+    // the exact cost this contract exists to prevent). Leaf check is
+    // name-matched to avoid depending on LogicalRDD's package
+    // visibility; the node check uses the public logical operators.
+    val analyzed = pairs.queryExecution.analyzed
+    val leaves = analyzed.collectLeaves()
     require(leaves.nonEmpty && leaves.forall(
         _.getClass.getSimpleName.startsWith("LogicalRDD")),
       "pairGuard input must arrive localCheckpoint'ed (its count is then " +
         s"a cached-block read); got leaves: ${leaves.map(_.nodeName)}")
+    val replaying = analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.nodeName
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a.nodeName
+    }
+    require(replaying.isEmpty,
+      "pairGuard input must be the checkpointed pair set itself, not a " +
+        s"plan over it — these nodes would replay per consumer: $replaying")
     // THREE regimes for pair sets (round 15): broadcast under the byte
     // budget, SHUFFLE_HASH up to the per-partition hash-build ceiling,
     // explicit MERGE above it — a hash build is not spillable, and the

@@ -25,34 +25,53 @@ object ObjectStore {
     * classes live in the hadoop-cloud module, absent from this sandbox's
     * classpath, so setting them on the LIVE session's Hadoop conf would
     * break every concurrent parquet write in the suite.
+    *
+    * SPLIT by destination (ADVICE r15 medium): the `fs.s3a.*` keys are
+    * Hadoop FileSystem configuration, but the two `spark.sql.*` committer
+    * keys are SQLConf entries — Spark SQL reads them from the session
+    * conf, and `ParquetFileFormat.prepareWrite` overwrites the
+    * hadoop-conf copy from SQLConf, so a profile that put them on the
+    * Hadoop Configuration would silently leave the rename-based commit
+    * protocol in force (slow and non-atomic on S3 — the exact failure
+    * this profile exists to avoid).
     */
-  def s3aProfile(accessKey: Option[String] = None,
-                 secretKey: Option[String] = None,
-                 endpoint: Option[String] = None): Seq[(String, String)] =
+  def s3aHadoopProfile(accessKey: Option[String] = None,
+                       secretKey: Option[String] = None,
+                       endpoint: Option[String] = None): Seq[(String, String)] =
     accessKey.map("fs.s3a.access.key" -> _).toSeq ++
       secretKey.map("fs.s3a.secret.key" -> _).toSeq ++
       endpoint.map("fs.s3a.endpoint" -> _).toSeq ++ Seq(
       // Job-commit without rename-as-copy:
       "fs.s3a.committer.name" -> "magic",
-      "spark.sql.parquet.output.committer.class" ->
-        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
-      "spark.sql.sources.commitProtocolClass" ->
-        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
       // Scan tuning for high-latency stores:
       "fs.s3a.experimental.input.fadvise" -> "random", // parquet range reads
       "fs.s3a.connection.maximum" -> "96")
 
+  /** SQLConf half of the profile — MUST be set on the Spark session conf
+    * (spark.conf.set / SparkConf at session build), not the Hadoop conf:
+    * the commit protocol is instantiated from SQLConf lookups
+    * (`spark.sql.sources.commitProtocolClass`), and the parquet committer
+    * class in the Hadoop conf is overwritten from SQLConf at write time.
+    */
+  val s3aSqlProfile: Seq[(String, String)] = Seq(
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+
   /** Static-credential setup, mirroring the reference's .env AWS keys
     * (mr/s3.go:21-31). Prefer instance profiles / WebIdentity in real
-    * clusters — then only `region` is needed.
+    * clusters — then only `region` is needed. Each key lands on the conf
+    * layer that actually reads it (see the profile split above).
     */
   def configureS3a(spark: SparkSession,
                    accessKey: Option[String] = None,
                    secretKey: Option[String] = None,
                    endpoint: Option[String] = None): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    s3aProfile(accessKey, secretKey, endpoint).foreach {
+    s3aHadoopProfile(accessKey, secretKey, endpoint).foreach {
       case (k, v) => hc.set(k, v)
     }
+    s3aSqlProfile.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -43,6 +43,28 @@ class FuzzyFloorSpec extends SparkSuite {
     } finally Dedup.deleteDir(dir)
   }
 
+  test("floor is inert on every driver-verified corpus (oracle-divergence sentinel)") {
+    // ADVICE r15 low: the floor changes output semantics (sub-floor docs
+    // never emit pairs) but is deliberately NOT restated in the static
+    // DuckDB oracle — the same discipline as the df cap, valid only
+    // while no verified corpus contains a sub-floor doc. This assertion
+    // moves that invariant from prose to CI: if a future testdata
+    // regeneration ships a doc with < MinCappedShingles surviving
+    // shingles, the divergence surfaces HERE at staging time as a named
+    // failure instead of in the driver gate as a false-alarm hash
+    // mismatch. sf0.01 is the driver's verify corpus; sf0.001 rides
+    // along because the suite already reads it.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val minNsh = Dedup.minhashSigs(Dedup.cappedShingles(spark, dir))
+        .agg(min(col("nsh"))).head().getLong(0)
+      assert(minNsh >= CorpusOps.MinCappedShingles,
+        s"$dir has a doc with $minNsh < ${CorpusOps.MinCappedShingles} " +
+          "surviving shingles: the fuzzy floor is NO LONGER INERT on a " +
+          "driver-verified corpus — restate it in decontaminateFuzzySql " +
+          "(HAVING count(*) >= floor on the shingle basis) before shipping")
+    }
+  }
+
   test("pairGuard's third regime: above the hash-build ceiling the pair set sort-merges") {
     val sess = spark
     import sess.implicits._

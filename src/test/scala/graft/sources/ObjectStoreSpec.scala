@@ -11,6 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * ignored by Hadoop — the failure mode conf profiles are prone to)
   * fails CI instead of shipping.
   *
+  * Round 16 (ADVICE r15 medium): the profile is SPLIT by destination —
+  * `fs.s3a.*` keys belong on the Hadoop Configuration, while the two
+  * `spark.sql.*` committer keys are SQLConf entries that Spark SQL reads
+  * from the session conf (ParquetFileFormat.prepareWrite overwrites the
+  * hadoop-conf copy from SQLConf, so placing them on the Hadoop conf
+  * silently leaves rename-based commit in force). The spec asserts the
+  * split: no spark.sql.* key on the Hadoop half, no fs.s3a.* key on the
+  * SQL half, and the union carries the full committer contract.
+  *
   * Deliberately applied to an ISOLATED Configuration, never the shared
   * test session's: the committer classes come from the hadoop-cloud
   * module (absent here), and setting them on the live Hadoop conf breaks
@@ -18,8 +27,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ObjectStoreSpec extends AnyFunSuite {
 
-  test("s3aProfile carries the exact s3a + committer key/value set") {
-    val profile = ObjectStore.s3aProfile(
+  test("hadoop profile carries the exact fs.s3a key/value set — and ONLY fs.s3a keys") {
+    val profile = ObjectStore.s3aHadoopProfile(
       accessKey = Some("AKTEST"), secretKey = Some("SKTEST"),
       endpoint = Some("https://s3.example.test")).toMap
     val expected = Map(
@@ -29,21 +38,34 @@ class ObjectStoreSpec extends AnyFunSuite {
       // Magic committer: multipart-completion commit instead of the
       // rename-as-copy the reference's worker relies on.
       "fs.s3a.committer.name" -> "magic",
-      "spark.sql.parquet.output.committer.class" ->
-        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
-      "spark.sql.sources.commitProtocolClass" ->
-        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
       // Parquet range reads over a high-latency store.
       "fs.s3a.experimental.input.fadvise" -> "random",
       "fs.s3a.connection.maximum" -> "96")
     assert(profile == expected,
-      s"s3a profile drifted: ${profile.toSet diff expected.toSet} / " +
+      s"s3a hadoop profile drifted: ${profile.toSet diff expected.toSet} / " +
         s"${expected.toSet diff profile.toSet}")
+    assert(profile.keys.forall(_.startsWith("fs.s3a.")),
+      "spark.sql.* keys on the Hadoop conf are dead config — " +
+        "SQLConf overwrites them at write time (ADVICE r15 medium)")
+  }
+
+  test("sql profile carries the two committer SQLConf keys — and ONLY spark.sql keys") {
+    val sql = ObjectStore.s3aSqlProfile.toMap
+    val expected = Map(
+      "spark.sql.parquet.output.committer.class" ->
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+      "spark.sql.sources.commitProtocolClass" ->
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+    assert(sql == expected,
+      s"s3a sql profile drifted: ${sql.toSet diff expected.toSet} / " +
+        s"${expected.toSet diff sql.toSet}")
+    assert(sql.keys.forall(_.startsWith("spark.sql.")),
+      "fs.s3a.* keys set via spark.conf.set never reach the FileSystem")
   }
 
   test("profile applies cleanly to a Hadoop configuration") {
     val hc = new org.apache.hadoop.conf.Configuration(false)
-    ObjectStore.s3aProfile(Some("AK"), None, None).foreach {
+    ObjectStore.s3aHadoopProfile(Some("AK"), None, None).foreach {
       case (k, v) => hc.set(k, v)
     }
     assert(hc.get("fs.s3a.access.key") == "AK")
@@ -53,7 +75,7 @@ class ObjectStoreSpec extends AnyFunSuite {
   }
 
   test("credentials are optional: region-only deployments set no static keys") {
-    val keys = ObjectStore.s3aProfile().map(_._1).toSet
+    val keys = ObjectStore.s3aHadoopProfile().map(_._1).toSet
     assert(!keys.contains("fs.s3a.access.key") &&
       !keys.contains("fs.s3a.secret.key") && !keys.contains("fs.s3a.endpoint"),
       s"no-credential profile must not carry static credential keys: $keys")
