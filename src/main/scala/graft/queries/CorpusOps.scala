@@ -251,11 +251,51 @@ object CorpusOps {
     * same reason the df cap isn't: at every oracle scale the floor is
     * measured inert (min shingles/doc = 8 at sf0.01 AND sf0.1 vs the
     * floor of 5); FuzzyFloorSpec pins the planted behavior.
+    * Round 16: hoisted to the shared signature site
+    * ([[Dedup.DegenerateBasisFloor]] / [[Dedup.flooredSigs]]) — every
+    * capped-basis family (dd_minhash, dd_winnow, the delta lifecycles)
+    * now carries the same floor; this alias keeps the fuzzy family's
+    * specs and instruments reading one name.
     */
-  private[queries] val MinCappedShingles = 5L
+  private[queries] val MinCappedShingles = Dedup.DegenerateBasisFloor
+
+  /** Fine-bucket occupancy above which a (band, bh) bucket is HOT and its
+    * members are re-keyed at coarse (2×FuzzyBandRows-row) bands instead
+    * of joining all-pairs at the fine key (round 16, VERDICT r15 #1).
+    * The 100× staging measured the regime this exists for: at PARTIAL
+    * basis degeneration the floor is mostly inert (docs keep ≥ 5
+    * surviving shingles) but 2-row bands at τ = 0.5 are so unselective
+    * (a J ≈ 0.15 pair collides in ≥ 1 of 32 bands with p ≈ 0.5) that
+    * the raw bipartite candidate mass grows ~quadratically in the hot
+    * buckets — the family's worst marginal (0.581 at 30→100×) was all
+    * candidate generation. A 64-member bucket contributes ≤ ~10³ pairs;
+    * past that the bucket is boilerplate-driven and its low-J mass is
+    * what coarsening dismisses.
+    */
+  private[queries] val HotBucketOcc = 64L
+
+  /** Raw bipartite join mass (Σ over fine buckets of eval·train
+    * occupancy — the exact pre-`distinct` candidate row count) above
+    * which hot-bucket coarsening engages. Keyed on a MEASURED count like
+    * every other regime switch in the family (the sketch cut's
+    * candRaw.count, pairGuard's exact count), computed from a two-level
+    * map-side-combining aggregate over the bucket stream — O(buckets)
+    * work, no pair row ever materialized for the decision. Shipped
+    * default sits an order above the 30× staging's measured mass
+    * (~2.3M), so the cut differential's regime is untouched there, and
+    * an order under the 100× hump's (~66M) — see FUZZYCOARSE_r16.json
+    * for the engage-vs-off row-identity differential at staged scale.
+    * Never engages at oracle scales (sf0.01 mass ≈ 10³), so the DuckDB
+    * oracle — like the df cap and the floor — does not restate it.
+    */
+  private[queries] val CoarseMinMass = 8000000L
 
   private[queries] def decontaminateFuzzyCut(spark: SparkSession,
-      sfDir: String, cutMinPairs: Long): DataFrame = {
+      sfDir: String, cutMinPairs: Long): DataFrame =
+    decontaminateFuzzyCoarse(spark, sfDir, cutMinPairs, CoarseMinMass)
+
+  private[queries] def decontaminateFuzzyCoarse(spark: SparkSession,
+      sfDir: String, cutMinPairs: Long, coarseMinMass: Long): DataFrame = {
     // Capped over the FULL corpus basis before signing (the cap-ordering
     // invariant minhashFrom documents); checkpointed — signatures,
     // candidate semi-join, and verification sizes all branch off it.
@@ -282,20 +322,66 @@ object CorpusOps {
     // stagings through 30×). The verification tail needs no floor of its
     // own — candidate docs derive from floored signatures, so the
     // shingle semi-join is floored transitively.
-    val sigs = Dedup.minhashSigs(sh)
-      .filter(col("nsh") >= MinCappedShingles)
-      .select(col("doc_id"), col("sig"))
-      .localCheckpoint(eager = false)
+    val sigs = Dedup.flooredSigs(sh).localCheckpoint(eager = false)
     val buckets = Dedup.bucketsFromSigs(sigs, FuzzyBandRows)
-    val evalB = buckets.filter(col("doc_id") % EvalModulus === 0)
-      .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
-    val trainB = buckets.filter(col("doc_id") % EvalModulus =!= 0)
-      .select(col("band"), col("bh"), col("doc_id").as("train_doc"))
-    // SHUFFLE_HASH on the eval side of both bipartite joins: the eval
-    // stratum is 1/EvalModulus of the corpus by construction, so it is
-    // always the bounded build side, and the default sort-merge would
-    // sort the ~(EvalModulus−1)× larger train side — the dd_embed_hi768
-    // probe-join lesson applied to the bipartite family.
+    def bipartite(b: DataFrame, keys: Seq[String]): DataFrame = {
+      // SHUFFLE_HASH on the eval side of every bipartite join: the eval
+      // stratum is 1/EvalModulus of the corpus by construction, so it is
+      // always the bounded build side, and the default sort-merge would
+      // sort the ~(EvalModulus−1)× larger train side — the
+      // dd_embed_hi768 probe-join lesson applied to the bipartite family.
+      val e = b.filter(col("doc_id") % EvalModulus === 0)
+        .select(keys.map(col) :+ col("doc_id").as("eval_doc"): _*)
+      val t = b.filter(col("doc_id") % EvalModulus =!= 0)
+        .select(keys.map(col) :+ col("doc_id").as("train_doc"): _*)
+      e.hint("SHUFFLE_HASH").join(t, keys)
+        .select(col("train_doc"), col("eval_doc"))
+    }
+    // Hot-bucket coarsening guard (round 16): the raw join mass
+    // Σ eval·train over fine buckets — the exact row count the bipartite
+    // join below would emit before distinct — is measured from a
+    // map-side-combining two-level aggregate BEFORE any pair row exists.
+    // Under the guard the plan below is the round-15 plan unchanged.
+    val occ = buckets.select(col("band"), col("bh"),
+        (col("doc_id") % EvalModulus === 0).as("is_eval"))
+      .groupBy(col("band"), col("bh"))
+      .agg(count_if(col("is_eval")).as("ne"),
+        count_if(!col("is_eval")).as("nt"))
+    val mass = occ.agg(coalesce(sum(col("ne") * col("nt")), lit(0L)))
+      .head().getLong(0)
+    val candPre =
+      if (mass <= coarseMinMass) bipartite(buckets, Seq("band", "bh"))
+      else {
+        // Past the guard: members of HOT fine buckets are re-keyed at
+        // coarse bands (2×FuzzyBandRows rows — coarse band k covers fine
+        // bands 2k, 2k+1 of the SAME signature), so a pair colliding
+        // only on boilerplate-driven hot buckets must also agree on the
+        // partner band to stay a candidate. Recall: a true pair is
+        // caught by any of its collision sites — cold sites are
+        // untouched, and at a hot site the conditional survival is J²
+        // (both docs already agree on the hot band's rows), so the at-τ
+        // miss only moves within the regime the guard confines to
+        // staged scales; at the similarities contamination actually
+        // shows (J ≥ 0.9) the all-hot worst case is (1−J⁴)^16 ≈ 4e-8.
+        // Differentially gated at a staged point where it engages
+        // (FuzzyCoarseCheck: coarse-on ≡ coarse-off row identity).
+        // occ is recomputed here rather than checkpointed: the cold
+        // path — every oracle corpus — must not pay a materialization
+        // barrier for the hot path's second consumer.
+        val hotK = occ.filter(col("ne") + col("nt") > HotBucketOcc)
+          .select(col("band"), col("bh")).localCheckpoint()
+        val hk = Dedup.attachGuard(hotK.count(), rowBytes = 16L) _
+        val cold = buckets.join(hk(hotK), Seq("band", "bh"), "left_anti")
+        val hot = buckets.join(hk(hotK), Seq("band", "bh"), "left_semi")
+        // A doc hot in fine band 2k and 2k+1 re-keys ONCE at coarse k.
+        val coarse = Dedup.bucketsFromSigs(sigs, FuzzyBandRows * 2)
+          .select(col("doc_id"), col("band").as("cband"), col("bh"))
+        val hotM = hot.select(col("doc_id"),
+          (col("band") / 2).cast("int").as("cband")).distinct()
+        bipartite(cold, Seq("band", "bh"))
+          .unionByName(bipartite(
+            hotM.join(coarse, Seq("doc_id", "cband")), Seq("cband", "bh")))
+      }
     // Guarded attaches: per-doc size and doc-id relations key on the
     // free corpus-count proxy (the Dedup.attachGuard note — a true
     // upper bound for corpus-bounded relations), while the candidate
@@ -303,9 +389,7 @@ object CorpusOps {
     // the candidate-doc semi-join and the final pair gate) and guarded
     // on its OWN count (Dedup.pairGuard).
     val g = Dedup.attachGuard(sh.count()) _
-    val candRaw = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
-      .select(col("train_doc"), col("eval_doc")).distinct()
-      .localCheckpoint()
+    val candRaw = candPre.distinct().localCheckpoint()
     val candidates =
       if (candRaw.count() > cutMinPairs)
         Dedup.sketchCutPairs(candRaw, sigs, sigs.count(), FuzzyTau,

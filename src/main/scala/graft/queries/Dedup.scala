@@ -195,6 +195,35 @@ object Dedup {
     shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
   }
 
+  /** Minimum surviving basis elements (shingles for the MinHash family,
+    * fingerprints for dd_winnow) for a doc to be COMPARABLE — the
+    * degenerate-basis floor, hoisted to ONE shared site in round 16
+    * (VERDICT r15 #2; introduced fuzzy-only in round 15). The 300×
+    * staging measured the failure mode: when duplication density pushes
+    * almost every basis element over the df cap, the residue per doc
+    * (mean 1.2 shingles at 1.5M docs) carries no discriminative
+    * fingerprint — a doc reduced to one residual element scores J = 1.0
+    * against every doc sharing it, and the candidate set explodes
+    * quadratically (54M pairs, OOM). Every capped-basis family shares
+    * that mechanism, so every one shares the floor: sub-floor docs are
+    * skipped, the CCNet/Gopher "too little content after cleaning"
+    * discipline. NOT restated in any oracle for the same reason the df
+    * cap isn't: measured inert at every oracle scale (min basis size 8
+    * at sf0.001/sf0.01 for both bases — FuzzyFloorSpec's inertness
+    * sentinel turns that from prose into CI); BasisFloorSpec plants the
+    * engaged behavior per family.
+    */
+  private[queries] val DegenerateBasisFloor = 5L
+
+  /** The floored 64-perm signature relation — the shared signature
+    * aggregate every banded-LSH consumer builds buckets from. nsh rides
+    * the aggregate for free (see minhashSigs), so the floor is one
+    * filter, plan-identical wherever it is inert.
+    */
+  private[queries] def flooredSigs(sh: DataFrame): DataFrame =
+    minhashSigs(sh).filter(col("nsh") >= DegenerateBasisFloor)
+      .select(col("doc_id"), col("sig"))
+
   /** MinHash signatures → banded bucket keys (doc_id, band, bh) over an
     * already-capped shingle set, parameterized by rows-per-band so
     * callers can position the S-curve: 4 rows × 16 bands targets the
@@ -202,9 +231,12 @@ object Dedup {
     * contamination threshold (miss ≈ 1e-4 at J = 0.5, vanishing above).
     * One permutation set (64 perms, fixed seed) serves every consumer —
     * signatures are computed identically, only the banding regroups.
+    * Sub-floor docs emit no band keys (and hence, transitively, no
+    * candidates and no pairs) in EVERY consumer: dd_minhash, the delta
+    * lifecycles, and the flagship funnel inherit the floor here.
     */
   private[queries] def bandedBuckets(sh: DataFrame, bandRows: Int): DataFrame =
-    bucketsFromSigs(minhashSigs(sh), bandRows)
+    bucketsFromSigs(flooredSigs(sh), bandRows)
 
   /** The 64-perm MinHash signature per doc, split out of
     * [[bandedBuckets]] (round 14) so a caller can materialize signatures
@@ -1756,7 +1788,14 @@ object Dedup {
     // recompute would re-scan and re-fingerprint the corpus (same
     // justification as minhashFrom's capped-shingle checkpoint; the
     // checkpoint is |docs| rows — the per-doc summary, not the corpus).
-    val docSets = winnowDocSets(spark, sfDir).localCheckpoint()
+    // Degenerate-basis floor (round 16): a doc whose capped fingerprint
+    // set is under DegenerateBasisFloor is INCOMPARABLE — same
+    // mechanism as the shingle families (the df cap reduces saturated
+    // corpora to 1–2 residual fingerprints per doc, J = 1.0 noise),
+    // same shared constant, filtered at the source so signature AND
+    // verify attaches see the floored relation.
+    val docSets = winnowDocSets(spark, sfDir)
+      .filter(col("n") >= DegenerateBasisFloor).localCheckpoint()
     val buckets = docSets.select(col("doc_id"),
       posexplode(graft.functions.BandedMinHash.bandedMinHash(col("set"), 96, 3))
         .as(Seq("band", "bh")))

@@ -448,7 +448,7 @@ object Similarity {
     * dynamic oracle generator (which inlines the SAME frozen matrix into
     * the DuckDB restatement — see [[oracleSqlDynamic]]).
     */
-  private def ivfModelOf(emb: DataFrame): (Array[Long], Array[Double]) = {
+  private[queries] def ivfModelOf(emb: DataFrame): (Array[Long], Array[Double]) = {
     val n = corpusSize(emb)
     val k = centroidCount(n)
     val stride = math.max(1L, n / k)
@@ -864,7 +864,7 @@ object Similarity {
     * corpus side carries no magnitude). ksub adapts to min(256, sample)
     * so tiny corpora stay well-defined; byte codes bound ksub ≤ 256.
     */
-  private def pqBooksCached(emb: DataFrame, n: Long): (Int, Array[Double]) =
+  private[queries] def pqBooksCached(emb: DataFrame, n: Long): (Int, Array[Double]) =
     cachedOrBuild(pqCache, corpusKey(emb)) {
       val stride = math.max(1L, n / PqSampleCap)
       val rows = emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)

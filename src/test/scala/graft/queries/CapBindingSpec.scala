@@ -26,11 +26,14 @@ class CapBindingSpec extends SparkSuite {
     val background = (0L until 1050L).flatMap { d =>
       Seq((d, "HOT_A"), (d, "HOT_B")) ++ (0 until 8).map(j => (d, s"u${d}_$j"))
     }
-    // Capped-only pair (9000, 9001): shares r1..r3; 9000 also has both hot
-    // shingles. Uncapped J = 3/(5+3-3) = 0.6 < 0.8 (one-sided hot shingles
-    // drag it down); capped J = 3/3 = 1.0.
+    // Capped-only pair (9000, 9001): shares r0..r4; 9000 also has both hot
+    // shingles. Uncapped J = 5/(7+5-5) = 0.714 < 0.8 (one-sided hot
+    // shingles drag it down); capped J = 5/5 = 1.0. The residue is sized
+    // AT the degenerate-basis floor (5 — round 16) so the pair stays
+    // COMPARABLE: this spec drives the cap binding; the floor's engaged
+    // behavior is BasisFloorSpec's domain.
     val cappedOnly =
-      (0 until 3).flatMap(j => Seq((9000L, s"r$j"), (9001L, s"r$j"))) ++
+      (0 until 5).flatMap(j => Seq((9000L, s"r$j"), (9001L, s"r$j"))) ++
         Seq((9000L, "HOT_A"), (9000L, "HOT_B"))
     // Uncapped-only pair (9100, 9101): both have both hot shingles plus
     // s0,s1; 9101 adds t0. Uncapped J = 4/(4+5-4) = 0.8 ≥ 0.8 (shared hot
