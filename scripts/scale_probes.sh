@@ -10,7 +10,7 @@
 #   (default queries: the heavy dedup family + the embedding family)
 set -u
 out=$1; shift
-queries=${@:-"dd_substring dd_substring_cut dd_dup_stats dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_delta_embed dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered ann_filtered_rare ann_filtered_auto ann_filtered_range mm_phash dd_delta_chain dd_delta_embed_chain ann_ivf_append dd_keep_best"}
+queries=${@:-"dd_substring dd_substring_cut dd_dup_stats dd_minhash dd_clusters dd_winnow dd_decontaminate dd_decontaminate_fuzzy dd_embed_bucketed dd_embed_hi dd_embed_hi768 dd_embed_auto dd_delta dd_delta_embed dd_lines ann_lsh ann_ivf ann_ivf_pq ann_filtered ann_filtered_rare ann_filtered_auto ann_filtered_range mm_phash dd_delta_chain dd_delta_embed_chain ann_ivf_append dd_keep_best pipeline_clean_corpus"}
 base=/tmp/graft_scale
 echo "[scale] staging corpora under $base ..." >&2
 sbt -batch "Test/runMain graft.queries.ScaleCorpus $base" \
@@ -68,5 +68,14 @@ run_point sf10 dd_substring_cut
 # documents-only staging (~1.5M docs).
 run_point sf30 dd_decontaminate_fuzzy
 run_point sf30 dd_substring_cut
+# dd_keep_best + pipeline_clean_corpus through 30x/100x (round 16,
+# verdict r15 #5): the flagship gained component closure + keep-best
+# argmax attach in round 15 but its curve stopped at 10x — the new
+# policy's attach joins meet the same far-decade evidence bar as the
+# families they compose.
+run_point sf3 dd_keep_best
+run_point sf10 dd_keep_best
+run_point sf3 pipeline_clean_corpus
+run_point sf10 pipeline_clean_corpus
 python3 scripts/merge_scale.py "$tmp" > "$out"
 echo "[scale] wrote $out" >&2

@@ -87,3 +87,66 @@ object MinHashAgg {
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(h), perms, prime).toAggregateExpression())
 }
+
+/** sig_agree(a, b): number of positions where two equal-length
+  * array&lt;long&gt; MinHash signatures agree — the numerator of the
+  * per-pair Jaccard sketch estimate (each position matches independently
+  * with probability J, the MinHash property). Codegen'd flat loop
+  * replacing a `zip_with` + `aggregate` chain: Spark's higher-order
+  * functions evaluate their lambda INTERPRETED per element, and the
+  * sketch cut's agreement scan was measured at 12.6 s for 11.5M
+  * candidate pairs × 64 positions at the 100× staging (round 16,
+  * SigProbe/FuzzyProbe decomposition) — the single largest warm term of
+  * dd_decontaminate_fuzzy after the floor. One branch-light loop inside
+  * whole-stage codegen does the same scan in a fraction of that.
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sig_agree expects (array<long>, array<long>), got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgree.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigAgree.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgree {
+  /** Static entry shared by interpreted eval and generated code. Scans
+    * min(|a|,|b|) positions — equal-length by the MinHashAgg contract.
+    */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgree(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

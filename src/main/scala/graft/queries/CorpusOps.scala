@@ -274,25 +274,33 @@ object CorpusOps {
     */
   private[queries] val HotBucketOcc = 64L
 
-  /** Raw bipartite join mass (Σ over fine buckets of eval·train
-    * occupancy — the exact pre-`distinct` candidate row count) above
-    * which hot-bucket coarsening engages. Keyed on a MEASURED count like
-    * every other regime switch in the family (the sketch cut's
-    * candRaw.count, pairGuard's exact count), computed from a two-level
-    * map-side-combining aggregate over the bucket stream — O(buckets)
-    * work, no pair row ever materialized for the decision. Shipped
-    * default sits an order above the 30× staging's measured mass
-    * (~2.3M), so the cut differential's regime is untouched there, and
-    * an order under the 100× hump's (~66M) — see FUZZYCOARSE_r16.json
-    * for the engage-vs-off row-identity differential at staged scale.
-    * Never engages at oracle scales (sf0.01 mass ≈ 10³), so the DuckDB
-    * oracle — like the df cap and the floor — does not restate it.
+  /** Absolute floor of the coarsening guard: below this raw bipartite
+    * join mass (Σ over fine buckets of eval·train occupancy — the exact
+    * pre-`distinct` candidate row count) the coarse path never engages,
+    * whatever the per-doc ratio says. Never approached at oracle scales
+    * (sf0.01 mass ≈ 10³), so the DuckDB oracle — like the df cap and
+    * the floor — does not restate the coarsening.
     */
   private[queries] val CoarseMinMass = 8000000L
 
+  /** Relative arm of the guard: coarsening engages only past this many
+    * raw candidate pairs per SIGNED DOC — the scale-invariant signature
+    * of the quadratic regime the coarse path exists for. Measured both
+    * ways (round 16, FUZZYCOARSE_r16): at the 100× staging the mass
+    * reads 23 pairs/doc and the coarse path LOSES 8.6 s warm (its
+    * routing joins over the corpus-linear bucket stream cost more than
+    * the candidate+sketch work they avoid), while the pre-floor 300×
+    * collapse read 127 pairs/doc — unambiguous quadratic blow-up where
+    * the fine join OOMs outright. 64 sits at the geometric middle:
+    * below it the linear terms dominate and the fine join is simply
+    * cheaper; above it candidate mass is no longer explainable by
+    * corpus growth and must be bucket-degeneracy.
+    */
+  private[queries] val CoarsePairsPerDoc = 64L
+
   private[queries] def decontaminateFuzzyCut(spark: SparkSession,
       sfDir: String, cutMinPairs: Long): DataFrame =
-    decontaminateFuzzyCoarse(spark, sfDir, cutMinPairs, CoarseMinMass)
+    decontaminateFuzzyCoarse(spark, sfDir, cutMinPairs, -1L)
 
   private[queries] def decontaminateFuzzyCoarse(spark: SparkSession,
       sfDir: String, cutMinPairs: Long, coarseMinMass: Long): DataFrame = {
@@ -342,15 +350,26 @@ object CorpusOps {
     // join below would emit before distinct — is measured from a
     // map-side-combining two-level aggregate BEFORE any pair row exists.
     // Under the guard the plan below is the round-15 plan unchanged.
+    // The shipped decision (coarseMinMass < 0) is ADAPTIVE: engage only
+    // past BOTH the absolute mass floor and CoarsePairsPerDoc × signed
+    // docs (the doc count rides the same aggregate: Σ(ne+nt) is exactly
+    // 32 band rows per signed doc). An injected threshold ≥ 0 overrides
+    // the whole decision — the differential gate forces both regimes.
     val occ = buckets.select(col("band"), col("bh"),
         (col("doc_id") % EvalModulus === 0).as("is_eval"))
       .groupBy(col("band"), col("bh"))
       .agg(count_if(col("is_eval")).as("ne"),
         count_if(!col("is_eval")).as("nt"))
-    val mass = occ.agg(coalesce(sum(col("ne") * col("nt")), lit(0L)))
-      .head().getLong(0)
+    val totals = occ.agg(
+      coalesce(sum(col("ne") * col("nt")), lit(0L)).as("mass"),
+      coalesce(sum(col("ne") + col("nt")), lit(0L)).as("bandRows")).head()
+    val mass = totals.getLong(0)
+    val nSigned = totals.getLong(1) / (Dedup.NumPerms.toLong / FuzzyBandRows)
+    val threshold =
+      if (coarseMinMass >= 0) coarseMinMass
+      else math.max(CoarseMinMass, CoarsePairsPerDoc * nSigned)
     val candPre =
-      if (mass <= coarseMinMass) bipartite(buckets, Seq("band", "bh"))
+      if (mass <= threshold) bipartite(buckets, Seq("band", "bh"))
       else {
         // Past the guard: members of HOT fine buckets are re-keyed at
         // coarse bands (2×FuzzyBandRows rows — coarse band k covers fine

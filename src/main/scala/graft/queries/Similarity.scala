@@ -609,7 +609,13 @@ object Similarity {
     */
   def annFilteredRange(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    annFilteredAutoWith(spark, sfDir, filterPredRange(corpusSize(emb)), "range")
+    // IVF branch serves the PER-STRATUM index (round 16): at 50%
+    // selectivity the stratum is hot enough to own postings, and the
+    // stratum-fitted quantizer reads higher calibrated recall than
+    // probing corpus-wide cells half-emptied by the predicate
+    // (RECALL_r16 carries both numbers; the oracle follows the model).
+    annFilteredAutoWith(spark, sfDir, filterPredRange(corpusSize(emb)), "range",
+      perStratumIvf = true)
   }
 
   private[graft] def annFilteredRangeExact(spark: SparkSession,
@@ -619,11 +625,55 @@ object Similarity {
   }
 
   private[graft] def annFilteredAutoWith(spark: SparkSession, sfDir: String,
-      pred: Column, tag: String, budgetOverride: Option[Long] = None)
-      : DataFrame =
+      pred: Column, tag: String, budgetOverride: Option[Long] = None,
+      perStratumIvf: Boolean = false): DataFrame =
     if (autoPicksExact(spark, sfDir, pred, tag, budgetOverride))
       annFilteredExactWith(spark, sfDir, pred)
+    else if (perStratumIvf) annFilteredStratumWith(spark, sfDir, pred, tag)
     else annFilteredWith(spark, sfDir, pred, tag)
+
+  /** Per-stratum coarse quantizer (round 16, VERDICT r15 #6): centroids
+    * hash-sampled FROM THE STRATUM, k = ⌈√n_s⌉ from the stratum's own
+    * size — the index a real filtered-ANN serving system builds when a
+    * predicate is hot enough to own postings. Against the corpus-wide
+    * model at the same probe rule this buys (a) centroids distributed
+    * like the stratum (no empty cells where the predicate filtered
+    * everything out) and (b) a k matched to n_s, so calibrated probe
+    * depth is spent on cells that all contain qualifying vectors.
+    * Deterministic like every model slot (hash-stride + sorted collect);
+    * cached per corpus identity + predicate SQL (the stratumCountCached
+    * keying discipline).
+    */
+  private[queries] def ivfModelStratum(emb: DataFrame, pred: Column,
+      tag: String, predSql: String): (Array[Long], Array[Double]) = {
+    val ns = stratumCountCached(emb, pred, tag)
+    val k = centroidCount(ns)
+    val stride = math.max(1L, ns / k)
+    centModelCached(s"ivf-stratum:$tag:$predSql", emb)(collectUnitCents(
+      emb.filter(pred)
+        .filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id"), col("embedding"))))
+  }
+
+  /** The filtered IVF search over the per-stratum index: identical
+    * machinery to [[annFilteredWith]] — predicate pushed to the scan
+    * before assignment, probe depth re-calibrated on the stratum — with
+    * the stratum-fitted quantizer in place of the corpus-wide one. The
+    * calibration PAIRS are model-independent (query, true stratum
+    * neighbor), so the cached pair set is shared; only the
+    * rank-distribution fit re-runs against the stratum centroids.
+    */
+  private[graft] def annFilteredStratumWith(spark: SparkSession, sfDir: String,
+      pred: Column, tag: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val predSql = predSqlOf(pred)
+    val (ids, unit) = ivfModelStratum(emb, pred, tag, predSql)
+    val filtered = emb.filter(pred)
+    val assigned = assignedCells(normed(filtered), unit, ids)
+    val nprobe = filteredNprobe(spark, sfDir, pred, tag, perStratum = true)
+    val probed = probedCells(queries(emb), unit, ids, nprobe)
+    searchCells(probed, assigned)
+  }
 
   /** The dispatch decision, exposed so the spec asserts it rather than
     * inferring it from timing (the dd_embed_auto instrument pattern).
@@ -687,12 +737,37 @@ object Similarity {
     * that proves re-calibration mattered).
     */
   private[graft] def filteredNprobe(spark: SparkSession, sfDir: String,
-      pred: Column, tag: String): Int = {
+      pred: Column, tag: String, perStratum: Boolean = false): Int = {
     val emb = Tables.embeddings(spark, sfDir)
-    val (ids, unit) = ivfModelOf(emb)
+    val predSql = predSqlOf(pred)
+    val (ids, unit) =
+      if (perStratum) ivfModelStratum(emb, pred, tag, predSql)
+      else ivfModelOf(emb)
     calibratedNprobe(
-      calibrationPairsFilteredCached(emb, emb.filter(pred), tag,
-        predSqlOf(pred)), unit, ids)
+      calibrationPairsFilteredCached(emb, emb.filter(pred), tag, predSql),
+      unit, ids)
+  }
+
+  /** Probe-budget diag for the stratum-vs-corpus-wide comparison (round
+    * 16): (k, nprobe, touchedRowsPerQuery) per model on the same
+    * stratum — the numbers RECALL_r{N}'s two range rows are read
+    * against.
+    */
+  private[graft] def rangeBudgetDiag(spark: SparkSession, sfDir: String)
+      : String = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = corpusSize(emb)
+    val pred = filterPredRange(n)
+    val ns = stratumCountCached(emb, pred, "range")
+    val (cIds, _) = ivfModelOf(emb)
+    val (sIds, _) = ivfModelStratum(emb, pred, "range", predSqlOf(pred))
+    val npC = filteredNprobe(spark, sfDir, pred, "range")
+    val npS = filteredNprobe(spark, sfDir, pred, "range", perStratum = true)
+    val touchedC = npC.toLong * ((ns + cIds.length - 1) / cIds.length)
+    val touchedS = npS.toLong * ((ns + sIds.length - 1) / sIds.length)
+    s"""{"n":$n,"stratum":$ns,"kCorpus":${cIds.length},"kStratum":${sIds.length},""" +
+      s""""nprobeCorpus":$npC,"nprobeStratum":$npS,""" +
+      s""""touchedCorpus":$touchedC,"touchedStratum":$touchedS}"""
   }
 
   private def predSqlOf(pred: Column): String =
@@ -1607,16 +1682,25 @@ object Similarity {
     // ann_filtered_range's oracle FOLLOWS the dispatch: the generator
     // evaluates the same cost rule as the entry and restates whichever
     // branch serves this corpus — exact brute force below the crossover,
-    // the IVF search (with the range stratum's re-calibrated nprobe)
-    // above it. Both regimes are hash-checked across the committed
-    // scales (sf0.01 lands exact, sf0.1 lands IVF).
+    // the IVF search above it. Both regimes are hash-checked across the
+    // committed scales (sf0.01 lands exact, sf0.1 lands IVF). Round 16:
+    // the IVF branch serves the PER-STRATUM index, so the restatement
+    // inlines the stratum-fitted centroid matrix and the nprobe
+    // calibrated against IT — generator and entry read both through the
+    // same builders, so a model swap on one side fails the hash.
     val rangePred = filterPredRange(n)
     val rangePredSql = s"e.vec_id < ${n / 2}"
     val rangeSql =
       if (autoPicksExact(spark, sfDir, rangePred, "range"))
         exactOracleSql(rangePredSql)
-      else ivfOracleSql(ivfIds, ivfUnit,
-        filteredNprobe(spark, sfDir, rangePred, "range"), Some(rangePredSql))
+      else {
+        val (sIds, sUnit) =
+          ivfModelStratum(emb, rangePred, "range", predSqlOf(rangePred))
+        val sNprobe = calibratedNprobe(
+          calibrationPairsFilteredCached(emb, emb.filter(rangePred), "range",
+            predSqlOf(rangePred)), sUnit, sIds)
+        ivfOracleSql(sIds, sUnit, sNprobe, Some(rangePredSql))
+      }
 
     Map(
       "ann_filtered_range" -> rangeSql,

@@ -38,8 +38,14 @@ object FuzzyCoarseCheck {
       .agg(count_if(col("is_eval")).as("ne"),
         count_if(!col("is_eval")).as("nt"))
       .localCheckpoint()
-    val mass = occ.agg(coalesce(sum(col("ne") * col("nt")), lit(0L)))
-      .head().getLong(0)
+    val totals = occ.agg(coalesce(sum(col("ne") * col("nt")), lit(0L)),
+      coalesce(sum(col("ne") + col("nt")), lit(0L))).head()
+    val mass = totals.getLong(0)
+    val nSigned = totals.getLong(1) / (Dedup.NumPerms.toLong / CorpusOps.FuzzyBandRows)
+    // The shipped decision is ADAPTIVE (round 16): max of the absolute
+    // floor and CoarsePairsPerDoc × signed docs.
+    val adaptive = math.max(CorpusOps.CoarseMinMass,
+      CorpusOps.CoarsePairsPerDoc * nSigned)
     val hotBuckets = occ.filter(col("ne") + col("nt") > CorpusOps.HotBucketOcc)
       .count()
     val hotMass = occ.filter(col("ne") + col("nt") > CorpusOps.HotBucketOcc)
@@ -67,9 +73,10 @@ object FuzzyCoarseCheck {
     val onWall = math.min(onW1, onW2)
     val offWall = math.min(offW1, offW2)
     val equal = on.sameElements(off)
-    val line = f"""{"sf":"$sf","mass":$mass,"hotBuckets":$hotBuckets,""" +
-      f""""hotMass":$hotMass,"shippedThreshold":${CorpusOps.CoarseMinMass},""" +
-      f""""shippedWouldEngage":${mass > CorpusOps.CoarseMinMass},""" +
+    val line = f"""{"sf":"$sf","mass":$mass,"signedDocs":$nSigned,""" +
+      f""""hotBuckets":$hotBuckets,"hotMass":$hotMass,""" +
+      f""""adaptiveThreshold":$adaptive,""" +
+      f""""shippedWouldEngage":${mass > adaptive},""" +
       f""""coarseOnRows":${on.length},"coarseOffRows":${off.length},""" +
       f""""coarseOnWall":$onWall%.1f,"coarseOffWall":$offWall%.1f,"equal":$equal}"""
     println("[fuzzycoarse] " + line)

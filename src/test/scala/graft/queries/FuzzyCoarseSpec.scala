@@ -41,13 +41,24 @@ class FuzzyCoarseSpec extends SparkSuite {
         .filter(col("nsh") >= CorpusOps.MinCappedShingles)
         .select(col("doc_id"), col("sig"))
       val occ = Dedup.bucketsFromSigs(sigs, CorpusOps.FuzzyBandRows)
-        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
-      val hot = occ.filter(col("n") > CorpusOps.HotBucketOcc).count()
+        .select(col("band"), col("bh"),
+          (col("doc_id") % CorpusOps.EvalModulus === 0).as("is_eval"))
+        .groupBy(col("band"), col("bh"))
+        .agg(count_if(col("is_eval")).as("ne"), count_if(!col("is_eval")).as("nt"))
+        .localCheckpoint()
+      val hot = occ.filter(col("ne") + col("nt") > CorpusOps.HotBucketOcc).count()
       assert(hot >= CorpusOps.FuzzyBandRows * 16,
         s"planted cluster must make every fine bucket hot; got $hot hot buckets")
-      val mass = occ.agg(max(col("n"))).head().getLong(0)
+      // The adaptive guard's two arms, both exercised by this corpus: the
+      // RELATIVE arm must flag it (the 80-doc identical cluster IS the
+      // quadratic shape — mass/doc far past CoarsePairsPerDoc), while the
+      // ABSOLUTE floor keeps a corpus this tiny cold at shipped defaults.
+      val mass = occ.agg(sum(col("ne") * col("nt"))).head().getLong(0)
+      val nSigned = sigs.count()
+      assert(mass > CorpusOps.CoarsePairsPerDoc * nSigned,
+        s"planted corpus must trip the relative arm: mass=$mass docs=$nSigned")
       assert(mass <= CorpusOps.CoarseMinMass,
-        "planted corpus must sit under the shipped guard (oracle regime)")
+        "planted corpus must sit under the absolute floor (shipped default cold)")
 
       def run(coarseMinMass: Long): Set[(Long, Long, Double)] =
         CorpusOps.decontaminateFuzzyCoarse(spark, dir.toString,
@@ -70,5 +81,29 @@ class FuzzyCoarseSpec extends SparkSuite {
       assert(coarseOn.exists { case (t, e, _) => t == 7001L && e == 7000L },
         s"cold near-dup pair lost: ${coarseOn.filter(_._1 > 1000L)}")
     } finally Dedup.deleteDir(dir)
+  }
+
+  test("coarse guard is inert on every driver-verified corpus (sentinel)") {
+    // Same discipline as the floor sentinels: the coarsening is lossy by
+    // design in its activated regime and unstated in the oracle, so CI
+    // pins that no verified corpus comes anywhere near EITHER arm of the
+    // adaptive guard.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sigs = Dedup.flooredSigs(Dedup.cappedShingles(spark, dir))
+      val occ = Dedup.bucketsFromSigs(sigs, CorpusOps.FuzzyBandRows)
+        .select(col("band"), col("bh"),
+          (col("doc_id") % CorpusOps.EvalModulus === 0).as("is_eval"))
+        .groupBy(col("band"), col("bh"))
+        .agg(count_if(col("is_eval")).as("ne"), count_if(!col("is_eval")).as("nt"))
+      val r = occ.agg(coalesce(sum(col("ne") * col("nt")), lit(0L)),
+        coalesce(sum(col("ne") + col("nt")), lit(0L))).head()
+      val mass = r.getLong(0)
+      val docs = r.getLong(1) / (Dedup.NumPerms.toLong / CorpusOps.FuzzyBandRows)
+      assert(mass <= CorpusOps.CoarseMinMass &&
+          mass <= CorpusOps.CoarsePairsPerDoc * docs,
+        s"$dir candidate mass $mass (docs=$docs) approaches the coarse " +
+          "guard: the coarsening is no longer inert on a driver-verified " +
+          "corpus — restate it in decontaminateFuzzySql before shipping")
+    }
   }
 }

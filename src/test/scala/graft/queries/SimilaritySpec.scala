@@ -285,11 +285,13 @@ class SimilaritySpec extends SparkSuite {
     // branch is row-identical to the plain filtered path on the same
     // stratum — the dispatch adds routing, never changes a branch.
     val ivf = Similarity.annFilteredAutoWith(spark, sf, pred, "range",
-      Some(0L)).collect()
+      Some(0L), perStratumIvf = true).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val plain = Similarity.annFilteredWith(spark, sf, pred, "range").collect()
+    val plain = Similarity.annFilteredStratumWith(spark, sf, pred, "range")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(ivf == plain, "budget-0 range auto must equal the filtered IVF path")
+    assert(ivf == plain,
+      "budget-0 range auto must equal the per-stratum filtered IVF path")
     assert(ivf.forall(_._2 < n / 2), "IVF-branch neighbor outside the range stratum")
     // Per-stratum recalibration ordering across all THREE strata: deeper
     // probing as the stratum thins (50% ≤ 10% < 1%) — if the range
