@@ -68,7 +68,7 @@ grep "\[fuzzycoarse\]" /tmp/fuzzycoarse.log >&2 || true
 # VERDICT r15 #3): rows-per-g max/p99/p999 at the far stagings decide
 # window-vs-combinable form on a measurement.
 log "9/10 substring g-skew census -> SUBSTRSKEW_r$r.json"
-sbt -batch "Test/runMain graft.queries.SubstrSkewProbe /root/repo/SUBSTRSKEW_r$r.json /tmp/graft_scale/sf3 /tmp/graft_scale/sf10 /tmp/graft_scale/sf30" \
+sbt -batch "Test/runMain graft.queries.SubstrSkewProbe /root/repo/SUBSTRSKEW_r$r.json /tmp/graft_scale/sf3 /tmp/graft_scale/sf10 /tmp/graft_scale/sf30 planted:200000 planted:500000" \
   > /tmp/substrskew.log 2>&1 || { log "SUBSTR SKEW PROBE FAILED"; fail=1; }
 grep "\[substrskew\]" /tmp/substrskew.log >&2 || true
 

@@ -222,9 +222,12 @@ object CorpusOps {
     * A/B, where candidates are a few hundred and verification is already
     * cheap), while at the 30× staging the raw candidate set reads ~1M
     * pairs and the cut deletes 15 s of bipartite shingle verification.
-    * The switch is keyed on the raw set's own materialized count (free —
-    * it is checkpointed either way), the attachGuard pattern on the
-    * work-volume axis.
+    * The switch is keyed on the measured raw join MASS (round 16 — the
+    * same occ-aggregate scalar the coarse guard reads, known before any
+    * pair row exists; previously the raw set's materialized distinct
+    * count, which cost a full shuffle + checkpoint of the candidate
+    * stream just to decide), the attachGuard pattern on the work-volume
+    * axis.
     */
   private[queries] val SketchCutMinPairs = 100000L
 
@@ -407,13 +410,24 @@ object CorpusOps {
     // PAIR set — not corpus-bounded — is checkpointed (two consumers:
     // the candidate-doc semi-join and the final pair gate) and guarded
     // on its OWN count (Dedup.pairGuard).
+    // Round 16: in the cut regime the distinct runs AFTER the sketch cut
+    // — on the ~10⁻⁴ survivor volume, not the full candidate stream (the
+    // dd_embed cascade's exact lesson, now applied to the Jaccard
+    // family). The old form distinct'ed, checkpointed, and counted 11.6M
+    // raw pairs at the 100× staging to remove 80k duplicates and decide
+    // a threshold the occ aggregate ALREADY measures: the cut verdict is
+    // deterministic per pair, so pruning commutes with dedup, and the
+    // engage decision keys on `mass` — the exact pre-distinct row count
+    // of the join above, measured before any pair row materializes.
+    // Nothing of candidate volume is ever stored: join → sig attaches →
+    // agreement filter → distinct(survivors) → checkpoint (60 rows at
+    // 100×).
     val g = Dedup.attachGuard(sh.count()) _
-    val candRaw = candPre.distinct().localCheckpoint()
     val candidates =
-      if (candRaw.count() > cutMinPairs)
-        Dedup.sketchCutPairs(candRaw, sigs, sigs.count(), FuzzyTau,
-          "train_doc", "eval_doc").localCheckpoint()
-      else candRaw
+      (if (mass > cutMinPairs)
+        Dedup.sketchCutPairs(candPre, sigs, sigs.count(), FuzzyTau,
+          "train_doc", "eval_doc")
+      else candPre).distinct().localCheckpoint()
     val candG = Dedup.pairGuard(candidates)
     // Exact verification restricted to candidate docs; the eval/train
     // split is a pure doc_id predicate, so each side is a filter. The

@@ -38,16 +38,17 @@ object FuzzyProbe {
       .select(col("band"), col("bh"), col("doc_id").as("eval_doc"))
     val trainB = buckets.filter(col("doc_id") % evalMod =!= 0)
       .select(col("band"), col("bh"), col("doc_id").as("train_doc"))
+    // Round 16 topology: the raw join is never distinct'ed or stored —
+    // the cut consumes it streamed and the distinct runs on survivors.
     val candRaw = timed("raw-candidates") {
       val c = evalB.hint("SHUFFLE_HASH").join(trainB, Seq("band", "bh"))
-        .select(col("train_doc"), col("eval_doc")).distinct()
-        .localCheckpoint()
+        .select(col("train_doc"), col("eval_doc"))
       println(s"[fuzzyprobe]   raw candidate pairs=${c.count()}")
       c
     }
-    val candidates = timed("sketch-cut") {
+    val candidates = timed("sketch-cut+distinct") {
       val c = Dedup.sketchCutPairs(candRaw, sigs, nDocs, 0.5,
-        "train_doc", "eval_doc").localCheckpoint()
+        "train_doc", "eval_doc").distinct().localCheckpoint()
       println(s"[fuzzyprobe]   surviving pairs=${c.count()}")
       c
     }

@@ -19,14 +19,52 @@ import org.apache.spark.sql.functions._
 object SubstrSkewProbe {
   private val SubstrWindow = 40
 
+  /** `planted:N` arg: synthesize an N-doc corpus where EVERY doc opens
+    * with the same 200-char boilerplate header (a license header shared
+    * corpus-wide — the exact hot-g scenario the staged mosaics cannot
+    * produce, since replicas share only 4-word chunks < the 40-char
+    * window). Each of the header's ~161 window hashes then carries N
+    * position rows, and the census + a timed substringCut lap measure
+    * whether the g-window's one-group-at-a-time spillable buffer
+    * actually absorbs a hot g of that size — the decision input for
+    * window-form vs combinable-form (VERDICT r15 #3).
+    */
+  private def plantHotG(spark: org.apache.spark.sql.SparkSession,
+      n: Long): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_substr_planted_$n"
+    val out = new java.io.File(s"$dir/documents.parquet")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val header = "Licensed under the Apache License, Version 2.0; " +
+        "you may not use this file except in compliance with the " +
+        "License. You may obtain a copy of the License at the usual " +
+        "location. Unless required by applicable law."
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          concat(lit(header), lit(" body "),
+            // Unique tail so docs are not wholesale identical: 40+ chars
+            // derived from the id, no cross-doc windows of its own.
+            sha2(col("id").cast("string"), 256)).as("text"),
+          lit("en").as("lang"), lit("planted").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(out.getAbsolutePath)
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
-    val (outPath, dirs) =
+    val (outPath, dirsRaw) =
       if (args.nonEmpty && args.head.endsWith(".json"))
         (Some(args.head), args.toSeq.drop(1))
       else (None, if (args.nonEmpty) args.toSeq
             else Seq("/tmp/graft_scale/sf3", "/tmp/graft_scale/sf10",
               "/tmp/graft_scale/sf30"))
     val spark = graft.GraftSession("substr-skew-probe")
+    val dirs = dirsRaw.map { d =>
+      if (d.startsWith("planted:")) plantHotG(spark, d.stripPrefix("planted:").toLong)
+      else d
+    }
     val points = for (sf <- dirs) yield {
       val docs = graft.Tables.documents(spark, sf)
         .filter(length(col("text")) >= SubstrWindow)
@@ -41,28 +79,49 @@ object SubstrSkewProbe {
             .as("i"))
         .select(col("doc_id"), col("i").cast("long").as("i"),
           xxhash64(expr(s"substring(text, i, $SubstrWindow)")).as("g"))
+      // NO checkpoint of perG — at 300× it is ~400M rows (≈15 GB of
+      // blocks, the exact residency sin the substring_cut rewrite
+      // deleted). Everything lands in TWO jobs over the lineage: one
+      // combined aggregate row + one top-5 scan.
       val perG = gramsPos.groupBy(col("g")).agg(
-          count(lit(1)).as("n"),
-          (min(col("doc_id")) =!= max(col("doc_id"))).as("xdoc"))
-        .localCheckpoint()
-      val posRows = perG.agg(sum(col("n"))).head().getLong(0)
-      val distinctG = perG.count()
-      val dup = perG.filter(col("xdoc"))
-      val dupG = dup.count()
-      val dupPosRows =
-        if (dupG == 0) 0L else dup.agg(sum(col("n"))).head().getLong(0)
-      val pct = perG.select(percentile_approx(col("n"),
-        array(lit(0.5), lit(0.99), lit(0.999)), lit(10000)).as("p")).head()
-        .getSeq[Long](0)
+        count(lit(1)).as("n"),
+        (min(col("doc_id")) =!= max(col("doc_id"))).as("xdoc"))
+      val s = perG.agg(
+        count(lit(1)).as("distinctG"),
+        sum(col("n")).as("posRows"),
+        count_if(col("xdoc")).as("dupG"),
+        coalesce(sum(when(col("xdoc"), col("n"))), lit(0L)).as("dupPosRows"),
+        percentile_approx(col("n"),
+          array(lit(0.5), lit(0.99), lit(0.999)), lit(10000)).as("p")).head()
+      val distinctG = s.getLong(0)
+      val posRows = s.getLong(1)
+      val dupG = s.getLong(2)
+      val dupPosRows = s.getLong(3)
+      val pct = s.getSeq[Long](4)
       val top = perG.orderBy(col("n").desc).limit(5)
         .select(col("n")).collect().map(_.getLong(0))
+      // Planted dirs get a timed substringCut lap (min of 2 warm) — the
+      // staged dirs' cut walls already land in SUBSTR_r{N} via
+      // SubstrProbe; here the wall answers "does the hot-g group buffer
+      // absorb max(n) positions in one task".
+      val cutSec =
+        if (!sf.contains("graft_substr_planted")) -1.0
+        else {
+          Dedup.substringCut(spark, sf).count() // warm-up
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            Dedup.substringCut(spark, sf).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
       println(f"[substrskew] $sf%-24s docs=$nDocs%8d pos=$posRows%11d " +
         f"distinctG=$distinctG%11d dupG=$dupG%9d dupPos=$dupPosRows%10d " +
-        f"p50=${pct(0)} p99=${pct(1)} p999=${pct(2)} top=${top.mkString("/")}")
+        f"p50=${pct(0)} p99=${pct(1)} p999=${pct(2)} top=${top.mkString("/")} " +
+        f"cutSec=$cutSec%.1f")
       s"""{"sf":"$sf","docs":$nDocs,"posRows":$posRows,""" +
         s""""distinctG":$distinctG,"dupG":$dupG,"dupPosRows":$dupPosRows,""" +
         s""""p50":${pct(0)},"p99":${pct(1)},"p999":${pct(2)},""" +
-        s""""top5":[${top.mkString(",")}]}"""
+        s""""top5":[${top.mkString(",")}],"cutSec":$cutSec}"""
     }
     val out = s"""{"points":[${points.mkString(",")}]}"""
     println("[substrskew] " + out)
