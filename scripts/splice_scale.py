@@ -20,7 +20,7 @@ Usage: splice_scale.py [--allow-partial] EXISTING.json FRESH.jsonl > OUT.json
 import sys, json, math
 
 DOCS = {"sf0.1": 1.0, "sf0.3": 3.0, "sf1": 10.0, "sf3": 30.0,
-        "sf10": 100.0}
+        "sf10": 100.0, "sf30": 300.0}
 
 
 def refit(points):
