@@ -180,18 +180,54 @@ object Dedup {
     */
   def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame = {
     val staged = s"$stagingDir/shingles.parquet"
-    shingles(spark, sfDir).write.mode("overwrite").parquet(staged)
+    // The staged table is the COMPACTED basis (round 16): at 100 TB this
+    // is the difference between staging ~5× the corpus token bytes and
+    // staging 8 B per distinct (doc, shingle) — and minhashFrom's
+    // hashCompact is idempotent on the long column read back.
+    hashCompact(shingles(spark, sfDir)).write.mode("overwrite").parquet(staged)
     minhashFrom(spark.read.parquet(staged))
   }
+
+  /** Hash-compacted shingle basis (round 16, the r17 lead landed
+    * early): the signature families carry `xxhash64(shingle)` — 8-byte
+    * longs — through the df cap, the checkpoint, and the verification
+    * joins instead of ~25-45-byte shingle STRINGS. The 100 TB argument:
+    * the capped basis IS the staged-shingle table at ingest
+    * (minhashStaged), and every byte of it is checkpointed locally and
+    * shuffled by the verify joins — compaction shrinks that residency
+    * and shuffle ~5×. Signatures are BIT-IDENTICAL to the string form:
+    * minhashSigs always keyed on xxhash64(shingle) & 0x7fffffff, and
+    * the compacted column stores exactly xxhash64(shingle), so banding,
+    * recall bounds, and every committed curve are unchanged.
+    *
+    * Exactness: string-equality joins become hash-equality joins, so a
+    * 64-bit collision between two DIFFERENT shingles of a compared pair
+    * would perturb a Jaccard count by 1. Per pair that is
+    * |A|·|B|/2⁶⁴ ≈ 2e-15 at real doc sizes — eleven orders under the
+    * banding miss the family already accepts — and at oracle scales it
+    * is exactly ZERO: BasisFloorSpec's collision sentinel asserts
+    * countDistinct(string) == countDistinct(hash) on every
+    * driver-verified corpus, the same staging-time discipline as the
+    * floor and coarse-guard sentinels. The EXACT family
+    * (dd_ngram_jaccard / jaccardPairs) keeps strings — it is the
+    * oracle anchor and proves the string semantics.
+    * Idempotent: a caller handing an already-compacted (long) basis —
+    * the staged table, a spec fixture — passes through unchanged.
+    */
+  private[queries] def hashCompact(sh: DataFrame): DataFrame =
+    sh.schema("shingle").dataType match {
+      case org.apache.spark.sql.types.LongType => sh
+      case _ => sh.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    }
 
   /** The df-capped shingle basis for a corpus — the set every MinHash
     * consumer (within-corpus dedup AND the bipartite decontamination
     * funnel) signs and verifies over, so banding probability and
     * verified Jaccard always score the same quantity (the cap-ordering
-    * argument on minhashFrom).
+    * argument on minhashFrom). Hash-compacted (see [[hashCompact]]).
     */
   private[queries] def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val shRaw = shingles(spark, sfDir)
+    val shRaw = hashCompact(shingles(spark, sfDir))
     shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
   }
 
@@ -244,8 +280,15 @@ object Dedup {
     * sketch (decontaminateFuzzy's candidate cut).
     */
   private[queries] def minhashSigs(sh: DataFrame): DataFrame = {
-    // 32-bit positive shingle hash; (a*x+b) mod p per permutation.
-    val h = (xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL))).as("h")
+    // 32-bit positive shingle hash; (a*x+b) mod p per permutation. A
+    // hash-compacted basis (LongType — already xxhash64(shingle)) masks
+    // directly, so signatures are bit-identical to the string form
+    // (the hashCompact contract); a string basis hashes here as always.
+    val base = sh.schema("shingle").dataType match {
+      case org.apache.spark.sql.types.LongType => col("shingle")
+      case _ => xxhash64(col("shingle"))
+    }
+    val h = base.bitwiseAND(lit(0x7fffffffL)).as("h")
     val hashed = sh.select(col("doc_id"), h)
     // One-pass signature via the custom TypedImperativeAggregate — the
     // whole 64-perm signature is a single buffer update per row and ONE
@@ -337,7 +380,12 @@ object Dedup {
     // the caller reads the final pairs. The r3→r3 bench blip on
     // dd_editdist (2.81→3.28) was lap noise: steady-state min-of-4 is
     // 1.89 s with the checkpoint in place.
-    val sh = shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
+    // Hash-compacted first (round 16, idempotent — see the hashCompact
+    // note): the cap aggregation, the checkpoint blocks, and both
+    // verify-side joins below all move 8 B longs instead of shingle
+    // strings; signatures are bit-identical either way.
+    val shC = hashCompact(shRaw)
+    val sh = shC.join(broadcast(hotShingles(shC)), Seq("shingle"), "left_anti")
       .localCheckpoint()
     // Free (the checkpoint above already materialized the blocks): the
     // corpus-count proxy every attachGuard below keys on.

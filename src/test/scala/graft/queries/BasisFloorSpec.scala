@@ -49,10 +49,12 @@ class BasisFloorSpec extends SparkSuite {
         .agg(min(col("nsh")), max(col("nsh"))).head()
       assert(nsh.getLong(0) == 3 && nsh.getLong(1) == 3,
         s"planted residue drifted: nsh range ${nsh.getLong(0)}..${nsh.getLong(1)}")
+      // (shingle values are hash-compacted longs since round 16 —
+      // compare them type-agnostically)
       val g0 = sh.filter(col("doc_id") === 0L).select("shingle")
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.get(0)).toSet
       val g1 = sh.filter(col("doc_id") === 1L).select("shingle")
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.get(0)).toSet
       assert(g0 == g1 && g0.size == 3,
         s"same-group residues must be identical (J=1.0 without the floor): $g0 vs $g1")
 
@@ -99,6 +101,31 @@ class BasisFloorSpec extends SparkSuite {
       assert(pairs.contains((2000001L, 2000002L)),
         s"comparable near-dup pair lost by the floor; got $pairs")
     } finally Dedup.deleteDir(dir)
+  }
+
+  test("hash compaction is collision-free on every driver-verified corpus (sentinel)") {
+    // The signature families join/count shingles by xxhash64 since round
+    // 16 (Dedup.hashCompact) while the oracles state string equality; a
+    // 64-bit collision between two DIFFERENT shingles of a corpus would
+    // perturb a Jaccard count by 1. This sentinel pins the regime where
+    // the two are EXACTLY equal — zero collisions among each verified
+    // corpus's distinct shingles — at staging time, the same discipline
+    // as the floor and coarse-guard sentinels. (At 100 TB the expected
+    // collision count is ~n²/2⁶⁵ merged df pairs — analyzed on
+    // hashCompact; this gate is about the driver-verified corpora.)
+    import org.apache.spark.sql.functions.countDistinct
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sh = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"), 3))
+            .as("shingle"))
+      val r = sh.agg(countDistinct(col("shingle")),
+        countDistinct(xxhash64(col("shingle")))).head()
+      assert(r.getLong(0) == r.getLong(1),
+        s"$dir has ${r.getLong(0) - r.getLong(1)} xxhash64 shingle " +
+          "collision(s): hash-equality no longer matches the oracle's " +
+          "string equality on a driver-verified corpus")
+    }
   }
 
   test("winnow floor is inert on every driver-verified corpus (sentinel)") {
