@@ -26,7 +26,7 @@ object RecallProbe {
     * enter some top-5 sets as the corpus grows).
     */
   private def recallAt(spark: org.apache.spark.sql.SparkSession,
-                       sfDir: String): String = {
+      sfDir: String): (String, Map[String, Double], Long, Int) = {
     val n = Tables.embeddings(spark, sfDir).count()
     val exact = resultMap(SparkEntry.queries("ann_topk")(spark, sfDir))
     // ann_filtered searches a predicate stratum — its baseline is the
@@ -75,25 +75,36 @@ object RecallProbe {
       println(f"[recall] $sfDir $fam%-15s recall@5 = $mean%.4f over ${recalls.size} queries (n=$n)")
       fam -> mean
     }
-    // Hard gate (round 16, VERDICT r15 #6 done-bar): at every grown
-    // point the per-stratum index must not read below the corpus-wide
-    // model on the same stratum (measured: 0.995 vs 0.990 at 6k, 1.000
-    // vs 0.960 at 20k — and it touches comparable rows, rangeBudgetDiag).
-    // n < 5000 is exempt: at 2000 vectors both probe ~2/3 of the index
-    // and the comparison is 1-neighbor noise (0.970 vs 0.995 measured),
-    // not a model property. Everything here is seeded/deterministic, so
-    // this is a stable gate, not a flaky one.
-    val em = entries.toMap
-    if (n >= 5000)
-      require(em("ann_filtered_range") >= em("ann_filtered_range_corpuswide"),
-        s"per-stratum range index reads BELOW the corpus-wide model at n=$n: " +
-          s"${em("ann_filtered_range")} < ${em("ann_filtered_range_corpuswide")}")
     val body = entries
       .map { case (f, r) => "\"" + f + "\":" + f"$r%.4f" }
       .mkString(",")
-    s"""{"sf":"$sfDir","n":$n,"k":5,"baseline":"ann_topk",""" +
+    val line = s"""{"sf":"$sfDir","n":$n,"k":5,"baseline":"ann_topk",""" +
       s""""nQueries":${exact.size},"recall":{$body}}"""
+    (line, entries.toMap, n, exact.size)
   }
+
+  /** Hard gate (round 16, VERDICT r15 #6 done-bar): at every grown point
+    * the per-stratum index must not read below the corpus-wide model on
+    * the same stratum (measured: 0.995 vs 0.990 at 6k, 1.000 vs 0.960 at
+    * 20k — and it touches comparable rows, rangeBudgetDiag). n < 5000 is
+    * exempt: at 2000 vectors both probe ~2/3 of the index and the
+    * comparison is 1-neighbor noise (0.970 vs 0.995 measured), not a
+    * model property. Round 17 (ADVICE r16): the gate runs in main AFTER
+    * the artifact is on disk — a marginal inversion at a new scale point
+    * must fail loudly but leave the measured rows as evidence, not abort
+    * the whole multi-point probe with nothing committed — and tolerates
+    * exactly one flipped query at nQueries granularity (1/(k·nQueries)
+    * of mean recall): a 0.9950-vs-0.9952 single-neighbor flip is probe
+    * noise, a model regression moves whole queries.
+    */
+  private def stratumGate(em: Map[String, Double], n: Long,
+                          nQueries: Int): Unit =
+    if (n >= 5000) {
+      val eps = 1.0 / (5.0 * nQueries)
+      require(em("ann_filtered_range") >= em("ann_filtered_range_corpuswide") - eps,
+        s"per-stratum range index reads BELOW the corpus-wide model at n=$n: " +
+          s"${em("ann_filtered_range")} < ${em("ann_filtered_range_corpuswide")} - $eps")
+    }
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("/tmp/recall.json")
@@ -104,13 +115,17 @@ object RecallProbe {
       if (args.length > 1) args.toSeq.drop(1)
       else Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = GraftSession("graft-recall")
-    val lines = dirs.map(d => recallAt(spark, d))
+    val results = dirs.map(d => recallAt(spark, d))
+    val lines = results.map(_._1)
     val out =
       if (lines.size == 1) lines.head
       else s"""{"points":[${lines.mkString(",")}]}"""
+    // Artifact FIRST, gates AFTER (ADVICE r16): every measured point is
+    // on disk before any require can abort the JVM.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (out + "\n").getBytes("UTF-8"))
     println(s"[recall] wrote $outPath")
+    results.foreach { case (_, em, n, nq) => stratumGate(em, n, nq) }
     spark.stop()
   }
 }

@@ -192,6 +192,25 @@ object CorpusOps {
     * Gopher §A.4-style) runs an n-gram-overlap pass beside the exact
     * one.
     *
+    * RECALL CONTRACT (round 17, ADVICE r16 — the activated-regime bound
+    * stated here, where a user reads it, not only at the guard site):
+    * on every oracle-scale corpus the output is EXACTLY the stated
+    * quadratic form (all guards measured inert, CI-sentineled). In the
+    * activated regimes the entry is an ε-recall approximation with
+    * per-true-pair miss bounds: (a) the sketch cut (raw candidate mass
+    * > SketchCutMinMass) adds ≤ 1.2e-5 at exactly J = τ, vanishing
+    * above; (b) hot-bucket coarsening (mass > max(CoarseMinMass,
+    * CoarsePairsPerDoc·docs)) affects only pairs whose EVERY collision
+    * site is hot — such a pair survives via full 4-row coarse bands,
+    * P = 1−(1−J⁴)^16: ≈ 0.65 at J = τ = 0.5 (a ~35% at-threshold miss,
+    * the price of the regime existing at all — the fine join OOMs
+    * there), 0.90 at J = 0.7, 1−4e-8 at the J ≥ 0.9 similarities real
+    * contamination shows; pairs with ANY cold collision site are
+    * unaffected (~1e-4 family baseline). FuzzyCoarseSpec pins both
+    * sides of that boundary with planted at-threshold hot-routed pairs;
+    * FUZZYCOARSE_r{N} differentials prove row identity where the guard
+    * is cold and where it engages on organic corpora.
+    *
     * Scale path: the SAME 64-perm MinHash signatures as dd_minhash over
     * the df-capped shingle basis, banded 2 rows × 32 bands — the S-curve
     * position for J ≥ 0.5 (per-pair miss (1−J²)³² ≈ 1e-4 at the
@@ -228,11 +247,29 @@ object CorpusOps {
     * count, which cost a full shuffle + checkpoint of the candidate
     * stream just to decide), the attachGuard pattern on the work-volume
     * axis.
+    *
+    * UNITS (round 17, ADVICE r16): the round-16 switch changed what this
+    * constant is compared against — raw pre-distinct join MASS
+    * (Σ eval·train over fine buckets), not the distinct candidate-pair
+    * count it was originally calibrated on — hence the rename from
+    * SketchCutMinPairs. The two differ by the duplication factor of
+    * bucket collisions: organically ~1.007 at the 100× staging
+    * (11.65M mass vs 11.57M distinct, FUZZYCOARSE_r16), but a
+    * heavily-duplicated corpus can collide the same pair in many
+    * buckets and engage the cut well under 100k DISTINCT pairs. That
+    * early engagement is the cheap direction by construction: the cut
+    * costs two signature attaches (~0.4 s at sf0.1) and its miss
+    * (~1.2e-5 per true pair at exactly τ) is an order under the banding
+    * miss — so the constant is deliberately kept at its historical
+    * value rather than rescaled by a corpus-dependent mass/distinct
+    * ratio. Only the expensive direction (cut NOT engaging on a large
+    * candidate set) would need a rescale, and mass ≥ distinct count
+    * makes that impossible.
     */
-  private[queries] val SketchCutMinPairs = 100000L
+  private[queries] val SketchCutMinMass = 100000L
 
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame =
-    decontaminateFuzzyCut(spark, sfDir, SketchCutMinPairs)
+    decontaminateFuzzyCut(spark, sfDir, SketchCutMinMass)
 
   /** Core with the sketch-cut threshold injectable so the spec can force
     * both regimes on the same corpus (cut-on ≡ cut-off row identity —
@@ -302,11 +339,11 @@ object CorpusOps {
   private[queries] val CoarsePairsPerDoc = 64L
 
   private[queries] def decontaminateFuzzyCut(spark: SparkSession,
-      sfDir: String, cutMinPairs: Long): DataFrame =
-    decontaminateFuzzyCoarse(spark, sfDir, cutMinPairs, -1L)
+      sfDir: String, cutMinMass: Long): DataFrame =
+    decontaminateFuzzyCoarse(spark, sfDir, cutMinMass, -1L)
 
   private[queries] def decontaminateFuzzyCoarse(spark: SparkSession,
-      sfDir: String, cutMinPairs: Long, coarseMinMass: Long): DataFrame = {
+      sfDir: String, cutMinMass: Long, coarseMinMass: Long): DataFrame = {
     // Capped over the FULL corpus basis before signing (the cap-ordering
     // invariant minhashFrom documents); checkpointed — signatures,
     // candidate semi-join, and verification sizes all branch off it.
@@ -424,7 +461,7 @@ object CorpusOps {
     // 100×).
     val g = Dedup.attachGuard(sh.count()) _
     val candidates =
-      (if (mass > cutMinPairs)
+      (if (mass > cutMinMass)
         Dedup.sketchCutPairs(candPre, sigs, sigs.count(), FuzzyTau,
           "train_doc", "eval_doc")
       else candPre).distinct().localCheckpoint()

@@ -1300,6 +1300,14 @@ object Dedup {
   /** The deterministic near-dup plant construction over an arbitrary
     * (vec_id, embedding) base — shared by dd_embed_hi (64-d driver
     * corpus) and dd_embed_hi768 (production-dimension corpus).
+    *
+    * The `zip_with` below is one of the suite's two surviving
+    * interpreted higher-order lambdas (VERDICT r16 #7) and stays so
+    * deliberately: it runs ONCE per plant row (10% of the corpus) at
+    * test-corpus-synthesis time, d multiply-adds per row, never inside
+    * a join or a per-candidate scan — the staged hi768 corpora persist
+    * its output, so the measured scale curves don't even execute it.
+    * Convert to codegen only if a curve ever names it.
     */
   private[queries] def plantNearDups(base: DataFrame): DataFrame = {
     val partner = base.select((col("vec_id") - 1).as("vec_id"),
@@ -2016,6 +2024,15 @@ object Dedup {
 
   /** Order-preserving reassembly of surviving lines — the shared tail of
     * both dd_lines forms.
+    *
+    * The `transform(array_sort(...))` is the suite's other surviving
+    * interpreted higher-order lambda (VERDICT r16 #7), bounded per GROUP
+    * by construction: it runs once per output doc over that doc's own
+    * kept-line array — O(doc lines · log) state, corpus-linear total,
+    * never over a candidate or pair stream. The hot mass of dd_lines is
+    * the codegen'd line explode + anti-join upstream; this tail is
+    * reassembly of the survivor rows only. Convert only if a curve
+    * names it.
     */
   private def reassembled: Column =
     array_join(expr("transform(array_sort(collect_list(struct(idx, line))), x -> x.line)"),

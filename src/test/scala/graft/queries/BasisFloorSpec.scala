@@ -114,7 +114,8 @@ class BasisFloorSpec extends SparkSuite {
     // collision count is ~n²/2⁶⁵ merged df pairs — analyzed on
     // hashCompact; this gate is about the driver-verified corpora.)
     import org.apache.spark.sql.functions.countDistinct
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val sh = graft.Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode(graft.functions.WordShingles.wordShingles(col("text"), 3))
@@ -132,7 +133,10 @@ class BasisFloorSpec extends SparkSuite {
     // Companion to FuzzyFloorSpec's shingle-basis sentinel: dd_winnow's
     // oracle states the exact capped-overlap form with no floor, valid
     // only while no verified corpus carries a sub-floor fingerprint set.
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.1 added round 17 (ADVICE r16): the scale/bench corpora grow
+    // from it, so its basis must be floor-clean too.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val minN = Dedup.winnowDocSets(spark, dir)
         .agg(min(col("n"))).head().getInt(0)
       assert(minN >= Dedup.DegenerateBasisFloor,

@@ -69,7 +69,7 @@ class CorpusOpsSpec extends SparkSuite {
 
   test("fuzzy sketch cut: forced-on regime is row-identical to cut-off") {
     // The sketch cut (round 14) prunes candidates on signature agreement
-    // only when the raw candidate set clears SketchCutMinPairs — never
+    // only when the raw candidate set clears SketchCutMinMass — never
     // on the test corpora. Force BOTH regimes on the same corpus: with
     // the threshold at 0 every candidate passes through the cut, and the
     // output must be row-identical to the cut-off plan (the cut may only

@@ -54,7 +54,7 @@ object FuzzyCoarseCheck {
     def rows(coarseMinMass: Long): (Array[String], Double) = {
       val t0 = System.nanoTime()
       val r = CorpusOps.decontaminateFuzzyCoarse(spark, sf,
-          CorpusOps.SketchCutMinPairs, coarseMinMass)
+          CorpusOps.SketchCutMinMass, coarseMinMass)
         .collect().map(_.toString).sorted
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[fuzzycoarse] coarseMinMass=$coarseMinMass rows=${r.length} wall=$wall%.1fs")

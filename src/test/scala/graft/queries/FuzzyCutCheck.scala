@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 /** Differential gate for the fuzzy-decontamination sketch cut (ADVICE
-  * r14): above SketchCutMinPairs candidate pairs the cut is LOSSY by
+  * r14): above SketchCutMinMass candidate pairs the cut is LOSSY by
   * design (true-pair miss ~1e-5 at J = tau), and before this check the
   * only cut-ON coverage was the tiny planted corpus — a sketchCutPairs
   * regression in the activated regime would have been invisible to the
@@ -45,11 +45,11 @@ object FuzzyCutCheck {
       s"staged point $sf produced no candidate pairs - nothing to cut")
     val engageAt = math.max(1L, rawPairs / 2)
 
-    def rows(cutMinPairs: Long): Array[String] = {
+    def rows(cutMinMass: Long): Array[String] = {
       val t0 = System.nanoTime()
-      val r = CorpusOps.decontaminateFuzzyCut(spark, sf, cutMinPairs)
+      val r = CorpusOps.decontaminateFuzzyCut(spark, sf, cutMinMass)
         .collect().map(_.toString).sorted
-      println(f"[fuzzycut] cutMinPairs=$cutMinPairs rows=${r.length} " +
+      println(f"[fuzzycut] cutMinMass=$cutMinMass rows=${r.length} " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
@@ -57,8 +57,8 @@ object FuzzyCutCheck {
     val cutOff = rows(Long.MaxValue)
     val equal = cutOn.sameElements(cutOff)
     val line = s"""{"sf":"$sf","rawPairs":$rawPairs,"engagedAt":$engageAt,""" +
-      s""""shippedThreshold":${CorpusOps.SketchCutMinPairs},""" +
-      s""""shippedWouldEngage":${rawPairs > CorpusOps.SketchCutMinPairs},""" +
+      s""""shippedThreshold":${CorpusOps.SketchCutMinMass},""" +
+      s""""shippedWouldEngage":${rawPairs > CorpusOps.SketchCutMinMass},""" +
       s""""cutOnRows":${cutOn.length},"cutOffRows":${cutOff.length},""" +
       s""""equal":$equal}"""
     println("[fuzzycut] " + line)

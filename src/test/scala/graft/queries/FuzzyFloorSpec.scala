@@ -53,8 +53,11 @@ class FuzzyFloorSpec extends SparkSuite {
     // shingles, the divergence surfaces HERE at staging time as a named
     // failure instead of in the driver gate as a false-alarm hash
     // mismatch. sf0.01 is the driver's verify corpus; sf0.001 rides
-    // along because the suite already reads it.
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // along because the suite already reads it; sf0.1 (round 17, ADVICE
+    // r16) because bench/recall/scale artifacts all run there and the
+    // staged scale corpora grow from it.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val minNsh = Dedup.minhashSigs(Dedup.cappedShingles(spark, dir))
         .agg(min(col("nsh"))).head().getLong(0)
       assert(minNsh >= CorpusOps.MinCappedShingles,
