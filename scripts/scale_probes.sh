@@ -19,10 +19,10 @@ grep '\[scalecorpus\]' /tmp/scale_corpus.log >&2
 tmp=/tmp/scale_probes_lines.jsonl
 : > "$tmp"
 run_point() {
-  local sf=$1 q=$2
-  echo "[scale] $sf $q ..." >&2
+  local sf=$1 q=$2 laps=${3:-3}
+  echo "[scale] $sf $q (laps=$laps) ..." >&2
   local line
-  line=$(GRAFT_BENCH_ISOLATE="$q" GRAFT_BENCH_LAPS=3 \
+  line=$(GRAFT_BENCH_ISOLATE="$q" GRAFT_BENCH_LAPS="$laps" \
     SPARK_GRAFT_SF_DIR="$base/$sf" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"isolate".*')
   if [ -z "$line" ]; then
@@ -61,13 +61,20 @@ run_point sf10 dd_decontaminate_fuzzy
 # form: the per-doc cut form's whole claim is linearity where pair-list
 # output compounds, so its curve runs the same far points.
 run_point sf3 dd_substring_cut
-run_point sf10 dd_substring_cut
+# (sf10 dd_substring_cut runs below with the 6-lap protocol)
 # 300x (round 15, verdict r14 #3/#4): the fuzzy 30->100x marginal was
 # 0.841 AND RISING, and dd_substring_cut's was 1.297 — both watch items
 # get their next decade measured instead of argued. sf30 is a
 # documents-only staging (~1.5M docs).
-run_point sf30 dd_decontaminate_fuzzy
-run_point sf30 dd_substring_cut
+# 6-lap warm protocol at the 300x points (round 17, VERDICT r16 #3):
+# the r16 dd_substring_cut 100->300x marginal read 1.008 vs r15's 0.912
+# on unchanged code — wobble around 1.0 that 3 laps cannot settle. The
+# fuzzy curve's r16 recapture showed 6 laps converge where 3 spread
+# ±10%; the far points that feed the pre-committed decision rule
+# (substringCut scaladoc) get the settled protocol.
+run_point sf30 dd_decontaminate_fuzzy 6
+run_point sf30 dd_substring_cut 6
+run_point sf10 dd_substring_cut 6
 # dd_keep_best + pipeline_clean_corpus through 30x/100x (round 16,
 # verdict r15 #5): the flagship gained component closure + keep-best
 # argmax attach in round 15 but its curve stopped at 10x — the new

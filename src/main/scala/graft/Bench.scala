@@ -117,6 +117,47 @@ object Bench {
         s""""heapMB":$heap1,"codeMB":$code1}""")
   }
 
+  /** Second control axis (round 17, VERDICT r16 #2): a FROZEN small
+    * shuffle. The pure-compute control above normalizes exactly one
+    * thing — CPU cycle speed — and round 16's own artifacts proved that
+    * is not enough: BENCH_LOCAL read 108.34 s at ctl 0.90 while the
+    * driver read 81.93 s at ctl 0.89 — near-identical compute control,
+    * 26 s apart on totals, because co-tenant SCHEDULING (task dispatch
+    * latency, shuffle IO contention) moves the suite without moving a
+    * single-stage arithmetic chain. This lap is built to feel that axis:
+    * 50M rows repartitioned hash-wise across 64 partitions (a real
+    * ~400 MB shuffle write + read, 128 tasks of scheduling) into a
+    * trivial fold, so its wall moves with exactly the machinery the
+    * compute control is blind to. Adjudication reads BOTH: ctl flat +
+    * ctl2 inflated ⇒ scheduling/IO contention; both flat + total moved
+    * ⇒ look at the per-query diags, the host is not the story.
+    *
+    * DO NOT change the constants or the shape — same yardstick contract
+    * as controlLap.
+    */
+  private def shuffleControlLap(spark: SparkSession): Lap = {
+    import org.apache.spark.sql.functions._
+    val (jit0, gc0, _, _) = snap()
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        spark.range(0L, 50000000L, 1L, 64)
+          .repartition(64, pmod(xxhash64(col("id")), lit(8192)))
+          .agg(bit_xor(xxhash64(col("id"))).as("s"))
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] shuffle control failed: ${e.getMessage}")
+          false
+      }
+    val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    val (jit1, gc1, heap1, code1) = snap()
+    Lap(sec, jit1 - jit0,
+      s"""{"sec":$sec,"jitMs":${jit1 - jit0},"gcMs":${gc1 - gc0},""" +
+        s""""heapMB":$heap1,"codeMB":$code1}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -184,8 +225,25 @@ object Bench {
         val ctlLaps = (1 to 3).map(_ => controlLap(spark))
         val ctlSec = ctlLaps.filter(_.sec >= 0)
           .map(_.sec).minOption.getOrElse(-1.0)
-        val ctl = s""""control":{"sec":$ctlSec,"laps":[""" +
-          ctlLaps.map(_.diag).mkString(",") + "]}"
+        // Per-lap spread of the compute control (round 17, VERDICT r16
+        // #2): min normalizes, but the SPREAD is the in-artifact signal
+        // that the host was unstable DURING the control window itself —
+        // a 0.9 s min with a 2.5 s worst lap is not the same host as
+        // three 0.9 s laps.
+        val ctlOk = ctlLaps.filter(_.sec >= 0).map(_.sec)
+        val ctlSpread =
+          if (ctlOk.isEmpty) -1.0 else ctlOk.max - ctlOk.min
+        // Second axis: the scheduling/IO-sensitive shuffle control (see
+        // shuffleControlLap). Same protocol: one untimed warm-up, 3
+        // timed, headline min.
+        shuffleControlLap(spark)
+        val ctl2Laps = (1 to 3).map(_ => shuffleControlLap(spark))
+        val ctl2Sec = ctl2Laps.filter(_.sec >= 0)
+          .map(_.sec).minOption.getOrElse(-1.0)
+        val ctl = s""""control":{"sec":$ctlSec,"spread":$ctlSpread,""" +
+          s""""laps":[""" + ctlLaps.map(_.diag).mkString(",") + "]}," +
+          s""""control2":{"sec":$ctl2Sec,"laps":[""" +
+          ctl2Laps.map(_.diag).mkString(",") + "]}"
         val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""queries":$qs,"sf":"$sfDir",$ctl,"diag":$diag}"""
         println(line)
@@ -233,6 +291,7 @@ object Bench {
         def headFor(short: Boolean): String =
           s"""{"metric":"total","value":${fmt2(total)},""" +
             s""""unit":"sec","sf":"$sfDir","ctl":${fmt2(ctlSec)},""" +
+            s""""ctl2":${fmt2(ctl2Sec)},"ctlSpread":${fmt2(ctlSpread)},""" +
             s""""shortKeys":$short,"queries":{"""
         def render(vs: Seq[(String, String)], short: Boolean)
             : (Seq[String], Boolean, Int) = {

@@ -70,8 +70,15 @@ object ScaleCorpus {
     // dd_substring_cut (verdict r14 #4: far marginal 1.297). The
     // embedding stagings stop at sf10 - no embedding-family query runs
     // past 100x.
+    // sf20 (200x, ~1M docs, documents-only) exists for exactly one
+    // instrument: the fuzzy coarsening guard's mid-bracket point
+    // (VERDICT r16 #4). The 64-pairs/doc crossover was bracketed by
+    // sf10 (23 pairs/doc, coarse LOSES 8.6 s) and the pre-floor 300x
+    // collapse (127 pairs/doc, fine OOMs); the raw candidate mass grows
+    // ~strides^1.55 on the mosaic construction, so strides=199 targets
+    // ~60-80 pairs/doc - the unmeasured middle regime.
     for ((tag, strides) <- Seq("sf0.1" -> 0, "sf0.3" -> 2, "sf1" -> 9,
-        "sf3" -> 29, "sf10" -> 99, "sf30" -> 299)) {
+        "sf3" -> 29, "sf10" -> 99, "sf20" -> 199, "sf30" -> 299)) {
       val out = new java.io.File(s"$outBase/$tag/documents.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         val docs =

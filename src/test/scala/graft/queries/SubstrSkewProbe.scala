@@ -53,6 +53,43 @@ object SubstrSkewProbe {
     dir
   }
 
+  /** `stream:N` arg (round 17, VERDICT r16 #5): time the WindowExec dup
+    * test ALONE over a synthetic position stream with N rows in ONE hot
+    * g — the shape 100 TB license-header density implies (~5M docs
+    * sharing a window hash), which a full planted document corpus at
+    * this host's size won't reach (the r16 gate topped out at 500k).
+    * The stream is (g, doc_id, i) exactly as substringCut's window
+    * stage consumes it: one g carrying N rows from N distinct docs,
+    * plus an equal volume of unique-g background so the hash exchange
+    * and the spill path see realistic mixed occupancy rather than a
+    * single-partition toy. The timed plan is the probe-local copy of
+    * the stage: min/max over Window.partitionBy(g), filter lo ≠ hi,
+    * count — no doc scan, no islands tail, so the wall isolates the
+    * one-task ExternalAppendOnlyUnsafeRowArray buffer the fallback
+    * decision cares about.
+    */
+  private def streamHotG(spark: org.apache.spark.sql.SparkSession,
+      n: Long): (String, () => Double) = {
+    val hot = spark.range(n)
+      .select(lit(0xC0FFEEL).as("g"), col("id").as("doc_id"),
+        lit(1L).as("i"))
+    val cold = spark.range(n)
+      .select((col("id") + 1000000000L).as("g"),
+        (col("id") % 1000L).as("doc_id"), (col("id") / 1000L + 2L).as("i"))
+    val streamDf = hot.unionByName(cold)
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    def lap(): Double = {
+      val t0 = System.nanoTime()
+      streamDf
+        .withColumn("lo", min(col("doc_id")).over(byG))
+        .withColumn("hi", max(col("doc_id")).over(byG))
+        .filter(col("lo") =!= col("hi"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (s"stream_hot_g_$n", lap)
+  }
+
   def main(args: Array[String]): Unit = {
     val (outPath, dirsRaw) =
       if (args.nonEmpty && args.head.endsWith(".json"))
@@ -61,9 +98,19 @@ object SubstrSkewProbe {
             else Seq("/tmp/graft_scale/sf3", "/tmp/graft_scale/sf10",
               "/tmp/graft_scale/sf30"))
     val spark = graft.GraftSession("substr-skew-probe")
-    val dirs = dirsRaw.map { d =>
+    // stream:N args are handled separately from the corpus census.
+    val streamNs = dirsRaw.filter(_.startsWith("stream:"))
+      .map(_.stripPrefix("stream:").toLong)
+    val dirs = dirsRaw.filterNot(_.startsWith("stream:")).map { d =>
       if (d.startsWith("planted:")) plantHotG(spark, d.stripPrefix("planted:").toLong)
       else d
+    }
+    val streamPoints = streamNs.map { n =>
+      val (tag, lap) = streamHotG(spark, n)
+      lap() // warm-up
+      val sec = (1 to 2).map(_ => lap()).min
+      println(f"[substrskew] $tag windowSec=$sec%.1f")
+      s"""{"sf":"$tag","hotGRows":$n,"windowSec":${f"$sec%.3f"}}"""
     }
     val points = for (sf <- dirs) yield {
       val docs = graft.Tables.documents(spark, sf)
@@ -123,7 +170,7 @@ object SubstrSkewProbe {
         s""""p50":${pct(0)},"p99":${pct(1)},"p999":${pct(2)},""" +
         s""""top5":[${top.mkString(",")}],"cutSec":$cutSec}"""
     }
-    val out = s"""{"points":[${points.mkString(",")}]}"""
+    val out = s"""{"points":[${(points ++ streamPoints).mkString(",")}]}"""
     println("[substrskew] " + out)
     outPath.foreach(p => java.nio.file.Files.write(
       java.nio.file.Paths.get(p), (out + "\n").getBytes("UTF-8")))
