@@ -335,6 +335,19 @@ object CorpusOps {
     * below it the linear terms dominate and the fine join is simply
     * cheaper; above it candidate mass is no longer explainable by
     * corpus growth and must be bucket-degeneracy.
+    *
+    * MID-BRACKET MEASURED (round 17, VERDICT r16 #4 — the sf20 staging
+    * built for exactly this): at 90.7 pairs/doc (32.4M mass, 357k
+    * signed docs) the shipped guard ENGAGES and the middle regime is
+    * FLAT — coarse 28.0 s vs fine 25.3 s warm, rows 35 ≡ 35
+    * (FUZZYCOARSE_r17). The constant is CONFIRMED, not re-derived: the
+    * crossover where coarse outright wins sits between 91 and 127
+    * pairs/doc, but the cost asymmetry decides the placement — early
+    * engagement costs ~11% wall (the measured premium at 91/doc),
+    * late engagement costs the fine join's OOM collapse (the pre-floor
+    * 300× regime). 64 buys that insurance at the price of a flat
+    * middle, which is the right trade for a guard whose activated
+    * regime is also ε-lossy (the recall contract above).
     */
   private[queries] val CoarsePairsPerDoc = 64L
 

