@@ -40,13 +40,19 @@ def main() -> None:
     label = sys.argv[3] if len(sys.argv) > 3 else "driver"
     d = json.load(open(bench_path))
     p = d.get("parsed", d) or {}
+    # Two artifact shapes: the driver's BENCH_rN.json carries the COMPACT
+    # line (top-level ctl/ctl2/ctlSpread), a GRAFT_BENCH_OUT full line
+    # nests them under control/control2.
+    ctl = p.get("ctl", (p.get("control") or {}).get("sec"))
+    ctl2 = p.get("ctl2", (p.get("control2") or {}).get("sec"))
+    spread = p.get("ctlSpread", (p.get("control") or {}).get("spread"))
     entry = {
         "round": rnd,
         "source": label,
-        "ctl": p.get("ctl"),
-        "ctl2": p.get("ctl2"),
-        "ctlSpread": p.get("ctlSpread"),
-        "total": p.get("value"),
+        "ctl": round(ctl, 2) if ctl is not None else None,
+        "ctl2": round(ctl2, 2) if ctl2 is not None else None,
+        "ctlSpread": round(spread, 2) if spread is not None else None,
+        "total": round(p["value"], 2) if p.get("value") is not None else None,
     }
     try:
         led = json.load(open("CONTROL.json"))
