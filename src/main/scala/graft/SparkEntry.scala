@@ -81,6 +81,11 @@ object SparkEntry {
     "ta_perplexity" -> (CorpusOps.perplexity _),
     "dd_decontaminate" -> (CorpusOps.decontaminate _),
     "dd_decontaminate_fuzzy" -> (CorpusOps.decontaminateFuzzy _),
+    // The staged-basis deployment form inside the correctness gate
+    // (round 17): stage once, dispatch reads the staged table, same
+    // oracles as the recompute forms.
+    "dd_minhash_staged" -> (Dedup.minhashStagedEntry _),
+    "dd_decontaminate_fuzzy_staged" -> (CorpusOps.decontaminateFuzzyStaged _),
     "ds_mix" -> (CorpusOps.sourceMix _),
     "ds_pack" -> (CorpusOps.pack _),
     // Structured Streaming pipelines run to completion (file source →
@@ -236,6 +241,11 @@ object SparkEntry {
     // bipartite MinHash funnel ≡ the exact quadratic form (the
     // dd_minhash equivalence argument, bipartite)
     "dd_decontaminate_fuzzy" -> CorpusOps.decontaminateFuzzySql,
+    // staged ≡ recompute: the dispatch is row-identical by construction
+    // (StagedBasisSpec), so the staged entries share their recompute
+    // forms' oracles — the driver's hash gate re-proves the identity.
+    "dd_minhash_staged" -> Dedup.minhashSql,
+    "dd_decontaminate_fuzzy_staged" -> CorpusOps.decontaminateFuzzySql,
     "ds_mix" -> CorpusOps.sourceMixSql,
     "ds_pack" -> CorpusOps.packSql,
     "st_window_agg" -> graft.streaming.StreamingQueries.windowAggSql,

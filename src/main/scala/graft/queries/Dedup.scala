@@ -196,6 +196,25 @@ object Dedup {
   def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame =
     minhashFrom(spark.read.parquet(stageBasis(spark, sfDir, stagingDir)))
 
+  /** dd_minhash_staged — the deployment form INSIDE the correctness
+    * gate (round 17): stage the compacted basis to a per-corpus tmp
+    * location, then run the signature pipeline off the staged table.
+    * Same DuckDB oracle as dd_minhash — the dispatch differential
+    * (StagedBasisSpec) promoted to a driver-verified rows+schema+hash
+    * check, so "staged ≡ recompute" is re-proven by the oracle gate
+    * every round rather than only by a spec.
+    */
+  def minhashStagedEntry(spark: SparkSession, sfDir: String): DataFrame =
+    minhashStaged(spark, sfDir, entryStagingDir(sfDir))
+
+  /** Deterministic per-corpus staging location for the *_staged entries
+    * (tmp-dir scoped; each invocation overwrites, so the entry is
+    * self-contained like every other `queries()` member).
+    */
+  private[queries] def entryStagingDir(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_entry_staging_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
   /** Session-conf key naming the staged-basis directory for the CURRENT
     * corpus (the dd_embed_auto-style dispatch switch, VERDICT r16 #1).
     * Unset — the default, and the state every `queries()` entry runs
