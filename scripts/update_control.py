@@ -46,6 +46,15 @@ def main() -> None:
     ctl = p.get("ctl", (p.get("control") or {}).get("sec"))
     ctl2 = p.get("ctl2", (p.get("control2") or {}).get("sec"))
     spread = p.get("ctlSpread", (p.get("control") or {}).get("spread"))
+    # Bench emits -1.0 when a control lap FAILED (ADVICE r17): a failed
+    # control is "no reading", not "the fastest host ever" — record it as
+    # null so it can never be min'ed into minCtl/minCtl2 below.
+    if ctl is not None and ctl <= 0:
+        ctl = None
+    if ctl2 is not None and ctl2 <= 0:
+        ctl2 = None
+    if spread is not None and spread < 0:
+        spread = None
     entry = {
         "round": rnd,
         "source": label,
@@ -72,9 +81,13 @@ def main() -> None:
                       if not (e["round"] == rnd and e["source"] == label)]
     led["entries"].append(entry)
     led["entries"].sort(key=lambda e: (e["round"], e["source"]))
-    ctls = [e["ctl"] for e in led["entries"] if e.get("ctl") is not None]
+    # Defensive re-filter over HISTORICAL entries too: a sentinel that
+    # slipped into the ledger before this guard existed must not poison
+    # the floor (ADVICE r17 — non-positive means "control failed").
+    ctls = [e["ctl"] for e in led["entries"]
+            if e.get("ctl") is not None and e["ctl"] > 0]
     ctl2s = [e.get("ctl2") for e in led["entries"]
-             if e.get("ctl2") is not None]
+             if e.get("ctl2") is not None and e["ctl2"] > 0]
     led["minCtl"] = min(ctls) if ctls else None
     led["minCtl2"] = min(ctl2s) if ctl2s else None
     with open("CONTROL.json", "w") as f:

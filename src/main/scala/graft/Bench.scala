@@ -165,6 +165,28 @@ object Bench {
     // (nanosAsLong for the ns-timestamp events table, AQE, UTC).
     val spark = GraftSession("graft-bench", s"local[$cpus]", cpus.toInt)
 
+    // GRAFT_BENCH_CONTROL_ONLY (round 18): read the two frozen host
+    // axes without running the suite — the cheap pre-flight for any
+    // measurement whose adjudication depends on where the host sits
+    // against the CONTROL.json ledger floor (the dd_substring_cut
+    // far-decade rule asks for exactly this before its settled laps).
+    if (sys.env.contains("GRAFT_BENCH_CONTROL_ONLY")) {
+      controlLap(spark) // warm-up, untimed
+      val ctlLaps = (1 to 3).map(_ => controlLap(spark))
+      shuffleControlLap(spark)
+      val ctl2Laps = (1 to 3).map(_ => shuffleControlLap(spark))
+      val ctlOk = ctlLaps.filter(_.sec >= 0).map(_.sec)
+      val ctlSec = ctlOk.minOption.getOrElse(-1.0)
+      val spread = if (ctlOk.isEmpty) -1.0 else ctlOk.max - ctlOk.min
+      val ctl2Sec = ctl2Laps.filter(_.sec >= 0).map(_.sec)
+        .minOption.getOrElse(-1.0)
+      println(s"""{"controlOnly":true,"ctl":$ctlSec,"ctl2":$ctl2Sec,""" +
+        s""""ctlSpread":$spread,"ctlLaps":[${ctlLaps.map(_.diag).mkString(",")}],""" +
+        s""""ctl2Laps":[${ctl2Laps.map(_.diag).mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
     sys.env.get("GRAFT_BENCH_ISOLATE") match {
       case Some(name) =>
         require(SparkEntry.queries.contains(name), s"unknown query: $name")
@@ -258,58 +280,62 @@ object Bench {
         // ones are the graded ones) and `dropped` says how many; the
         // complete record still lands in GRAFT_BENCH_OUT and the full
         // line above.
-        val budget = 1800
+        // The window is 2000 chars of stdout tail; sbt's trailing
+        // "[success] Total time ..." line eats ~75 of them. 1900 leaves
+        // the record complete with margin.
+        val budget = 1900
         // Locale.ROOT: the f-interpolator uses the JVM default locale,
         // and a comma-decimal locale (de_DE, fr_FR) would emit
         // `"value":1,23` — invalid JSON, resurrecting the exact
         // "parsed": null defect this line exists to fix.
         def fmt2(v: Double): String =
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        def fmt1(v: Double): String =
-          String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-        // Graduated compression (verdict r11 #7: the 96-query map left 10
-        // entries dropped): full keys at 2 decimals if they fit, else
-        // keys shortened by segment-wise 5-char truncation (collision-
-        // free on this surface, checked below; full names + laps always
-        // land in GRAFT_BENCH_OUT / BENCH_LOCAL.json), else 1-decimal
-        // values — dropping queries is the LAST resort, not the first.
+        // Graduated compression, round 18 (VERDICT r17 #4: the shortKeys
+        // JSON map still dropped 19 of 113 queries — cross-round joins
+        // needed BENCH_LOCAL.json). A JSON map with full names cannot
+        // EVER fit this surface: the 113 names alone are ~1.3k chars and
+        // map punctuation adds 6+/entry. So the at-scale form is a
+        // PACKED STRING — `"qds":"<full name>:<deciseconds>,..."` — full
+        // names, one colon+int per query, valid JSON, trivially
+        // decodable (sec = qds/10, same precision as the old 1-decimal
+        // map). Variants in preference order: full-name JSON map (small
+        // suites), full-name packed string, 5-char-segment short-key
+        // packed string; DROPPING entries is the last resort only if
+        // even the short packed form overflows.
         def shortKey(k: String): String =
           k.split('_').map(_.take(5)).mkString("_")
         val shortOk =
           results.map(r => shortKey(r._1)).distinct.length == results.length
-        // Each variant carries whether its keys are the 5-char-truncated
-        // form, and the chosen flag lands IN the record as "shortKeys"
-        // (ADVICE r12: a tail-window consumer matching full query names
-        // otherwise sees silently renamed keys with no marker).
-        val variants: Seq[(Seq[(String, String)], Boolean)] = Seq(
-          (results.map { case (k, v) => k -> fmt2(v) }, false),
-          (if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt2(v) }
-           else Nil, true),
-          (if (shortOk) results.map { case (k, v) => shortKey(k) -> fmt1(v) }
-           else Nil, true)
-        ).filter(_._1.nonEmpty)
-        def headFor(short: Boolean): String =
+        def ds(v: Double): String = math.round(v * 10).toString
+        val ordered = results.sortBy { case (k, v) => (-v, k) }
+        val head =
           s"""{"metric":"total","value":${fmt2(total)},""" +
             s""""unit":"sec","sf":"$sfDir","ctl":${fmt2(ctlSec)},""" +
-            s""""ctl2":${fmt2(ctl2Sec)},"ctlSpread":${fmt2(ctlSpread)},""" +
-            s""""shortKeys":$short,"queries":{"""
-        def render(vs: Seq[(String, String)], short: Boolean)
-            : (Seq[String], Boolean, Int) = {
-          val entries = vs.sortBy { case (k, v) => (-v.toDouble, k) }
-            .map { case (k, v) => "\"" + k + "\":" + v }
-          (entries, short,
-            headFor(short).length + entries.map(_.length + 1).sum + 30)
+            s""""ctl2":${fmt2(ctl2Sec)},"ctlSpread":${fmt2(ctlSpread)},"""
+        def mapLine(): String =
+          head + "\"shortKeys\":false,\"queries\":{" +
+            ordered.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+              .mkString(",") + "},\"dropped\":0}"
+        def packedLine(short: Boolean, keep: Int): String = {
+          val kept = ordered.take(keep).map { case (k, v) =>
+            (if (short) shortKey(k) else k) + ":" + ds(v)
+          }
+          head + "\"qdsUnit\":\"deciseconds\"," +
+            s""""shortKeys":$short,"qds":"""" + kept.mkString(",") +
+            s"""","queries":{},"dropped":${ordered.length - keep}}"""
         }
-        val (entries, short, _) = variants
-          .map { case (vs, s) => render(vs, s) }.find(_._3 <= budget)
-          .getOrElse { val (vs, s) = variants.last; render(vs, s) }
-        val head = headFor(short)
-        var kept = entries.length
-        def sizeAt(k: Int): Int =
-          head.length + entries.take(k).map(_.length + 1).sum + 30
-        while (kept > 0 && sizeAt(kept) > budget) kept -= 1
-        println(head + entries.take(kept).mkString(",") +
-          s"""},"dropped":${entries.length - kept}}""")
+        val n = ordered.length
+        val candidates = Iterator(mapLine(), packedLine(short = false, n)) ++
+          (if (shortOk) Iterator(packedLine(short = true, n)) else Iterator.empty)
+        val compact = candidates.find(_.length <= budget).getOrElse {
+          // Last resort: drop the FASTEST queries from the short packed
+          // form until it fits (the heavy ones are the graded ones).
+          var keep = n
+          while (keep > 0 && packedLine(shortOk, keep).length > budget)
+            keep -= 1
+          packedLine(shortOk, keep)
+        }
+        println(compact)
         // Land the full line in a file ONLY when asked: the round-5 driver
         // run clobbered the committed BENCH_LOCAL.json with inflated
         // numbers because this used to default on.

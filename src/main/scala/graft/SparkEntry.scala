@@ -135,6 +135,7 @@ object SparkEntry {
     "ann_filtered_range" -> (Similarity.annFilteredRange _),
     "mm_phash" -> (graft.multimodal.Multimodal.phash _),
     "dd_embed_hi768" -> (Dedup.embedHi768 _),
+    "dd_embed_hi768_staged" -> (Dedup.embedHi768StagedEntry _),
     "dd_delta_embed" -> (Dedup.deltaEmbed _),
     "dd_delta_chain" -> (Dedup.deltaChain _),
     "dd_delta_embed_chain" -> (Dedup.deltaEmbedChain _)
@@ -293,6 +294,7 @@ object SparkEntry {
     // production-dimension (768-d) plant corpus from the shared md5
     // primitive — construction + all-pairs form restated bit-exactly
     "dd_embed_hi768" -> Dedup.embedHi768Sql,
+    "dd_embed_hi768_staged" -> Dedup.embedHi768Sql,
     // multi-batch lifecycle: per-step bipartite restriction — step 1 as
     // of B1's arrival, step 2 over old ∪ B1, so re-emission of an earlier
     // batch's pairs (or any old×old pair) hash-mismatches

@@ -282,13 +282,26 @@ object CorpusOps {
     * robustly (STAGED_r17: 26.9 → 18.8 s at the 100× staging, R* = 1
     * in both measured sessions) — the entry benches the form a real
     * ingest pipeline would run.
+    *
+    * Concurrency contract: the conf set/restore below assumes `queries()`
+    * entries execute SERIALLY per session (the Verify/Bench/CrossCheck
+    * driver contract) — the dispatch resolves the conf once at plan
+    * CONSTRUCTION, and a concurrent entry planning inside this window
+    * would race it. The prior conf value is RESTORED, not unset
+    * (ADVICE r17): in a session legitimately running the deployment form
+    * (conf set at ingest), this entry must not degrade every subsequent
+    * signature-family query to recompute.
     */
   def decontaminateFuzzyStaged(spark: SparkSession, sfDir: String): DataFrame = {
     val staging = Dedup.entryStagingDir(sfDir)
     Dedup.stageBasis(spark, sfDir, staging)
+    val prev = spark.conf.getOption(Dedup.StagingConfKey)
     spark.conf.set(Dedup.StagingConfKey, staging)
     try decontaminateFuzzy(spark, sfDir)
-    finally spark.conf.unset(Dedup.StagingConfKey)
+    finally prev match {
+      case Some(v) => spark.conf.set(Dedup.StagingConfKey, v)
+      case None => spark.conf.unset(Dedup.StagingConfKey)
+    }
   }
 
   /** Core with the sketch-cut threshold injectable so the spec can force
@@ -359,11 +372,14 @@ object CorpusOps {
     * MID-BRACKET MEASURED (round 17, VERDICT r16 #4 — the sf20 staging
     * built for exactly this): at 90.7 pairs/doc (32.4M mass, 357k
     * signed docs) the shipped guard ENGAGES and the middle regime is
-    * FLAT — coarse 28.0 s vs fine 25.3 s warm, rows 35 ≡ 35
-    * (FUZZYCOARSE_r17). The constant is CONFIRMED, not re-derived: the
+    * FLAT — the committed gate recapture reads coarse 26.3 s vs fine
+    * 24.3 s warm (~8%), an earlier same-round session read 28.0 vs
+    * 25.3 s (~11%); rows 35 ≡ 35 in both (FUZZYCOARSE_r17 carries the
+    * recapture). The constant is CONFIRMED, not re-derived: the
     * crossover where coarse outright wins sits between 91 and 127
     * pairs/doc, but the cost asymmetry decides the placement — early
-    * engagement costs ~11% wall (the measured premium at 91/doc),
+    * engagement costs a ~8–11% wall premium (the two measured runs
+    * at 91/doc),
     * late engagement costs the fine join's OOM collapse (the pre-floor
     * 300× regime). 64 buys that insurance at the price of a flat
     * middle, which is the right trade for a guard whose activated

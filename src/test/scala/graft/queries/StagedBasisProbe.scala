@@ -41,9 +41,18 @@ object StagedBasisProbe {
       else Seq("/tmp/graft_scale/sf0.1", "/tmp/graft_scale/sf1",
         "/tmp/graft_scale/sf10")
     val spark = graft.GraftSession("staged-basis-probe")
+    // GRAFT_STAGED_QUERIES: comma-separated subset filter, and
+    // GRAFT_STAGED_LAPS: alternating recompute/staged pair count
+    // (default 2) — the knobs the round-18 dd_minhash settle uses
+    // (VERDICT r17 #3: its r17 A/B flipped sign between two 2-pair
+    // sessions; a 5-pair isolation run on one host settles it).
+    val wanted = sys.env.get("GRAFT_STAGED_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val lapPairs = sys.env.getOrElse("GRAFT_STAGED_LAPS", "2").toInt
     val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
       Seq("dd_minhash" -> (Dedup.minhash _),
         "dd_decontaminate_fuzzy" -> (CorpusOps.decontaminateFuzzy _))
+        .filter { case (n, _) => wanted.forall(_.contains(n)) }
 
     val points = for (sf <- dirs) yield {
       val staging = s"/tmp/graft_basis_staging/${new java.io.File(sf).getName}"
@@ -72,21 +81,28 @@ object StagedBasisProbe {
           (n, w)
         }
         lapRows(staged = false) // warm-up
-        val (nRe1, re1) = lapRows(staged = false)
-        val (nSt1, st1) = lapRows(staged = true)
-        val (_, re2) = lapRows(staged = false)
-        val (_, st2) = lapRows(staged = true)
+        val lapsRun = (1 to lapPairs).map { _ =>
+          val (nRe, reW) = lapRows(staged = false)
+          val (nSt, stW) = lapRows(staged = true)
+          (nRe, reW, nSt, stW)
+        }
         spark.conf.unset(Dedup.StagingConfKey)
-        val re = math.min(re1, re2)
-        val st = math.min(st1, st2)
+        val re = lapsRun.map(_._2).min
+        val st = lapsRun.map(_._4).min
+        val (nRe1, _, nSt1, _) = lapsRun.head
         require(nRe1 == nSt1,
           s"$name row count diverged across the dispatch: $nRe1 vs $nSt1")
         val crossover =
           if (re - st > 1e-3) (stageWrite / (re - st)).ceil.toLong else -1L
         println(f"[stagedbasis] $sf $name recompute=$re%.2f staged=$st%.2f " +
           f"rows=$nRe1 crossoverReuses=$crossover")
+        // Per-pair walls travel in the artifact: a SETTLED verdict needs
+        // the sign stability across laps visible, not only the min.
+        val lapsJson =
+          lapsRun.map(l => f"[${l._2}%.3f,${l._4}%.3f]").mkString(",")
         s""""$name":{"recompute":${f"$re%.3f"},"staged":${f"$st%.3f"},""" +
-          s""""rows":$nRe1,"crossoverReuses":$crossover}"""
+          s""""rows":$nRe1,"crossoverReuses":$crossover,""" +
+          s""""lapPairsReSt":[$lapsJson]}"""
       }
       println(f"[stagedbasis] $sf basisRecompute=$basisRecompute%.2f " +
         f"stageWrite=$stageWrite%.2f stagedRead=$stagedRead%.2f")

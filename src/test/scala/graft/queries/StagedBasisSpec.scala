@@ -66,6 +66,43 @@ class StagedBasisSpec extends SparkSuite {
     }
   }
 
+  test("generation fence: a basis staged from a regenerated corpus is refused") {
+    // ADVICE r17 (medium): the path-only fence served a basis staged
+    // from a PREVIOUS generation of the same sfDir. Simulate in-place
+    // regeneration — same path, fresh file mtimes — on a tmp copy of
+    // the corpus and assert the dispatch degrades to recompute.
+    val corpusDir = java.nio.file.Files.createTempDirectory("basis-gen-corpus")
+    // The driver tables are single parquet FILES; staged corpora are
+    // directories — copy either shape.
+    val srcDocs = new java.io.File(s"$sf/documents.parquet")
+    val dstDocs = corpusDir.resolve("documents.parquet")
+    if (srcDocs.isDirectory) {
+      java.nio.file.Files.createDirectories(dstDocs)
+      srcDocs.listFiles().filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath, dstDocs.resolve(f.getName))
+      }
+    } else java.nio.file.Files.copy(srcDocs.toPath, dstDocs)
+    val corpus = corpusDir.toString
+    val staging = java.nio.file.Files.createTempDirectory("basis-gen-staging").toString
+    Dedup.stageBasis(spark, corpus, staging)
+    withStaging(staging) {
+      val served = Dedup.sharedBasis(spark, corpus)
+      assert(served.inputFiles.forall(_.contains(staging)),
+        "fresh staging of the tmp corpus must be served")
+    }
+    // "Regenerate" in place: same path, same bytes, new mtimes.
+    val dataFiles =
+      if (dstDocs.toFile.isDirectory)
+        dstDocs.toFile.listFiles().filter(_.isFile).toSeq
+      else Seq(dstDocs.toFile)
+    dataFiles.foreach(f => assert(f.setLastModified(f.lastModified() + 5000)))
+    withStaging(staging) {
+      val served = Dedup.sharedBasis(spark, corpus)
+      assert(served.inputFiles.exists(_.contains(corpus)),
+        "a basis staged from a previous corpus generation must recompute")
+    }
+  }
+
   test("missing or half-written staging is refused") {
     val staging = java.nio.file.Files.createTempDirectory("basis-empty").toString
     withStaging(staging) {
