@@ -192,6 +192,15 @@ object Dedup {
     * because the table being round-tripped is now 8 B longs instead of
     * shingle strings. queries() still ships the recompute arm (conf
     * unset) so every oracle states the self-contained form.
+    *
+    * Round 18 (VERDICT r17 #3 — the dd_minhash A/B settled): the r17
+    * 2-pair sessions flipped sign between hosts (17.3→13.9 then
+    * 13.3→14.8, ctl 1.71→1.41) and were honestly recorded
+    * noise-bounded. The 5-pair isolation run on one host
+    * (MINHASHSETTLE_r18.json, sf10 staging, ctl ≈ 1.4) settles it:
+    * staged wins 4 of 5 alternating pairs, min 14.61 → 10.43 s,
+    * R* = 1 — dd_minhash joins the fuzzy family's verdict that at the
+    * 100× staging the staged arm wins from the first reuse.
     */
   def minhashStaged(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame =
     minhashFrom(spark.read.parquet(stageBasis(spark, sfDir, stagingDir)))
@@ -3302,6 +3311,19 @@ object Dedup {
     * SUBSTRSKEW planted stress (linear to 5M rows in ONE g as of r17)
     * says the spillable buffer is not the binding constraint either
     * way.
+    *
+    * ROUND-18 RESOLUTION — DISARMED on evidence (SUBSTRSETTLE_r18): the
+    * r17 reading of 1.221 ARMED the rule; the r18 re-run under the same
+    * settled protocol, taken immediately after a pre-flight control
+    * read near the ledger floor (ctl 1.03 vs minCtl 0.89; ctl2 1.44 vs
+    * minCtl2 1.65 — the cleanest host of the last three rounds), reads
+    * sf10 min 8.57 s → sf30 min 24.85 s: marginal ln(2.90)/ln(3.0) =
+    * 0.969 — back on the r15/r16 wobble band around 1.0. The r17 1.221
+    * is adjudicated HOST INFLATION, exactly what its own two-axis
+    * record suggested (those laps ran at ctl 1.4–1.7 on the suite's
+    * most shuffle-IO-bound point). The rule stays pre-committed and the
+    * armed state RESETS: two fresh consecutive settled readings ≥ 1.05
+    * are again required before the combinable form lands.
     */
   def substringCut(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
