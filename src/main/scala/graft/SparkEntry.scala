@@ -138,7 +138,12 @@ object SparkEntry {
     "dd_embed_hi768_staged" -> (Dedup.embedHi768StagedEntry _),
     "dd_delta_embed" -> (Dedup.deltaEmbed _),
     "dd_delta_chain" -> (Dedup.deltaChain _),
-    "dd_delta_embed_chain" -> (Dedup.deltaEmbedChain _)
+    "dd_delta_embed_chain" -> (Dedup.deltaEmbedChain _),
+    // The IVF deployment form inside the correctness gate (round 19):
+    // stage the serving index (postings + centroids + calibrated probe
+    // depth), then run ann_ivf's plan off the staged artifacts. Shares
+    // ann_ivf's dynamic oracle — staged ≡ recompute proven by hash.
+    "ann_ivf_staged" -> (Similarity.annIvfStagedEntry _)
   )
   /** DuckDB oracles whose SQL depends on the corpus (the approximate-ANN
     * family: the frozen index artifacts — centroids, codebooks, planes,

@@ -29,6 +29,19 @@ private[queries] object CorpusCaches {
     }.mkString("|")
   }
 
+  /** MD5 of the corpus's physical identity — the compact form every
+    * staged-product provenance manifest records as `corpusFp`. Empty
+    * when the corpus has no file lineage: such a corpus can neither
+    * stage nor be served (identity unprovable) — the p1Cache bypass
+    * rule, shared by the embedding-signature and IVF-index fences.
+    */
+  def corpusFpMd5(df: DataFrame): String = {
+    val key = corpusKey(df)
+    if (key.isEmpty) ""
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Cache-or-build under a physical-identity key. An EMPTY key means
     * the DataFrame is not file-backed (in-memory test corpora have no
     * input files) — two such corpora would collide on "", so the cache

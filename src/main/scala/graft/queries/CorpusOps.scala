@@ -283,25 +283,22 @@ object CorpusOps {
     * in both measured sessions) — the entry benches the form a real
     * ingest pipeline would run.
     *
-    * Concurrency contract: the conf set/restore below assumes `queries()`
-    * entries execute SERIALLY per session (the Verify/Bench/CrossCheck
-    * driver contract) — the dispatch resolves the conf once at plan
-    * CONSTRUCTION, and a concurrent entry planning inside this window
-    * would race it. The prior conf value is RESTORED, not unset
-    * (ADVICE r17): in a session legitimately running the deployment form
-    * (conf set at ingest), this entry must not degrade every subsequent
-    * signature-family query to recompute.
+    * Concurrency contract — a RUNTIME GUARD since round 19
+    * ([[Dedup.withEntryStaging]], VERDICT r18 #6): `queries()` entries
+    * execute SERIALLY per session (the Verify/Bench/CrossCheck driver
+    * contract) — the dispatch resolves the conf once at plan
+    * CONSTRUCTION, and a concurrent entry opening a second staging
+    * window now fails loudly instead of racing the session conf. The
+    * prior conf value is RESTORED, not unset (ADVICE r17): in a session
+    * legitimately running the deployment form (conf set at ingest),
+    * this entry must not degrade every subsequent signature-family
+    * query to recompute.
     */
   def decontaminateFuzzyStaged(spark: SparkSession, sfDir: String): DataFrame = {
     val staging = Dedup.entryStagingDir(sfDir)
     Dedup.stageBasis(spark, sfDir, staging)
-    val prev = spark.conf.getOption(Dedup.StagingConfKey)
-    spark.conf.set(Dedup.StagingConfKey, staging)
-    try decontaminateFuzzy(spark, sfDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(Dedup.StagingConfKey, v)
-      case None => spark.conf.unset(Dedup.StagingConfKey)
-    }
+    Dedup.withEntryStaging(spark, Dedup.StagingConfKey, staging)(
+      decontaminateFuzzy(spark, sfDir))
   }
 
   /** Core with the sketch-cut threshold injectable so the spec can force

@@ -238,8 +238,100 @@ object Dedup {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = new java.io.File(sfDir).getName
     val pid = ProcessHandle.current().pid()
+    sweepDeadEntryStaging()
+    entryStagingCleanupHook
     s"${System.getProperty("java.io.tmpdir")}/graft_entry_staging_" +
       s"${base}_${digest}_p$pid"
+  }
+
+  /** Orphan control for the pid-scoped entry staging dirs (ADVICE r18):
+    * every bench/verify PROCESS mints fresh `graft_entry_staging_*_p<pid>`
+    * dirs, and before this round nothing deleted them — unbounded tmp
+    * growth on long-lived hosts. Two mechanisms, both driver-side only:
+    * a JVM shutdown hook deletes THIS process's dirs (prefix + `_p<pid>`
+    * suffix — the *_staged entries' own staging products, plus any
+    * sibling suffixed dir like the `_embed768`/`_ivf` variants), and
+    * [[sweepDeadEntryStaging]] reaps dirs whose embedded pid is no
+    * longer alive (a crashed or SIGKILLed run never reaches its hook).
+    * Live foreign pids are never touched — their staged tables may be
+    * mid-read.
+    */
+  private lazy val entryStagingCleanupHook: Unit = {
+    val pid = ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_entry_staging_")
+          // `_p<pid>` after the 12-hex digest, at the end or followed by
+          // a variant suffix — a bare contains("_p12") would also match
+          // a live pid 123's dir.
+          && f.getName.matches(s".*_[0-9a-f]{12}_p$pid(_.*)?"))
+        .foreach(deleteRecursively)
+    }, "graft-entry-staging-cleanup"))
+  }
+
+  /** Reap entry-staging dirs left by DEAD processes (at most once per
+    * JVM — a listFiles over tmp is cheap but not free per query).
+    */
+  private lazy val sweptDeadEntryStaging: Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_entry_staging_"))
+      .foreach { f =>
+        // The pid rides the dir name as `_p<digits>` right after the
+        // 12-hex path digest (possibly followed by a variant suffix
+        // like `_embed768` — never another `_p<digits>`).
+        val m = "_[0-9a-f]{12}_p(\\d+)".r.findFirstMatchIn(f.getName)
+        val deadOwner = m.exists { mm =>
+          val pid = mm.group(1).toLong
+          pid != mine && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        }
+        if (deadOwner) deleteRecursively(f)
+      }
+  }
+
+  private def sweepDeadEntryStaging(): Unit = sweptDeadEntryStaging
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** The *_staged entries' conf window, promoted from a scaladoc contract
+    * to a RUNTIME GUARD (round 19, VERDICT r18 #6): set `key` to `dir`
+    * for the duration of plan construction, restore the prior value
+    * (never drop a session's ingest conf — ADVICE r17), and hold a
+    * process-wide gate so a CONCURRENT entry opening a staging window
+    * while one is in flight fails loudly instead of racing the session
+    * conf. The dispatches resolve their conf once at plan-construction
+    * time, so serial execution inside this window is exactly what makes
+    * the conf mutation safe; the gate turns that assumption into an
+    * invariant a violation cannot slip past.
+    */
+  private val entryStagingGate =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[queries] def withEntryStaging[T](spark: SparkSession, key: String,
+      dir: String)(body: => T): T = {
+    val holder = s"$key=$dir (thread ${Thread.currentThread().getName})"
+    if (!entryStagingGate.compareAndSet(null, holder))
+      throw new IllegalStateException(
+        "concurrent *_staged entries: a staging conf window is already " +
+          s"open [${entryStagingGate.get()}] while entering [$holder]; " +
+          "queries() entries must execute serially per session")
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, dir)
+    try body
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      entryStagingGate.set(null)
+    }
   }
 
   /** Session-conf key naming the staged-basis directory for the CURRENT
@@ -262,16 +354,22 @@ object Dedup {
   def stageBasis(spark: SparkSession, sfDir: String, stagingDir: String): String = {
     val staged = s"$stagingDir/shingles.parquet"
     hashCompact(shingles(spark, sfDir)).write.mode("overwrite").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(stagingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = new org.apache.hadoop.fs.Path(stagingDir, "basis_meta.json")
-    val out = fs.create(meta, true)
-    try out.write(
-      (s"""{"sfDir":"$sfDir","corpusFp":"${corpusFingerprint(spark, sfDir)}",""" +
-        s""""basis":"word-3-gram xxhash64-compacted"}""").getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
+      stagingDir, "basis_meta.json", basisManifestFields(spark, sfDir))
     staged
   }
+
+  /** The shingle basis's fence identity: WHICH corpus (path) and which
+    * GENERATION of it (content fingerprint — in-place regeneration keeps
+    * the path but not the file mtimes, ADVICE r17), plus the basis
+    * construction. One field list shared by writer and matcher — the
+    * [[graft.sources.Manifest]] consolidation (round 19, VERDICT r18 #3).
+    */
+  private def basisManifestFields(spark: SparkSession,
+      sfDir: String): Seq[(String, Any)] = Seq(
+    "sfDir" -> sfDir,
+    "corpusFp" -> corpusFingerprint(spark, sfDir),
+    "basis" -> "word-3-gram xxhash64-compacted")
 
   /** Content fingerprint of the corpus a basis derives from: MD5 over
     * (name, length, mtime) of every data file in documents.parquet,
@@ -289,9 +387,25 @@ object Dedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
       if (!fs.exists(p)) Seq(s"missing:$p")
-      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .toSeq
+      else if (!fs.getFileStatus(p).isDirectory)
+        Seq(s"${p.getName}:${fs.getFileStatus(p).getLen}:" +
+          s"${fs.getFileStatus(p).getModificationTime}")
+      else {
+        // RECURSIVE walk (ADVICE r18): listStatus only saw the immediate
+        // children, so a partitioned/nested parquet layout escaped the
+        // fingerprint and the generation fence degraded to path-only.
+        // Paths are recorded RELATIVE to the table root, so a staging
+        // that round-trips through an equivalent mount still matches.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        val root = p.toUri.getPath
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+          buf += s"$rel:${st.getLen}:${st.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -317,32 +431,25 @@ object Dedup {
   private def stagedBasisFor(spark: SparkSession, sfDir: String): Option[String] =
     spark.conf.getOption(StagingConfKey).flatMap { dir =>
       try {
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val meta = new org.apache.hadoop.fs.Path(dir, "basis_meta.json")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
         val table = new org.apache.hadoop.fs.Path(s"$dir/shingles.parquet/_SUCCESS")
-        if (!fs.exists(meta) || !fs.exists(table)) None
+        // The manifest fence: EVERY field must match — the path says
+        // which corpus the basis was staged from, the content
+        // fingerprint says which GENERATION of it (a corpus regenerated
+        // in place keeps its path but not its file mtimes — ADVICE
+        // r17's silent-staleness mode), the basis tag says how it was
+        // constructed. One shared reader for every staged family
+        // (round 19, VERDICT r18 #3).
+        if (!fs.exists(table)) None
+        else if (graft.sources.Manifest.matches(conf, dir, "basis_meta.json",
+            basisManifestFields(spark, sfDir)))
+          Some(s"$dir/shingles.parquet")
         else {
-          val in = fs.open(meta)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          // Known keys in a sidecar this code wrote — substring checks,
-          // no JSON parser dependency. BOTH must match: the path says
-          // which corpus the basis was staged from, the content
-          // fingerprint says which GENERATION of it (a corpus
-          // regenerated in place keeps its path but not its file
-          // mtimes — ADVICE r17's silent-staleness mode).
-          if (body.contains(s""""sfDir":"$sfDir"""") &&
-              body.contains(
-                s""""corpusFp":"${corpusFingerprint(spark, sfDir)}""""))
-            Some(s"$dir/shingles.parquet")
-          else {
-            System.err.println(s"[graft] $StagingConfKey=$dir was staged " +
-              s"from a different corpus or corpus generation " +
-              s"(wanted $sfDir at its current content) - recomputing basis")
-            None
-          }
+          System.err.println(s"[graft] $StagingConfKey=$dir was staged " +
+            s"from a different corpus or corpus generation " +
+            s"(wanted $sfDir at its current content) - recomputing basis")
+          None
         }
       } catch {
         case e: Exception =>
@@ -1130,31 +1237,51 @@ object Dedup {
     require(fp.nonEmpty,
       "cannot stage signatures for a corpus with no file lineage - " +
         "the provenance fence would have no identity to verify")
-    val staged = s"$stagingDir/embed_sigs.parquet"
+    stageEmbedSigsAt(spark, corpus, tag, plan, dim, stagingDir, fp)
+  }
+
+  /** The staging write itself, with the corpus fingerprint EXPLICIT: the
+    * public [[stageEmbedSigs]] derives + requires file lineage (the
+    * conf-dispatch fence must have an identity to verify); the delta
+    * lifecycles pass the sentinel `"self-staged"` because they read
+    * their own fresh tmp staging BY PATH within one call — the fence is
+    * never consulted, and the sentinel can never match a real corpus
+    * fingerprint if a conf is mistakenly pointed at their staging
+    * ([[stagedEmbedSigsFor]] derives the real fp of the corpus it is
+    * asked about, which is a 32-hex MD5). One persistence idiom for
+    * every embedding-family staged product (round 19, VERDICT r18 #2).
+    */
+  private def stageEmbedSigsAt(spark: SparkSession, corpus: DataFrame,
+      tag: String, plan: LshPlan, dim: Int, stagingDir: String,
+      fp: String): String = {
+    val staged = embedSigsPath(stagingDir)
     computeEmbedSigs(corpus, plan, dim)
       .write.mode("overwrite").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(stagingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = new org.apache.hadoop.fs.Path(stagingDir, "embed_meta.json")
-    val out = fs.create(meta, true)
-    try out.write(
-      (s"""{"tag":"$tag","corpusFp":"$fp","dim":$dim,""" +
-        s""""bits":${plan.bits},"tables":${plan.tables}}""").getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
+      stagingDir, "embed_meta.json",
+      embedManifestFields(tag, fp, plan, dim))
     staged
   }
+
+  private[queries] def embedSigsPath(stagingDir: String): String =
+    s"$stagingDir/embed_sigs.parquet"
+
+  /** The embedding signatures' fence identity: corpus CONTENT, corpus
+    * CONSTRUCTION (tag), and the exact signing plan — signatures are
+    * only reusable under the plane-tensor slice that signed them.
+    */
+  private def embedManifestFields(tag: String, fp: String, plan: LshPlan,
+      dim: Int): Seq[(String, Any)] = Seq(
+    "tag" -> tag, "corpusFp" -> fp,
+    "dim" -> dim, "bits" -> plan.bits, "tables" -> plan.tables)
 
   /** MD5 of the corpus's physical identity (CorpusCaches.corpusKey:
     * sorted file paths + lengths + mtimes). Empty when the corpus has
     * no file lineage — such a corpus can neither stage nor be served
     * (identity unprovable), exactly the p1Cache bypass rule.
     */
-  private def embedCorpusFp(corpus: DataFrame): String = {
-    val key = CorpusCaches.corpusKey(corpus)
-    if (key.isEmpty) ""
-    else java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def embedCorpusFp(corpus: DataFrame): String =
+    CorpusCaches.corpusFpMd5(corpus)
 
   /** The embedding families' signature dispatch — [[sharedBasis]]'s
     * twin: serve the staged signature relation when the session names
@@ -1185,30 +1312,22 @@ object Dedup {
       tag: String, plan: LshPlan, dim: Int): Option[String] =
     spark.conf.getOption(EmbedStagingConfKey).flatMap { dir =>
       try {
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val meta = new org.apache.hadoop.fs.Path(dir, "embed_meta.json")
-        val table = new org.apache.hadoop.fs.Path(s"$dir/embed_sigs.parquet/_SUCCESS")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val table = new org.apache.hadoop.fs.Path(s"${embedSigsPath(dir)}/_SUCCESS")
         val fp = embedCorpusFp(corpus)
-        if (!fs.exists(meta) || !fs.exists(table) || fp.isEmpty) None
+        // The manifest fence: ALL fields must match — content identity,
+        // construction, and the exact signing plan (the shared
+        // Manifest reader, round 19, VERDICT r18 #3).
+        if (!fs.exists(table) || fp.isEmpty) None
+        else if (graft.sources.Manifest.matches(conf, dir, "embed_meta.json",
+            embedManifestFields(tag, fp, plan, dim)))
+          Some(embedSigsPath(dir))
         else {
-          val in = fs.open(meta)
-          val body =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          // Known keys in a sidecar this code wrote — substring checks,
-          // no JSON parser dependency. ALL must match: content identity,
-          // construction, and the exact signing plan.
-          val wanted = Seq(s""""tag":"$tag"""", s""""corpusFp":"$fp"""",
-            s""""dim":$dim,""", s""""bits":${plan.bits},""",
-            s""""tables":${plan.tables}}""")
-          if (wanted.forall(body.contains)) Some(s"$dir/embed_sigs.parquet")
-          else {
-            System.err.println(s"[graft] $EmbedStagingConfKey=$dir does " +
-              s"not match (tag=$tag dim=$dim bits=${plan.bits} " +
-              s"tables=${plan.tables}, current corpus content) - recomputing signatures")
-            None
-          }
+          System.err.println(s"[graft] $EmbedStagingConfKey=$dir does " +
+            s"not match (tag=$tag dim=$dim bits=${plan.bits} " +
+            s"tables=${plan.tables}, current corpus content) - recomputing signatures")
+          None
         }
       } catch {
         case e: Exception =>
@@ -1741,10 +1860,12 @@ object Dedup {
     * entry benches the form a real ingest pipeline runs: sign once,
     * serve every pass.
     *
-    * Same serial-driver contract as every *_staged entry: the conf
-    * set/restore brackets plan construction only (the dispatch resolves
-    * at `sharedEmbedSigs` call time), entries execute serially per
-    * session, and the prior conf value is restored, never dropped.
+    * Same serial-driver contract as every *_staged entry — since round
+    * 19 a RUNTIME GUARD, not a scaladoc note ([[withEntryStaging]],
+    * VERDICT r18 #6): the conf set/restore brackets plan construction
+    * only (the dispatch resolves at `sharedEmbedSigs` call time), a
+    * concurrent entry opening a second window fails loudly, and the
+    * prior conf value is restored, never dropped.
     */
   def embedHi768StagedEntry(spark: SparkSession, sfDir: String): DataFrame = {
     // The exact plan embedHi768 will solve: same corpus, same cached
@@ -1754,13 +1875,8 @@ object Dedup {
     val (corpus, plan) = hi768CorpusAndPlan(spark, sfDir)
     val staging = s"${entryStagingDir(sfDir)}_embed768"
     stageEmbedSigs(spark, corpus, "hi768", plan, EmbedHiDim, staging)
-    val prev = spark.conf.getOption(EmbedStagingConfKey)
-    spark.conf.set(EmbedStagingConfKey, staging)
-    try embedHi768(spark, sfDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(EmbedStagingConfKey, v)
-      case None => spark.conf.unset(EmbedStagingConfKey)
-    }
+    withEntryStaging(spark, EmbedStagingConfKey, staging)(
+      embedHi768(spark, sfDir))
   }
 
   /** (corpus, solved plan) for the hi family — what a corpus-ingest
@@ -2891,19 +3007,26 @@ object Dedup {
     val n = nBase + nBase / 10
     val plan = solveLsh(n, EmbedHiThreshold,
       Some(sampledP1Cached(corpus, n, "hi")))
-    val flat = graft.functions.HyperplaneSigs.flatten(
-      planesFor(EmbedDim), plan.tables, plan.bits, EmbedDim)
-    def sigsOf(rows: DataFrame) = rows.select(col("vec_id"),
-      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
-        plan.tables, plan.bits, EmbedDim).as("sig"))
-    val staged = s"$stagingDir/old_embed_buckets.parquet"
-    keyedBuckets(sigsOf(corpus.filter(!deltaEmbedIsNew(col("vec_id")))))
-      .write.mode("overwrite").parquet(staged)
-    val sigsNew = sigsOf(corpus.filter(deltaEmbedIsNew(col("vec_id"))))
+    // The staged product is the SIGNATURE relation — exactly what
+    // stageEmbedSigs persists (round 19, VERDICT r18 #2: one persistence
+    // idiom for the embedding families); bucket keys are a cheap derived
+    // projection (posexplode), never a second staged format.
+    stageEmbedSigsAt(spark, corpus.filter(!deltaEmbedIsNew(col("vec_id"))),
+      "delta-old", plan, EmbedDim, stagingDir, SelfStagedFp)
+    val sigsNew = computeEmbedSigs(
+      corpus.filter(deltaEmbedIsNew(col("vec_id"))), plan, EmbedDim)
     deltaEmbedVerify(corpus,
-      spark.read.parquet(staged).unionByName(keyedBuckets(sigsNew)),
+      keyedBuckets(spark.read.parquet(embedSigsPath(stagingDir)))
+        .unionByName(keyedBuckets(sigsNew)),
       sigsNew, plan, EmbedHiThreshold, EmbedDim)
   }
+
+  /** Fingerprint sentinel for SELF-READ staging (the delta lifecycles
+    * write a fresh tmp staging and read it by path within one call — the
+    * conf-dispatch fence is never consulted). Can never match a real
+    * corpus: [[stagedEmbedSigsFor]] compares against a 32-hex MD5.
+    */
+  private val SelfStagedFp = "self-staged"
 
   /** Oracle: embedHiSql's deterministic corpus CTEs, quadratic bipartite
     * form restricted to pairs touching the batch (plants with even base
@@ -2931,58 +3054,53 @@ object Dedup {
 
   // --- Multi-batch EMBED delta lifecycle ------------------------------------
 
-  private def embedPlanPath(stagingDir: String): String =
-    s"$stagingDir/embed_plan.parquet"
-  private def embedBucketsPath(stagingDir: String): String =
-    s"$stagingDir/embed_buckets.parquet"
-
-  /** Signatures under an EXPLICIT plan — the chain's signing primitive:
-    * every batch must sign under the SEED plan (below), never a
-    * re-solved one.
-    */
-  private def sigsUnderPlan(rows: DataFrame, plan: LshPlan, dim: Int): DataFrame = {
-    val flat = graft.functions.HyperplaneSigs.flatten(
-      planesFor(dim), plan.tables, plan.bits, dim)
-    rows.select(col("vec_id"),
-      graft.functions.HyperplaneSigs.sigs(col("embedding"), flat,
-        plan.tables, plan.bits, dim).as("sig"))
-  }
-
-  /** Seed the staged embed index: the old corpus's per-table base bucket
-    * keys PLUS the plan metadata (bits, tables, dim) as a sibling
-    * one-row table. The metadata is the load-bearing part of the chain
-    * design: a later batch that re-SOLVED the plan on the grown corpus
-    * would derive different (bits, tables) and silently mis-key every
-    * bucket already staged — so the plan is frozen at seed time and
-    * every ingest step reads it back, exactly how a production vector
-    * index versions its build parameters.
+  /** Seed the staged embed index — ONE call to the embedding families'
+    * shared staging idiom (round 19, VERDICT r18 #2): the old corpus's
+    * signature relation persisted by [[stageEmbedSigsAt]], the frozen
+    * plan riding in the same `embed_meta.json` manifest every staged
+    * embedding product carries. Freezing the plan is the load-bearing
+    * part of the chain design: a later batch that re-SOLVED the plan on
+    * the grown corpus would derive different (bits, tables) and silently
+    * mis-key every signature already staged — so the plan freezes at
+    * seed time and every ingest step reads it back from the manifest,
+    * exactly how a production vector index versions its build
+    * parameters. Bucket keys are DERIVED per read (posexplode of the sig
+    * array) — the staged product is one idiom, not a second pre-exploded
+    * format ~L× its size.
     */
   private[queries] def seedEmbedDeltaIndex(spark: SparkSession, corpus: DataFrame,
-      isOld: Column => Column, plan: LshPlan, dim: Int, stagingDir: String): Unit = {
-    import spark.implicits._
-    Seq((plan.bits, plan.tables, dim)).toDF("bits", "tables", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(embedPlanPath(stagingDir))
-    keyedBuckets(sigsUnderPlan(corpus.filter(isOld(col("vec_id"))), plan, dim))
-      .write.mode("overwrite").parquet(embedBucketsPath(stagingDir))
+      isOld: Column => Column, plan: LshPlan, dim: Int, stagingDir: String): Unit =
+    stageEmbedSigsAt(spark, corpus.filter(isOld(col("vec_id"))),
+      "delta-seed", plan, dim, stagingDir, SelfStagedFp)
+
+  /** The frozen plan read back from the staging manifest. */
+  private def stagedEmbedPlan(spark: SparkSession,
+      stagingDir: String): (LshPlan, Int) = {
+    val m = graft.sources.Manifest.read(
+        spark.sparkContext.hadoopConfiguration, stagingDir, "embed_meta.json")
+      .getOrElse(throw new IllegalStateException(
+        s"no embed_meta.json manifest under $stagingDir - seed the index first"))
+    (LshPlan(m("bits").toInt, m("tables").toInt, 0.0, 0.0), m("dim").toInt)
   }
 
-  /** One embed ingest step: read the frozen plan, sign ONLY the batch,
-    * probe (symmetric depth-1 multiprobe, the deltaEmbed coverage
-    * argument) against staged ∪ own base keys, cascade + exact verify,
-    * then APPEND the batch's base keys to the staged product.
+  /** One embed ingest step: read the frozen plan from the manifest, sign
+    * ONLY the batch, probe (symmetric depth-1 multiprobe, the deltaEmbed
+    * coverage argument) against staged ∪ own base keys, cascade + exact
+    * verify, then APPEND the batch's signatures to the staged relation —
+    * nothing already staged is re-signed or re-written.
     */
   private[queries] def deltaEmbedIngestStep(spark: SparkSession, corpus: DataFrame,
       isBatch: Column => Column, threshold: Double, stagingDir: String): DataFrame = {
-    val meta = spark.read.parquet(embedPlanPath(stagingDir)).collect().head
-    val plan = LshPlan(meta.getAs[Int]("bits"), meta.getAs[Int]("tables"), 0.0, 0.0)
-    val dim = meta.getAs[Int]("dim")
-    val sigsNew = sigsUnderPlan(corpus.filter(isBatch(col("vec_id"))), plan, dim)
+    val (plan, dim) = stagedEmbedPlan(spark, stagingDir)
+    val sigsNew = computeEmbedSigs(corpus.filter(isBatch(col("vec_id"))), plan, dim)
       .localCheckpoint()
-    val newK = keyedBuckets(sigsNew)
-    val keyedAll = spark.read.parquet(embedBucketsPath(stagingDir)).unionByName(newK)
+    val keyedAll = keyedBuckets(spark.read.parquet(embedSigsPath(stagingDir)))
+      .unionByName(keyedBuckets(sigsNew))
+    // `out` materializes EAGERLY (localCheckpoint) before the append
+    // lands, so this step's probe side is exactly the pre-append index.
     val out = deltaEmbedVerify(corpus, keyedAll, sigsNew, plan, threshold, dim)
       .localCheckpoint()
-    newK.write.mode("append").parquet(embedBucketsPath(stagingDir))
+    sigsNew.write.mode("append").parquet(embedSigsPath(stagingDir))
     out
   }
 

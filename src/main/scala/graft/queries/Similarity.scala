@@ -429,17 +429,24 @@ object Similarity {
   /** ann_ivf — IVF with hash-sampled coarse centroids: every vector whose
     * id-hash clears a stride derived from k ≈ √N. Selection is a pure
     * filter (no training pass); the centroid set is √N rows — a bounded
-    * driver collect at any corpus size (see collectUnitCents). Approximate
-    * → no SQL oracle (driver rows-only); SimilaritySpec asserts recall@5
-    * against ann_topk.
+    * driver collect at any corpus size (see collectUnitCents).
+    *
+    * Since round 19 the serving components route through the ONE-SITE
+    * [[sharedIvfServing]] dispatch (VERDICT r18 #1 — the sharedEmbedSigs
+    * discipline applied to the vector index): a corpus whose index was
+    * staged at ingest ([[stageIvfIndex]]) serves the persisted postings
+    * + centroids + calibrated probe depth instead of re-running the
+    * N·√N assignment pass and the 64×N calibration scan per execution.
+    * Both arms are row-identical by construction (assignment is a
+    * deterministic per-row expression; doubles round-trip parquet
+    * exactly; the calibrated nprobe is content-deterministic under the
+    * fence) — IvfStagedSpec pins it, and ann_ivf_staged re-proves it
+    * against this entry's own dynamic DuckDB oracle every round.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val (ids, unit) = ivfModelOf(emb)
-    val assigned = assignedCells(normed(emb), unit, ids)
-    val probed = probedCells(queries(emb),
-      unit, ids, calibratedNprobe(calibrationPairsCached(emb), unit, ids))
-    searchCells(probed, assigned)
+    val s = sharedIvfServing(spark, emb)
+    searchCells(probedCells(queries(emb), s.unit, s.ids, s.nprobe), s.assigned)
   }
 
   /** The shared hash-sampled coarse quantizer ("ivf" model slot): every
@@ -1414,6 +1421,151 @@ object Similarity {
     } finally Dedup.deleteDir(dir)
   }
 
+  // --- Staged IVF serving index (round 19, VERDICT r18 #1) -------------------
+  //
+  // The last materialize-once gap: every ann_ivf execution re-ran the
+  // N·√N centroid-assignment pass and (on a fresh JVM) the 64×N
+  // calibration scan, while ann_ivf_append already persisted exactly the
+  // needed postings product and both signature families had proven the
+  // sign-once/serve-every-pass crossover (R* = 1 twice, STAGED_r18 /
+  // EMBEDSTAGED_r18). stageIvfIndex is the corpus-ingest step — centroid
+  // source rows, the full inverted file, and the calibrated probe depth,
+  // persisted next to a provenance manifest — and sharedIvfServing is
+  // the ONE dispatch site, the sharedBasis/sharedEmbedSigs discipline
+  // applied to the vector index. Reference discipline: materialize the
+  // shuffle product once, read it many times (mr/worker.go:86-124).
+
+  private[graft] val IvfStagingConfKey = "spark.graft.ivfStaging"
+
+  private def ivfServeCentsPath(dir: String): String = s"$dir/ivf_cents.parquet"
+  private def ivfServePostingsPath(dir: String): String =
+    s"$dir/ivf_postings.parquet"
+
+  /** The staged index's fence IDENTITY — every field must match at
+    * dispatch time: corpus CONTENT (MD5 of the file-metadata corpus key,
+    * so in-place regeneration invalidates), quantizer CONSTRUCTION, and
+    * the index/calibration parameters the persisted artifacts were built
+    * under. k and nprobe are deliberately NOT identity fields: both
+    * derive deterministically from the fenced corpus content + these
+    * parameters, so they ride the manifest as SERVED values instead
+    * (re-deriving k would cost a count job on the serve path, and
+    * re-deriving nprobe the whole 64×N calibration scan staging exists
+    * to hoist).
+    */
+  private def ivfManifestFields(emb: DataFrame): Seq[(String, Any)] = Seq(
+    "corpusFp" -> CorpusCaches.corpusFpMd5(emb),
+    "quantizer" -> "hash-strided-ivf",
+    "dim" -> Dim, "cellReplicas" -> CellReplicas,
+    "topK" -> K, "calQueries" -> CalQueries,
+    "recallTargetPct" -> math.round(RecallTarget * 100).toInt)
+
+  /** Corpus-ingest staging step for the IVF family: persist the centroid
+    * SOURCE rows (the exact hash-strided select [[ivfModelOf]] collects —
+    * √N rows, read back through the same collectUnitCents so the served
+    * model is bit-identical to a recompute), the full inverted file
+    * (assignedCells' (cell, vec_id, embedding, nrm) posting rows under
+    * CellReplicas-way multi-assignment), and the calibrated probe depth,
+    * plus the provenance manifest. Hadoop-FS/Spark writers throughout —
+    * the staging dir lands in whatever store the session talks to.
+    * Refuses a corpus with no file lineage (identity unprovable — the
+    * stageEmbedSigs rule).
+    */
+  def stageIvfIndex(spark: SparkSession, sfDir: String,
+      stagingDir: String): String = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fp = CorpusCaches.corpusFpMd5(emb)
+    require(fp.nonEmpty,
+      "cannot stage an IVF index for a corpus with no file lineage - " +
+        "the provenance fence would have no identity to verify")
+    val n = corpusSize(emb)
+    val k = centroidCount(n)
+    val stride = math.max(1L, n / k)
+    emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(ivfServeCentsPath(stagingDir))
+    val (ids, unit) = ivfModelOf(emb)
+    assignedCells(normed(emb), unit, ids)
+      .write.mode("overwrite").parquet(ivfServePostingsPath(stagingDir))
+    val nprobe = calibratedNprobe(calibrationPairsCached(emb), unit, ids)
+    graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
+      stagingDir, "ivf_meta.json",
+      ivfManifestFields(emb) ++ Seq("k" -> ids.length, "nprobe" -> nprobe))
+    stagingDir
+  }
+
+  /** The IVF family's serving components behind the ONE dispatch site:
+    * staged postings + centroids + calibrated nprobe when the session
+    * names a staging whose provenance matches this corpus; the
+    * historical recompute arm otherwise. A stale or foreign conf
+    * degrades to recompute — slower, never wrong. The staged centroid
+    * model shares the in-process "ivf" cache slot with the recompute
+    * arm (both are the identical sorted collect, so a hit from either
+    * side is byte-identical and every downstream fingerprint — including
+    * the dynamic-oracle generator's inlined matrix — is unchanged).
+    */
+  private[queries] final case class IvfServing(ids: Array[Long],
+      unit: Array[Double], assigned: DataFrame, nprobe: Int)
+
+  private[queries] def sharedIvfServing(spark: SparkSession,
+      emb: DataFrame): IvfServing =
+    stagedIvfFor(spark, emb) match {
+      case Some((dir, nprobe)) =>
+        val (ids, unit) = centModelCached("ivf", emb)(
+          collectUnitCents(spark.read.parquet(ivfServeCentsPath(dir))))
+        IvfServing(ids, unit,
+          spark.read.parquet(ivfServePostingsPath(dir)), nprobe)
+      case None =>
+        val (ids, unit) = ivfModelOf(emb)
+        IvfServing(ids, unit, assignedCells(normed(emb), unit, ids),
+          calibratedNprobe(calibrationPairsCached(emb), unit, ids))
+    }
+
+  private def stagedIvfFor(spark: SparkSession,
+      emb: DataFrame): Option[(String, Int)] =
+    spark.conf.getOption(IvfStagingConfKey).flatMap { dir =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val tablesOk =
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"${ivfServeCentsPath(dir)}/_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"${ivfServePostingsPath(dir)}/_SUCCESS"))
+        if (!tablesOk || CorpusCaches.corpusFpMd5(emb).isEmpty) None
+        else if (graft.sources.Manifest.matches(conf, dir, "ivf_meta.json",
+            ivfManifestFields(emb)))
+          graft.sources.Manifest.read(conf, dir, "ivf_meta.json")
+            .flatMap(_.get("nprobe")).map(np => (dir, np.toInt))
+        else {
+          System.err.println(s"[graft] $IvfStagingConfKey=$dir does not " +
+            "match the current corpus content or index parameters - " +
+            "recomputing the IVF index")
+          None
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] staged-IVF probe failed ($e) - recomputing")
+          None
+      }
+    }
+
+  /** ann_ivf_staged — the IVF deployment form INSIDE the correctness
+    * gate (the dd_minhash_staged promotion pattern): stage the serving
+    * index to a pid-scoped tmp location, open the guarded staging
+    * window, and run ann_ivf's own plan off the staged artifacts. Same
+    * dynamic DuckDB oracle as ann_ivf — staged ≡ recompute re-proven by
+    * rows+schema+hash every round, not only by IvfStagedSpec. The entry
+    * pays a full re-stage per execution by design (the bench prices the
+    * ingest step honestly); the pure serve path's cost is the IVFSTAGED
+    * probe's stagedRead/lap terms.
+    */
+  def annIvfStagedEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val staging = s"${Dedup.entryStagingDir(sfDir)}_ivf"
+    stageIvfIndex(spark, sfDir, staging)
+    Dedup.withEntryStaging(spark, IvfStagingConfKey, staging)(
+      annIvf(spark, sfDir))
+  }
+
   // -------------------------------------------------------------------
   // Dynamic DuckDB oracles (round 15): full hash-checked correctness
   // rows for the approximate family. The contract split:
@@ -1705,6 +1857,10 @@ object Similarity {
     Map(
       "ann_filtered_range" -> rangeSql,
       "ann_ivf" -> ivfOracleSql(ivfIds, ivfUnit, ivfNprobe, None),
+      // staged ≡ recompute: the dispatch is row-identical by construction
+      // (IvfStagedSpec), so the staged entry shares ann_ivf's dynamic
+      // oracle — the driver's hash gate re-proves the identity per round.
+      "ann_ivf_staged" -> ivfOracleSql(ivfIds, ivfUnit, ivfNprobe, None),
       "ann_ivf_kmeans" -> ivfOracleSql(kmIds, kmUnit, kmNprobe, None),
       "ann_ivf_append" -> ivfOracleSql(apIds, apUnit, apNprobe, None),
       "ann_filtered" -> ivfOracleSql(ivfIds, ivfUnit, np10,

@@ -632,8 +632,11 @@ class DedupSpec extends SparkSuite {
     val staged = Dedup.deltaEmbedStaged(spark, sf, staging)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(staged == inQuery)
-    assert(new java.io.File(s"$staging/old_embed_buckets.parquet").exists,
-      "old-corpus embed bucket table must be materialized")
+    assert(new java.io.File(s"$staging/embed_sigs.parquet").exists,
+      "old-corpus signatures must be materialized under the ONE embedding " +
+        "staging idiom (embed_sigs.parquet + embed_meta.json manifest)")
+    assert(new java.io.File(s"$staging/embed_meta.json").exists,
+      "the staged relation must carry its provenance manifest")
   }
 
   test("delta ingest chain: appended index, per-step pairs, no re-emission, no re-signing") {
