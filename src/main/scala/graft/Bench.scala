@@ -177,11 +177,16 @@ object Bench {
       val ctl2Laps = (1 to 3).map(_ => shuffleControlLap(spark))
       val ctlOk = ctlLaps.filter(_.sec >= 0).map(_.sec)
       val ctlSec = ctlOk.minOption.getOrElse(-1.0)
-      val spread = if (ctlOk.isEmpty) -1.0 else ctlOk.max - ctlOk.min
+      // A spread needs ≥ 2 surviving laps (ADVICE r18): with one lap the
+      // old max-min read 0.0 — indistinguishable from a genuinely stable
+      // three-lap host, so a degenerate pre-flight could report the host
+      // CLEANER than it is. -1.0 + the okLaps count make it explicit.
+      val spread = if (ctlOk.size < 2) -1.0 else ctlOk.max - ctlOk.min
       val ctl2Sec = ctl2Laps.filter(_.sec >= 0).map(_.sec)
         .minOption.getOrElse(-1.0)
       println(s"""{"controlOnly":true,"ctl":$ctlSec,"ctl2":$ctl2Sec,""" +
-        s""""ctlSpread":$spread,"ctlLaps":[${ctlLaps.map(_.diag).mkString(",")}],""" +
+        s""""ctlSpread":$spread,"ctlOkLaps":${ctlOk.size},""" +
+        s""""ctlLaps":[${ctlLaps.map(_.diag).mkString(",")}],""" +
         s""""ctl2Laps":[${ctl2Laps.map(_.diag).mkString(",")}]}""")
       spark.stop()
       return

@@ -15,6 +15,13 @@ import org.apache.spark.sql.DataFrame
   */
 object RecallProbe {
 
+  /** Locale-pinned JSON number (the ADVICE r18 defect class): f"%.Nf"
+    * honors the default locale — comma decimals break the artifact.
+    */
+  private def fmtN(v: Double, d: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+
+
   private def resultMap(df: DataFrame): Map[Long, Set[Long]] =
     df.collect()
       .groupBy(_.getLong(0))
@@ -76,7 +83,7 @@ object RecallProbe {
       fam -> mean
     }
     val body = entries
-      .map { case (f, r) => "\"" + f + "\":" + f"$r%.4f" }
+      .map { case (f, r) => "\"" + f + "\":" + fmtN(r, 4) }
       .mkString(",")
     val line = s"""{"sf":"$sfDir","n":$n,"k":5,"baseline":"ann_topk",""" +
       s""""nQueries":${exact.size},"recall":{$body}}"""

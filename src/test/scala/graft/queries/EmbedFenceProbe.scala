@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *   sbt "Test/runMain graft.queries.EmbedFenceProbe OUT.json <sfDir>..."
   */
 object EmbedFenceProbe {
+
+  /** Locale-pinned JSON number (the ADVICE r18 defect class): f"%.Nf"
+    * honors the default locale — comma decimals break the artifact.
+    */
+  private def fmtN(v: Double, d: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption
     val dirs = if (args.length > 1) args.toSeq.drop(1)
@@ -51,10 +58,10 @@ object EmbedFenceProbe {
       // Realized pruning: candidate rows in vs pairs surviving the
       // forced sketch cut — rebuilt from the same stages the query runs
       // (keyed/probe join), counted once.
-      val line = f"""{"sf":"$sf","n":$n,"bits":${plan.bits},""" +
-        f""""tables":${plan.tables},"candFraction":${plan.candFraction}%.3f,""" +
-        f""""defaultWall":$defWall%.2f,"forcedWall":$forcedWall%.2f,""" +
-        f""""defaultRows":$defRows,"forcedRows":$forcedRows}"""
+      val line = s"""{"sf":"$sf","n":$n,"bits":${plan.bits},""" +
+        s""""tables":${plan.tables},"candFraction":${fmtN(plan.candFraction, 3)},""" +
+        s""""defaultWall":${fmtN(defWall, 2)},"forcedWall":${fmtN(forcedWall, 2)},""" +
+        s""""defaultRows":$defRows,"forcedRows":$forcedRows}"""
       println("[embedfence] " + line)
       line
     }

@@ -26,6 +26,13 @@ object EmbedStagedProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Locale-pinned number for the JSON artifact (ADVICE r18): the f"%.3f"
+    * interpolator honors the default locale, so on de_DE/fr_FR the
+    * artifact became `1,234` — invalid JSON. Same fix as Bench.fmt2.
+    */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -50,8 +57,12 @@ object EmbedStagedProbe {
     val points = for (sf <- dirs) yield {
       val qJsons = for ((name, dim, prep, query) <- families) yield {
         val tag = if (dim == 768) "hi768" else "hi"
+        // Pid-scoped (ADVICE r18): two concurrent probe processes on one
+        // host must never overwrite each other's staged table mid-read —
+        // the same rule as Dedup.entryStagingDir.
         val staging = s"/tmp/graft_embed_staging/" +
-          s"${new java.io.File(sf).getName}_$name"
+          s"${new java.io.File(sf).getName}_${name}_p" +
+          ProcessHandle.current().pid()
         val (corpus, plan) = prep(spark, sf)
         // Signing-subtree terms (warm-up first — fresh-JVM first laps
         // carry tens of seconds of JIT at staged scale).
@@ -93,11 +104,11 @@ object EmbedStagedProbe {
           f"signRecompute=$signRecompute%.2f stageWrite=$stageWrite%.2f " +
           f"stagedRead=$stagedRead%.2f rows=$nRe1 crossoverReuses=$crossover")
         val lapsJson =
-          lapsRun.map(l => f"[${l._2}%.3f,${l._4}%.3f]").mkString(",")
-        s""""$name":{"recompute":${f"$re%.3f"},"staged":${f"$st%.3f"},""" +
-          s""""signRecompute":${f"$signRecompute%.3f"},""" +
-          s""""stageWrite":${f"$stageWrite%.3f"},""" +
-          s""""stagedRead":${f"$stagedRead%.3f"},""" +
+          lapsRun.map(l => s"[${fmt3(l._2)},${fmt3(l._4)}]").mkString(",")
+        s""""$name":{"recompute":${fmt3(re)},"staged":${fmt3(st)},""" +
+          s""""signRecompute":${fmt3(signRecompute)},""" +
+          s""""stageWrite":${fmt3(stageWrite)},""" +
+          s""""stagedRead":${fmt3(stagedRead)},""" +
           s""""bits":${plan.bits},"tables":${plan.tables},""" +
           s""""rows":$nRe1,"crossoverReuses":$crossover,""" +
           s""""lapPairsReSt":[$lapsJson]}"""

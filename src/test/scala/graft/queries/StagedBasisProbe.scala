@@ -35,6 +35,13 @@ object StagedBasisProbe {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Locale-pinned number for the JSON artifact (ADVICE r18): f"%.3f"
+    * honors the default locale — comma decimals break the JSON. Same
+    * fix as Bench.fmt2 / EmbedStagedProbe.fmt3.
+    */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption
     val dirs = if (args.length > 1) args.toSeq.drop(1)
@@ -55,7 +62,10 @@ object StagedBasisProbe {
         .filter { case (n, _) => wanted.forall(_.contains(n)) }
 
     val points = for (sf <- dirs) yield {
-      val staging = s"/tmp/graft_basis_staging/${new java.io.File(sf).getName}"
+      // Pid-scoped (ADVICE r18, the EmbedStagedProbe fix): concurrent
+      // probe processes must never overwrite each other's staged table.
+      val staging = s"/tmp/graft_basis_staging/${new java.io.File(sf).getName}" +
+        s"_p${ProcessHandle.current().pid()}"
       // Basis-subtree terms. Warm-up first: the fresh-JVM first lap of
       // anything at staged scale carries tens of seconds of JIT (the
       // FuzzyCoarseCheck lap-protocol note).
@@ -99,16 +109,16 @@ object StagedBasisProbe {
         // Per-pair walls travel in the artifact: a SETTLED verdict needs
         // the sign stability across laps visible, not only the min.
         val lapsJson =
-          lapsRun.map(l => f"[${l._2}%.3f,${l._4}%.3f]").mkString(",")
-        s""""$name":{"recompute":${f"$re%.3f"},"staged":${f"$st%.3f"},""" +
+          lapsRun.map(l => s"[${fmt3(l._2)},${fmt3(l._4)}]").mkString(",")
+        s""""$name":{"recompute":${fmt3(re)},"staged":${fmt3(st)},""" +
           s""""rows":$nRe1,"crossoverReuses":$crossover,""" +
           s""""lapPairsReSt":[$lapsJson]}"""
       }
       println(f"[stagedbasis] $sf basisRecompute=$basisRecompute%.2f " +
         f"stageWrite=$stageWrite%.2f stagedRead=$stagedRead%.2f")
-      s"""{"sf":"$sf","basisRecompute":${f"$basisRecompute%.3f"},""" +
-        s""""stageWrite":${f"$stageWrite%.3f"},""" +
-        s""""stagedRead":${f"$stagedRead%.3f"},""" +
+      s"""{"sf":"$sf","basisRecompute":${fmt3(basisRecompute)},""" +
+        s""""stageWrite":${fmt3(stageWrite)},""" +
+        s""""stagedRead":${fmt3(stagedRead)},""" +
         s""""queries":{${qJsons.mkString(",")}}}"""
     }
     val out = s"""{"crossoverRule":"R* = stageWrite / (recompute - staged); -1 = staging never wins at that size","points":[${points.mkString(",")}]}"""

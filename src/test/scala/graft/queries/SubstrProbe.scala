@@ -19,6 +19,13 @@ package graft.queries
   * cut form is the only one with a production claim past 100×.
   */
 object SubstrProbe {
+
+  /** Locale-pinned JSON number (the ADVICE r18 defect class): f"%.Nf"
+    * honors the default locale — comma decimals break the artifact.
+    */
+  private def fmtN(v: Double, d: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val (outPath, dirs) =
       if (args.nonEmpty && args.head.endsWith(".json"))
@@ -43,8 +50,8 @@ object SubstrProbe {
         }
       println(f"[substrprobe] $sf%-28s docs=$docs%9d pairSpans=$pairSpans%9d " +
         f"(${pairSec}%.1fs) cutSpans=$cutSpans%9d (${cutSec}%.1fs)")
-      f"""{"sf":"$sf","docs":$docs,"pairSpans":$pairSpans,""" +
-        f""""pairSec":$pairSec%.2f,"cutSpans":$cutSpans,"cutSec":$cutSec%.2f}"""
+      s"""{"sf":"$sf","docs":$docs,"pairSpans":$pairSpans,""" +
+        s""""pairSec":${fmtN(pairSec, 2)},"cutSpans":$cutSpans,"cutSec":${fmtN(cutSec, 2)}}"""
     }
     val out = s"""{"points":[${points.mkString(",")}]}"""
     println("[substrprobe] " + out)

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *   sbt "Test/runMain graft.queries.SubstrSkewProbe OUT.json <sfDir> ..."
   */
 object SubstrSkewProbe {
+
+  /** Locale-pinned JSON number (the ADVICE r18 defect class): f"%.Nf"
+    * honors the default locale — comma decimals break the artifact.
+    */
+  private def fmtN(v: Double, d: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+
   private val SubstrWindow = 40
 
   /** `planted:N` arg: synthesize an N-doc corpus where EVERY doc opens
@@ -110,7 +117,7 @@ object SubstrSkewProbe {
       lap() // warm-up
       val sec = (1 to 2).map(_ => lap()).min
       println(f"[substrskew] $tag windowSec=$sec%.1f")
-      s"""{"sf":"$tag","hotGRows":$n,"windowSec":${f"$sec%.3f"}}"""
+      s"""{"sf":"$tag","hotGRows":$n,"windowSec":${fmtN(sec, 3)}}"""
     }
     val points = for (sf <- dirs) yield {
       val docs = graft.Tables.documents(spark, sf)
