@@ -143,7 +143,10 @@ object SparkEntry {
     // stage the serving index (postings + centroids + calibrated probe
     // depth), then run ann_ivf's plan off the staged artifacts. Shares
     // ann_ivf's dynamic oracle — staged ≡ recompute proven by hash.
-    "ann_ivf_staged" -> (Similarity.annIvfStagedEntry _)
+    "ann_ivf_staged" -> (Similarity.annIvfStagedEntry _),
+    // The flagship with the eval-set decontamination stage composed in
+    // (round 19): lines → quality → exact → near-dup → decontaminate.
+    "pipeline_v2" -> (Pipeline.cleanCorpusV2 _)
   )
   /** DuckDB oracles whose SQL depends on the corpus (the approximate-ANN
     * family: the frozen index artifacts — centroids, codebooks, planes,
@@ -240,6 +243,7 @@ object SparkEntry {
     // analytically over generate_series (no codec in DuckDB needed).
     "mm_features" -> graft.multimodal.Multimodal.featuresSql,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusSql,
+    "pipeline_v2" -> Pipeline.cleanCorpusV2Sql,
     "ta_tfidf" -> CorpusOps.tfidfSql,
     "ta_repetition" -> CorpusOps.repetitionSql,
     "ta_perplexity" -> CorpusOps.perplexitySql,

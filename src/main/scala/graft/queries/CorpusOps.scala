@@ -145,7 +145,7 @@ object CorpusOps {
     * output is unchanged there — the oracle states the uncapped form.
     */
   private[queries] val EvalModulus = 7
-  private val EvalGramDfCap = 1000
+  private[queries] val EvalGramDfCap = 1000
 
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = Tables.documents(spark, sfDir)

@@ -38,7 +38,24 @@ import graft.Tables
   */
 object Pipeline {
 
-  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    projectOut(cleanSurvivorsFrom(Tables.documents(spark, sfDir)))
+
+  /** The pipeline's output projection — provenance columns only, never
+    * the survivor text (the text column is the corpus itself; the
+    * pipeline's deliverable is WHICH docs survive and why).
+    */
+  private def projectOut(surv: DataFrame): DataFrame =
+    surv.select(col("doc_id"), col("lang"), col("source"),
+      col("quality_score"), col("fp"))
+
+  /** Stages 0–3 with the survivor TEXT still attached — the shared chain
+    * behind cleanCorpus (which projects it away) and cleanCorpusV2
+    * (whose decontamination stage 4 shingles it). Parameterized on the
+    * raw documents table so the stage-composition fixtures drive planted
+    * corpora through the full chain.
+    */
+  private[graft] def cleanSurvivorsFrom(rawDocs: DataFrame): DataFrame = {
     // Stages 1+2 run ONCE: the survivor table is localCheckpoint'ed and
     // BOTH stage-3 branches (the shingle basis feeding the LSH funnel and
     // the anti-join base emitting the output) derive from the checkpoint.
@@ -50,7 +67,7 @@ object Pipeline {
     // ingest pipeline materializes between its dedup passes; PlanSpec
     // gates that the final plan reads no parquet at all and that the
     // stage-1+2 subtree scans `documents` exactly once.
-    val kept = exactKept(spark, sfDir).localCheckpoint()
+    val kept = exactKeptFrom(rawDocs).localCheckpoint()
 
     // Stage 3: near-dup dedup among survivors under the keep-best policy.
     // Candidate pairs come from the dd_minhash funnel (banded LSH
@@ -92,8 +109,69 @@ object Pipeline {
       .select(col("doc_id"))
 
     kept.join(Dedup.attachGuard(kept.count())(losers), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("quality_score"), col("fp"))
+  }
+
+  /** pipeline_v2 — the flagship with the eval-set DECONTAMINATION pass
+    * composed in (round 19, VERDICT r18 #4): every production
+    * pretraining ingest runs one (GPT-3 appendix C, Gopher §A.4), and
+    * the engine already shipped it standalone (dd_decontaminate /
+    * dd_decontaminate_fuzzy, both oracle-green) — this entry is the
+    * composed form. Stage 4, after lines → quality → exact → near-dup:
+    *
+    *   - the eval benchmark stand-in is the doc_id % 7 = 0 subset
+    *     (dd_decontaminate's convention), read at its RAW text — the
+    *     benchmark is external data; the pipeline's cleaning never
+    *     applies to it;
+    *   - a TRAIN survivor is dropped when it shares ANY 8-gram with any
+    *     eval doc, grams df-capped on the combined corpus exactly like
+    *     dd_decontaminate (cap inert at every oracle scale — the oracle
+    *     states the uncapped form);
+    *   - eval-member rows themselves are dropped from the output: the
+    *     benchmark is never training data (a crawled copy of an eval
+    *     doc is the degenerate self-overlap case of the same rule);
+    *   - train-side grams come from the CLEANED survivor text — the
+    *     text that would actually train is what contamination is
+    *     measured on.
+    *
+    * Order: decontamination runs LAST deliberately — the bipartite gram
+    * join then touches the deduplicated survivor corpus instead of the
+    * raw crawl (the cheap order at 100 TB), and the quality/dedup
+    * stages never see the benchmark rows removed early (dedup decisions
+    * stay identical to pipeline_clean_corpus, so the two entries'
+    * outputs are relatable by construction — the composition spec pins
+    * exactly that). Fully SQL-expressible; the oracle extends the
+    * flagship's CTE chain end-to-end.
+    */
+  def cleanCorpusV2(spark: SparkSession, sfDir: String): DataFrame =
+    cleanCorpusV2From(Tables.documents(spark, sfDir))
+
+  private[graft] def cleanCorpusV2From(rawDocs: DataFrame): DataFrame = {
+    // Checkpoint: stage 4 consumes the survivors TWICE (gram basis +
+    // output anti-join base) — without it the whole stage-0–3 chain
+    // would replay per consumer (the exactKept lesson, round 5).
+    val surv = cleanSurvivorsFrom(rawDocs).localCheckpoint()
+    val gram8 = (df: DataFrame) => df.select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("gram"))
+      .distinct()
+    val evalGrams = gram8(
+      rawDocs.filter(col("doc_id") % CorpusOps.EvalModulus === 0)
+        .select(col("doc_id"), col("text")))
+    val trainSurv = surv.filter(col("doc_id") % CorpusOps.EvalModulus =!= 0)
+    val trainGrams = gram8(trainSurv)
+    // Hot on either side → capped on the COMBINED df before the
+    // bipartite join (dd_decontaminate's rule: per-key join output is
+    // df_eval · df_train, so a boilerplate gram must be capped wherever
+    // it is hot; a df-1000+ gram carries no contamination signal).
+    val hot = evalGrams.unionByName(trainGrams)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > CorpusOps.EvalGramDfCap).select(col("gram"))
+    val contaminated = trainGrams.join(broadcast(hot), Seq("gram"), "left_anti")
+      .join(evalGrams.join(broadcast(hot), Seq("gram"), "left_anti")
+        .select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    projectOut(trainSurv.join(
+      Dedup.attachGuard(trainSurv.count())(contaminated),
+      Seq("doc_id"), "left_anti"))
   }
 
   /** Stages 1+2 (quality gate, exact dedup) — the survivor corpus stage 3
@@ -166,7 +244,10 @@ object Pipeline {
   private[queries] def survivorShingles(spark: SparkSession, sfDir: String): DataFrame =
     shinglesOf(exactKept(spark, sfDir))
 
-  val cleanCorpusSql: String =
+  /** The stage-0–3 CTE chain, shared by both pipeline oracles (the
+    * `survivors` CTE is cleanSurvivorsFrom restated).
+    */
+  private val pipelineCtesSql: String =
     raw"""WITH RECURSIVE ln AS (
          |  SELECT doc_id, lang, source, i - 1 AS idx, l[i] AS line
          |  FROM (SELECT doc_id, lang, source,
@@ -230,8 +311,48 @@ object Pipeline {
          |losers AS (
          |  SELECT l.doc_id FROM labeled l
          |  JOIN keepers k ON l.cluster_id = k.cluster_id
-         |  WHERE l.doc_id <> k.keep_id)
+         |  WHERE l.doc_id <> k.keep_id),
+         |survivors AS (
+         |  SELECT * FROM exact_kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))""".stripMargin
+
+  val cleanCorpusSql: String =
+    s"""$pipelineCtesSql
+       |SELECT doc_id, lang, source, quality_score, fp
+       |FROM survivors""".stripMargin
+
+  /** pipeline_v2's oracle: the flagship CTE chain extended with the
+    * decontamination stage — eval 8-grams over RAW documents text, train
+    * 8-grams over the CLEANED survivor text, overlap drops the train doc,
+    * eval-member rows never reach the output. The df cap is not restated
+    * (inert at every oracle scale — the dd_decontaminate argument).
+    */
+  val cleanCorpusV2Sql: String =
+    raw"""$pipelineCtesSql,
+         |evtok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents
+         |  WHERE doc_id % ${CorpusOps.EvalModulus} = 0
+         |    AND len(regexp_split_to_array(text, '\s+')) >= 8),
+         |ev8 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |            w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+         |            for i in generate_series(1, len(w)-7)]) AS gram
+         |  FROM evtok),
+         |trtok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM survivors
+         |  WHERE doc_id % ${CorpusOps.EvalModulus} != 0
+         |    AND len(regexp_split_to_array(text, '\s+')) >= 8),
+         |tr8 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |            w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+         |            for i in generate_series(1, len(w)-7)]) AS gram
+         |  FROM trtok),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id FROM tr8 t JOIN ev8 e USING (gram))
          |SELECT doc_id, lang, source, quality_score, fp
-         |FROM exact_kept
-         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+         |FROM survivors
+         |WHERE doc_id % ${CorpusOps.EvalModulus} != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 }
