@@ -1549,6 +1549,17 @@ object Similarity {
       }
     }
 
+  /** The recompute arm's posting relation alone — the assignment
+    * subtree the staged index hoists to ingest, exposed for the
+    * IVFSTAGED crossover probe (the signRecompute analogue).
+    */
+  private[queries] def ivfAssignRelation(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (ids, unit) = ivfModelOf(emb)
+    assignedCells(normed(emb), unit, ids)
+  }
+
   /** ann_ivf_staged — the IVF deployment form INSIDE the correctness
     * gate (the dd_minhash_staged promotion pattern): stage the serving
     * index to a pid-scoped tmp location, open the guarded staging
