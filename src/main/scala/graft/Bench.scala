@@ -31,6 +31,17 @@ import org.apache.spark.sql.SparkSession
   * JVM, with per-lap diagnostics — the ground-truth instrument for any
   * suite-run outlier (scripts/isolate_probes.sh drives it for the
   * slowest queries and commits PROBES_r{N}.json).
+  *
+  * `GRAFT_BENCH_CONTROL_ONLY=1` reads the two frozen host axes (compute
+  * control + shuffle control, 3 laps each) WITHOUT running the suite —
+  * one JSON line, ~30 s. Note to the round driver: running this
+  * pre-flight immediately before the full bench and committing its line
+  * next to BENCH_rN would let every round's headline carry its own host
+  * adjudication context against the CONTROL.json ledger floors (minCtl /
+  * minCtl2), instead of relying on the in-run control laps that execute
+  * AFTER the suite has heated the host. The builder-side protocols (the
+  * dd_substring_cut far-decade settle, SUBSTRSETTLE_rN) already run it;
+  * the env var is the whole interface.
   */
 object Bench {
 

@@ -17,7 +17,10 @@ class AnnOracleSpec extends SparkSuite {
   private val dynamicNames = Set(
     "ann_ivf", "ann_ivf_kmeans", "ann_ivf_pq", "ann_lsh",
     "ann_ivf_append", "ann_filtered", "ann_filtered_rare",
-    "ann_filtered_range")
+    "ann_filtered_range",
+    // round 19: the staged serving form shares ann_ivf's restatement —
+    // staged ≡ recompute is hash-proven by the driver gate per round.
+    "ann_ivf_staged")
 
   test("dynamic oracles cover exactly the approximate-ANN family") {
     val dyn = graft.SparkEntry.dynamicOracleSql(spark, sf)
