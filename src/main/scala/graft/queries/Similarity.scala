@@ -542,10 +542,14 @@ object Similarity {
   private[graft] def annFilteredWith(spark: SparkSession, sfDir: String,
       pred: Column, tag: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    // Coarse quantizer: the corpus-wide index, shared with ann_ivf/pq.
-    val (ids, unit) = ivfModelOf(emb)
     val filtered = Tables.embeddings(spark, sfDir).filter(pred)
-    val assigned = assignedCells(normed(filtered), unit, ids)
+    // Coarse quantizer + stratum postings through the one staged-index
+    // dispatch (round 19): a staged ingest serves the persisted inverted
+    // file semi-joined on the stratum's ids instead of re-running the
+    // per-execution assignment pass. Probe depth stays the per-stratum
+    // calibrated value either way — it is predicate-dependent, so it is
+    // not a stageable ingest product.
+    val (ids, unit, assigned) = sharedIvfFilteredPostings(spark, emb, filtered)
     val probed = probedCells(queries(emb), unit, ids,
       filteredNprobe(spark, sfDir, pred, tag))
     searchCells(probed, assigned)
@@ -866,11 +870,11 @@ object Similarity {
     */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.embeddings(spark, sfDir)
-    val (ids, unit) = kmeansModelOf(raw)
-    val assigned = assignedCells(normed(raw), unit, ids)
-    val probed = probedCells(queries(raw),
-      unit, ids, calibratedNprobe(calibrationPairsCached(raw), unit, ids))
-    searchCells(probed, assigned)
+    // Model + postings + probe depth through the staged-index dispatch
+    // (round 19): an ingest-staged fitted matrix serves in place of the
+    // per-JVM driver Lloyd fit and the per-execution assignment pass.
+    val s = sharedKmeansServing(spark, raw)
+    searchCells(probedCells(queries(raw), s.unit, s.ids, s.nprobe), s.assigned)
   }
 
   /** The trained ("kmeans" slot) coarse model — factored out of
@@ -1130,35 +1134,26 @@ object Similarity {
 
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val n = corpusSize(emb)
-    // Coarse quantizer: the SAME hash-sampled centroid model as ann_ivf
-    // (shared cache slot — one coarse index per corpus serves both).
-    val (ids, unit) = ivfModelOf(emb)
-    val (ksub, books) = pqBooksCached(emb, n)
-    val e = normed(emb)
-    // Scan side: (cell, vec_id, 8-byte code) — assignment and encoding
-    // are both per-row codegen projections over ONE corpus pass; the
-    // raw embedding is dropped before anything shuffles or joins.
-    val assigned = e.select(
-      explode(graft.functions.NearestCells.nearestCells(
-        col("embedding"), unit, ids, ids.length, Dim, CellReplicas)).as("cell"),
-      col("vec_id"),
-      graft.functions.PqCodes.pqEncode(col("embedding"), books,
-        PqM, ksub, PqSubDim).as("code"))
+    // Coarse model, codebooks, encoded inverted file, and both
+    // calibrated depths through the staged-index dispatch (round 19):
+    // an ingest-staged product replaces the per-execution assignment +
+    // encode corpus pass (one projection, but N·(√N·d + m·ksub·subDim)
+    // arithmetic) with a scan of the 8-byte-code postings. Recompute
+    // arm is the historical single-pass projection, unchanged.
+    val s = sharedPqServing(spark, emb)
     val q = queries(emb)
-    val pairs = calibrationPairsCached(emb)
-    val probed = probedCells(q, unit, ids, calibratedNprobe(pairs, unit, ids))
-    val shortK = calibratedPqShortlist(emb, books, ksub, pairs)
+    val probed = probedCells(q, s.unit, s.ids, s.nprobe)
     // ADC scan: rank candidates from the code alone (a per-query positive
     // scale can't change a ranking, so the raw query needs no normalize).
-    val scored = broadcast(probed).join(assigned, Seq("cell"))
+    val scored = broadcast(probed).join(s.codes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", graft.functions.PqCodes.pqAdcDot(
-        col("code"), col("q_emb"), books, PqM, ksub, PqSubDim))
+        col("code"), col("q_emb"), s.books, PqM, s.ksub, PqSubDim))
     val shortlist = scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topk(col("vec_id"), col("adc"),
-        shortK).as("top"))
+        s.shortK).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    val e = normed(emb)
     // Exact re-rank: only |Q|·shortK raw vectors are ever fetched. The
     // shortlist broadcast carries two longs per row (≤ |Q|·cap ≈ 64 MB
     // at the 4096 ceiling); q_emb re-attaches AFTER the corpus fetch via
@@ -1478,11 +1473,7 @@ object Similarity {
       "cannot stage an IVF index for a corpus with no file lineage - " +
         "the provenance fence would have no identity to verify")
     val n = corpusSize(emb)
-    val k = centroidCount(n)
-    val stride = math.max(1L, n / k)
-    emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
-      .select(col("vec_id"), col("embedding"))
-      .coalesce(1).write.mode("overwrite").parquet(ivfServeCentsPath(stagingDir))
+    writeIvfCents(emb, n, stagingDir)
     val (ids, unit) = ivfModelOf(emb)
     assignedCells(normed(emb), unit, ids)
       .write.mode("overwrite").parquet(ivfServePostingsPath(stagingDir))
@@ -1520,34 +1511,41 @@ object Similarity {
           calibratedNprobe(calibrationPairsCached(emb), unit, ids))
     }
 
+  /** The filtered family's inverted-file source behind the SAME staged
+    * dispatch (round 19 follow-on): a fence-matched staging serves the
+    * persisted full-corpus postings semi-joined on the stratum's
+    * `vec_id` set — an O(N) hash join replacing the stratum's
+    * per-execution N_s·√N·d assignment arithmetic (at 10⁹ vectors the
+    * assignment is ~10¹³ multiplies per pass; the join is one shuffle
+    * of rows that already exist on disk). Row-identical by
+    * construction: cell assignment is a deterministic per-row
+    * expression, so the full inverted file restricted to the stratum's
+    * ids IS the stratum's inverted file (IvfStagedSpec pins it). The
+    * recompute arm is the historical plan, untouched. Per-stratum
+    * probe-depth calibration stays with the caller — it depends on the
+    * predicate, which an ingest-time staging cannot know.
+    */
+  private[queries] def sharedIvfFilteredPostings(spark: SparkSession,
+      emb: DataFrame, filtered: DataFrame)
+      : (Array[Long], Array[Double], DataFrame) =
+    stagedIvfFor(spark, emb) match {
+      case Some((dir, _)) =>
+        val (ids, unit) = centModelCached("ivf", emb)(
+          collectUnitCents(spark.read.parquet(ivfServeCentsPath(dir))))
+        val assigned = spark.read.parquet(ivfServePostingsPath(dir))
+          .join(filtered.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        (ids, unit, assigned)
+      case None =>
+        val (ids, unit) = ivfModelOf(emb)
+        (ids, unit, assignedCells(normed(filtered), unit, ids))
+    }
+
   private def stagedIvfFor(spark: SparkSession,
       emb: DataFrame): Option[(String, Int)] =
-    spark.conf.getOption(IvfStagingConfKey).flatMap { dir =>
-      try {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-        val tablesOk =
-          fs.exists(new org.apache.hadoop.fs.Path(
-            s"${ivfServeCentsPath(dir)}/_SUCCESS")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(
-            s"${ivfServePostingsPath(dir)}/_SUCCESS"))
-        if (!tablesOk || CorpusCaches.corpusFpMd5(emb).isEmpty) None
-        else if (graft.sources.Manifest.matches(conf, dir, "ivf_meta.json",
-            ivfManifestFields(emb)))
-          graft.sources.Manifest.read(conf, dir, "ivf_meta.json")
-            .flatMap(_.get("nprobe")).map(np => (dir, np.toInt))
-        else {
-          System.err.println(s"[graft] $IvfStagingConfKey=$dir does not " +
-            "match the current corpus content or index parameters - " +
-            "recomputing the IVF index")
-          None
-        }
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[graft] staged-IVF probe failed ($e) - recomputing")
-          None
-      }
-    }
+    stagedProductFor(spark, emb, "ivf_meta.json", ivfManifestFields(emb),
+      Seq(ivfServeCentsPath _, ivfServePostingsPath _), Seq("nprobe"))
+      .map { case (dir, m) => (dir, m("nprobe").toInt) }
 
   /** The recompute arm's posting relation alone — the assignment
     * subtree the staged index hoists to ingest, exposed for the
@@ -1576,6 +1574,224 @@ object Similarity {
     Dedup.withEntryStaging(spark, IvfStagingConfKey, staging)(
       annIvf(spark, sfDir))
   }
+
+  // --- PQ + k-means staged serving products (round 19 follow-on) -------------
+  //
+  // The rest of the vector-index family behind the SAME one staging
+  // location (spark.graft.ivfStaging) and the same Manifest fence
+  // discipline, each product self-contained so a partial ingest degrades
+  // per-family to recompute: ann_ivf_pq's serving product is the encoded
+  // inverted file — (cell, vec_id, 8-byte code) — plus the per-subspace
+  // codebooks and both calibrated depths (probe + shortlist), and
+  // ann_ivf_kmeans' is the FITTED centroid matrix (the driver Lloyd fit
+  // every fresh JVM otherwise re-runs) plus its postings and probe
+  // depth. At 10⁹ vectors the hoisted per-execution work is the
+  // N·√N·d assignment arithmetic AND (for PQ) the N·m·ksub·subDim
+  // encode pass; the staged arm reads rows that already exist. Codebooks
+  // and fitted centroids persist as exact doubles (parquet DOUBLE
+  // round-trips bit-exactly), so the served model — and every downstream
+  // fingerprint, including the dynamic oracle's inlined matrices — is
+  // byte-identical to a recompute (IvfStagedSpec pins both families).
+
+  private def pqBooksPath(dir: String): String = s"$dir/pq_books.parquet"
+  private def pqPostingsPath(dir: String): String = s"$dir/pq_postings.parquet"
+  private def kmCentsPath(dir: String): String = s"$dir/km_cents.parquet"
+  private def kmPostingsPath(dir: String): String = s"$dir/km_postings.parquet"
+
+  /** PQ fence identity: the coarse-quantizer identity (the codes join
+    * against its cells) plus the codebook construction. ksub, the
+    * calibrated shortlist depth, and nprobe are served values — each is
+    * content-deterministic under the fenced fields.
+    */
+  private def pqManifestFields(emb: DataFrame): Seq[(String, Any)] =
+    ivfManifestFields(emb) ++ Seq(
+      "pqM" -> PqM, "pqSubDim" -> PqSubDim,
+      "pqKsubMax" -> PqKsubMax, "pqSampleCap" -> PqSampleCap,
+      "pqRefine" -> PqRefine)
+
+  /** k-means fence identity: corpus content + the trained-quantizer
+    * construction (sample cap; the fit itself is seeded and
+    * content-deterministic). k and nprobe are served values.
+    */
+  private def kmManifestFields(emb: DataFrame): Seq[(String, Any)] = Seq(
+    "corpusFp" -> CorpusCaches.corpusFpMd5(emb),
+    "quantizer" -> "spherical-kmeans-cosine",
+    "dim" -> Dim, "cellReplicas" -> CellReplicas,
+    "topK" -> K, "calQueries" -> CalQueries,
+    "recallTargetPct" -> math.round(RecallTarget * 100).toInt,
+    "kmSampleCap" -> KmeansSampleCap)
+
+  /** Stage ann_ivf_pq's serving product: coarse centroid source rows
+    * (shared file with [[stageIvfIndex]] — identical content, either
+    * order wins), codebooks as exact doubles, the encoded inverted
+    * file, and the calibrated depths in the manifest.
+    */
+  def stagePqIndex(spark: SparkSession, sfDir: String,
+      stagingDir: String): String = {
+    val emb = Tables.embeddings(spark, sfDir)
+    require(CorpusCaches.corpusFpMd5(emb).nonEmpty,
+      "cannot stage a PQ index for a corpus with no file lineage - " +
+        "the provenance fence would have no identity to verify")
+    val n = corpusSize(emb)
+    writeIvfCents(emb, n, stagingDir)
+    val (ids, unit) = ivfModelOf(emb)
+    val (ksub, books) = pqBooksCached(emb, n)
+    import spark.implicits._
+    books.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(pqBooksPath(stagingDir))
+    normed(emb).select(
+      explode(graft.functions.NearestCells.nearestCells(
+        col("embedding"), unit, ids, ids.length, Dim, CellReplicas)).as("cell"),
+      col("vec_id"),
+      graft.functions.PqCodes.pqEncode(col("embedding"), books,
+        PqM, ksub, PqSubDim).as("code"))
+      .write.mode("overwrite").parquet(pqPostingsPath(stagingDir))
+    val pairs = calibrationPairsCached(emb)
+    graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
+      stagingDir, "pq_meta.json",
+      pqManifestFields(emb) ++ Seq("ksub" -> ksub,
+        "shortK" -> calibratedPqShortlist(emb, books, ksub, pairs),
+        "nprobe" -> calibratedNprobe(pairs, unit, ids)))
+    stagingDir
+  }
+
+  /** Stage ann_ivf_kmeans' serving product: the FITTED unit-centroid
+    * matrix as exact doubles (cell ids are centroid indices 0..k-1, so
+    * the flat matrix is the whole model), its postings, and the
+    * calibrated probe depth.
+    */
+  def stageKmeansIndex(spark: SparkSession, sfDir: String,
+      stagingDir: String): String = {
+    val emb = Tables.embeddings(spark, sfDir)
+    require(CorpusCaches.corpusFpMd5(emb).nonEmpty,
+      "cannot stage a k-means index for a corpus with no file lineage - " +
+        "the provenance fence would have no identity to verify")
+    val (ids, unit) = kmeansModelOf(emb)
+    import spark.implicits._
+    unit.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(kmCentsPath(stagingDir))
+    assignedCells(normed(emb), unit, ids)
+      .write.mode("overwrite").parquet(kmPostingsPath(stagingDir))
+    graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
+      stagingDir, "km_meta.json",
+      kmManifestFields(emb) ++ Seq("k" -> ids.length,
+        "nprobe" -> calibratedNprobe(calibrationPairsCached(emb), unit, ids)))
+    stagingDir
+  }
+
+  /** The hash-strided centroid SOURCE rows — factored so stageIvfIndex
+    * and stagePqIndex write the identical file (the two products share
+    * the coarse quantizer, so either staging order serves both).
+    */
+  private def writeIvfCents(emb: DataFrame, n: Long, stagingDir: String): Unit = {
+    val stride = math.max(1L, n / centroidCount(n))
+    emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(ivfServeCentsPath(stagingDir))
+  }
+
+  /** Read a flat (idx, value) exact-doubles matrix back in index order. */
+  private def readFlatDoubles(spark: SparkSession, path: String): Array[Double] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+
+  private[queries] final case class PqServing(ids: Array[Long],
+      unit: Array[Double], ksub: Int, books: Array[Double],
+      shortK: Int, nprobe: Int, codes: DataFrame)
+
+  /** ann_ivf_pq's serving components behind the staged dispatch: a
+    * fence-matched staging serves the persisted codes + codebooks +
+    * calibrated depths; anything else recomputes (the historical arm,
+    * untouched). Served models fill the same in-process cache slots as
+    * recompute — both sides are bit-identical, so a hit from either arm
+    * serves the other.
+    */
+  private[queries] def sharedPqServing(spark: SparkSession,
+      emb: DataFrame): PqServing = {
+    val n = corpusSize(emb)
+    stagedProductFor(spark, emb, "pq_meta.json", pqManifestFields(emb),
+      Seq(pqBooksPath _, pqPostingsPath _, ivfServeCentsPath _),
+      Seq("ksub", "shortK", "nprobe")) match {
+      case Some((dir, m)) =>
+        val (ids, unit) = centModelCached("ivf", emb)(
+          collectUnitCents(spark.read.parquet(ivfServeCentsPath(dir))))
+        val (ksub, books) = cachedOrBuild(pqCache, corpusKey(emb))(
+          (m("ksub").toInt, readFlatDoubles(spark, pqBooksPath(dir))))
+        PqServing(ids, unit, ksub, books, m("shortK").toInt, m("nprobe").toInt,
+          spark.read.parquet(pqPostingsPath(dir)))
+      case None =>
+        val (ids, unit) = ivfModelOf(emb)
+        val (ksub, books) = pqBooksCached(emb, n)
+        val pairs = calibrationPairsCached(emb)
+        val codes = normed(emb).select(
+          explode(graft.functions.NearestCells.nearestCells(
+            col("embedding"), unit, ids, ids.length, Dim, CellReplicas)).as("cell"),
+          col("vec_id"),
+          graft.functions.PqCodes.pqEncode(col("embedding"), books,
+            PqM, ksub, PqSubDim).as("code"))
+        PqServing(ids, unit, ksub, books,
+          calibratedPqShortlist(emb, books, ksub, pairs),
+          calibratedNprobe(pairs, unit, ids), codes)
+    }
+  }
+
+  /** ann_ivf_kmeans' serving components behind the staged dispatch. */
+  private[queries] def sharedKmeansServing(spark: SparkSession,
+      emb: DataFrame): IvfServing =
+    stagedProductFor(spark, emb, "km_meta.json", kmManifestFields(emb),
+      Seq(kmCentsPath _, kmPostingsPath _), Seq("k", "nprobe")) match {
+      case Some((dir, m)) =>
+        val (ids, unit) = centModelCached("kmeans", emb) {
+          val flat = readFlatDoubles(spark, kmCentsPath(dir))
+          val k = m("k").toInt
+          require(flat.length == k * Dim,
+            s"staged k-means matrix is ${flat.length} doubles, expected ${k * Dim}")
+          (Array.tabulate(k)(_.toLong), flat)
+        }
+        IvfServing(ids, unit, spark.read.parquet(kmPostingsPath(dir)),
+          m("nprobe").toInt)
+      case None =>
+        val (ids, unit) = kmeansModelOf(emb)
+        IvfServing(ids, unit, assignedCells(normed(emb), unit, ids),
+          calibratedNprobe(calibrationPairsCached(emb), unit, ids))
+    }
+
+  /** The generic per-product fence probe: the session's one staging
+    * location serves a product iff every named table committed
+    * (_SUCCESS) and the product's own manifest matches its required
+    * identity — a partial or foreign ingest degrades THIS product to
+    * recompute without touching the others. Returns the staged dir plus
+    * the full manifest (for served values; `servedKeys` must all be
+    * present, else the manifest is corrupt and the product recomputes).
+    */
+  private def stagedProductFor(spark: SparkSession, emb: DataFrame,
+      manifestName: String, required: Seq[(String, Any)],
+      tables: Seq[String => String], servedKeys: Seq[String])
+      : Option[(String, Map[String, String])] =
+    spark.conf.getOption(IvfStagingConfKey).flatMap { dir =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val tablesOk = tables.forall(p => fs.exists(
+          new org.apache.hadoop.fs.Path(s"${p(dir)}/_SUCCESS")))
+        if (!tablesOk || CorpusCaches.corpusFpMd5(emb).isEmpty) None
+        else if (graft.sources.Manifest.matches(conf, dir, manifestName, required))
+          graft.sources.Manifest.read(conf, dir, manifestName)
+            .filter(m => servedKeys.forall(m.contains)).map((dir, _))
+        else {
+          System.err.println(s"[graft] $IvfStagingConfKey=$dir does not " +
+            s"match the current corpus content or index parameters " +
+            s"($manifestName) - recomputing")
+          None
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] staged-index probe failed ($e) - recomputing")
+          None
+      }
+    }
 
   // -------------------------------------------------------------------
   // Dynamic DuckDB oracles (round 15): full hash-checked correctness

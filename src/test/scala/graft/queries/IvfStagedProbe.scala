@@ -83,19 +83,49 @@ object IvfStagedProbe {
       val (nRe1, _, nSt1, _) = lapsRun.head
       require(nRe1 == nSt1,
         s"ann_ivf row count diverged across the dispatch: $nRe1 vs $nSt1")
+
+      // Filtered-stratum pair (round-19 follow-on): the staged arm
+      // serves the persisted postings semi-joined on the stratum ids in
+      // place of the per-execution stratum assignment — same alternating
+      // protocol, row identity required on the first pair.
+      def filteredLap(staged: Boolean): (Long, Double) = {
+        if (staged) spark.conf.set(Similarity.IvfStagingConfKey, staging)
+        else spark.conf.unset(Similarity.IvfStagingConfKey)
+        var n = 0L
+        val w = timed { n = Similarity.annFiltered(spark, sf).count() }
+        (n, w)
+      }
+      filteredLap(staged = false) // warm-up (fills the stratum caches)
+      val fLaps = (1 to lapPairs).map { _ =>
+        val (fnRe, fReW) = filteredLap(staged = false)
+        val (fnSt, fStW) = filteredLap(staged = true)
+        (fnRe, fReW, fnSt, fStW)
+      }
+      spark.conf.unset(Similarity.IvfStagingConfKey)
+      val fRe = fLaps.map(_._2).min
+      val fSt = fLaps.map(_._4).min
+      require(fLaps.head._1 == fLaps.head._3,
+        s"ann_filtered row count diverged across the dispatch: " +
+          s"${fLaps.head._1} vs ${fLaps.head._3}")
       val crossover =
         if (re - st > 1e-3) (stageWrite / (re - st)).ceil.toLong else -1L
       println(f"[ivfstaged] $sf recompute=$re%.2f staged=$st%.2f " +
         f"assignRecompute=$assignRecompute%.2f stageWrite=$stageWrite%.2f " +
-        f"stagedRead=$stagedRead%.2f rows=$nRe1 crossoverReuses=$crossover")
+        f"stagedRead=$stagedRead%.2f rows=$nRe1 crossoverReuses=$crossover " +
+        f"filteredRecompute=$fRe%.2f filteredStaged=$fSt%.2f")
       val lapsJson =
         lapsRun.map(l => s"[${fmt3(l._2)},${fmt3(l._4)}]").mkString(",")
+      val fLapsJson =
+        fLaps.map(l => s"[${fmt3(l._2)},${fmt3(l._4)}]").mkString(",")
       s"""{"sf":"$sf","recompute":${fmt3(re)},"staged":${fmt3(st)},""" +
         s""""assignRecompute":${fmt3(assignRecompute)},""" +
         s""""stageWrite":${fmt3(stageWrite)},""" +
         s""""stagedRead":${fmt3(stagedRead)},""" +
         s""""rows":$nRe1,"crossoverReuses":$crossover,""" +
-        s""""lapPairsReSt":[$lapsJson]}"""
+        s""""lapPairsReSt":[$lapsJson],""" +
+        s""""filteredRecompute":${fmt3(fRe)},"filteredStaged":${fmt3(fSt)},""" +
+        s""""filteredRows":${fLaps.head._1},""" +
+        s""""filteredLapPairsReSt":[$fLapsJson]}"""
     }
     val out = s"""{"crossoverRule":"R* = stageWrite / (recompute - staged); -1 = staging never wins at that size","caveat":"in-process model+calibration caches serve both arms; cross-JVM serving also skips the 64xN calibration scan","points":[${points.mkString(",")}]}"""
     println("[ivfstaged] " + out)
