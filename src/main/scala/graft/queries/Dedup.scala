@@ -52,6 +52,31 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
+  /** The hash-compacted basis with the compaction applied BEFORE the
+    * distinct (round 19, guide §2.3 "shuffle fewer bytes"): the old
+    * `hashCompact(shingles(...))` form ran the distinct's partial
+    * aggregate, exchange, and final aggregate over (doc_id, STRING)
+    * rows — ~25-45 B shingle strings hashed, compared, and shuffled —
+    * and only then compacted to longs; every signature-family consumer
+    * immediately compacts anyway, so the string never needs to cross
+    * the exchange at all. Hashing per EXPLODED row costs one extra
+    * xxhash64 per within-doc repeat (codegen'd, ~1 ns/B) and buys an
+    * 8 B aggregate key end-to-end. Set-identity with the old form:
+    * distinct∘hash ≡ hash∘distinct exactly when no two distinct
+    * shingles of one doc collide — BasisFloorSpec's collision sentinel
+    * pins zero xxhash64 collisions corpus-wide on every driver-verified
+    * corpus, and at 100 TB a collision merges a basis element for BOTH
+    * forms identically (the hashCompact exactness note). The string
+    * form stays the exact family's anchor ([[shingles]]).
+    */
+  private def hashedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 3))
+          .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .distinct()
+
   /** Document-frequency cap for the shingle self-join. The join's per-key
     * cost is Σ df(shingle)² — one stop-word trigram ("of the and") with
     * df = 10⁶ contributes 10¹² pairs on its own at corpus scale. Shingles
@@ -353,7 +378,7 @@ object Dedup {
     */
   def stageBasis(spark: SparkSession, sfDir: String, stagingDir: String): String = {
     val staged = s"$stagingDir/shingles.parquet"
-    hashCompact(shingles(spark, sfDir)).write.mode("overwrite").parquet(staged)
+    hashedShingles(spark, sfDir).write.mode("overwrite").parquet(staged)
     graft.sources.Manifest.write(spark.sparkContext.hadoopConfiguration,
       stagingDir, "basis_meta.json", basisManifestFields(spark, sfDir))
     staged
@@ -425,7 +450,7 @@ object Dedup {
   private[queries] def sharedBasis(spark: SparkSession, sfDir: String): DataFrame =
     stagedBasisFor(spark, sfDir) match {
       case Some(p) => spark.read.parquet(p)
-      case None => hashCompact(shingles(spark, sfDir))
+      case None => hashedShingles(spark, sfDir)
     }
 
   private def stagedBasisFor(spark: SparkSession, sfDir: String): Option[String] =
@@ -2006,13 +2031,65 @@ object Dedup {
   private[queries] def propagateComponents(pairs: DataFrame): DataFrame =
     propagateComponentsWithRounds(pairs)._1
 
-  /** Same loop, also returning the round count — the skew/convergence
-    * probes assert the O(log diameter) bound from it.
+  /** Same operator, also returning the distributed round count — the
+    * skew/convergence probes assert the O(log diameter) bound from it
+    * (they pass `smallGraphCeiling = 0` to force the loop arm).
+    *
+    * TWO ARMS since round 19 (guide §1.2 "the distributed algorithm" +
+    * §2.4 "remove shuffles outright"): the near-dup pair graph is
+    * OUTPUT-CLASS — the same size class every attachGuard broadcast in
+    * this file already ships to the driver and every executor — yet the
+    * loop paid 2 distributed joins + a checkpoint + a count job PER
+    * ROUND (measured 3 rounds × ~0.35 s at sf0.1 = ~1.1 s of pure
+    * round overhead in dd_clusters, replicated into dd_keep_best and
+    * both pipeline flagships). Below the same broadcast ceiling the
+    * guards use (guardCeilingRows(PairRowBytes) — if the set fits a
+    * broadcast build, it fits a driver pass), the edge list is
+    * collected ONCE and closed with a min-rooted union-find: pointing
+    * the larger root at the smaller keeps every tree's root = the
+    * component's minimum member, so labels are exactly the loop's
+    * min-reachable-id fixpoint — deterministic, engine-independent
+    * (DedupSpec's equivalence test drives both arms on the same planted
+    * topologies). Above the ceiling the pointer-doubling loop runs
+    * unchanged — the 100 TB arm, where the pair graph outgrows any
+    * single node.
     */
-  private[queries] def propagateComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // Undirected edge list, both orientations.
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint() // pairs' lineage (shingle+band join) replays per iteration otherwise
+  private[queries] def propagateComponentsWithRounds(pairs: DataFrame,
+      smallGraphCeiling: Long = guardCeilingRows(PairRowBytes)): (DataFrame, Int) = {
+    // One orientation, checkpointed: pairs' lineage (shingle+band join)
+    // replays per consumer otherwise, and the checkpoint makes the
+    // arm decision's count a cached-block read (the pairGuard contract).
+    val p = pairs.localCheckpoint()
+    if (p.count() <= smallGraphCeiling) {
+      val sess = p.sparkSession
+      val rows = p.select(col("doc_a"), col("doc_b")).collect()
+      val parent = new scala.collection.mutable.LongMap[Long](
+        math.max(16, rows.length * 2))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        // min-rooted union: the root of every tree stays the minimum
+        // member, so find() IS the min-reachable label.
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = scala.collection.mutable.SortedSet[Long]()
+      rows.foreach { r => nodes += r.getLong(0); nodes += r.getLong(1) }
+      import sess.implicits._
+      val labels = nodes.toSeq.map(d => (d, find(d)))
+      return (labels.toDF("doc_id", "cluster_id"), 0)
+    }
+    // Undirected edge list, both orientations (cheap: reads the
+    // checkpointed blocks, not the pair lineage).
+    val edges = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var converged = false

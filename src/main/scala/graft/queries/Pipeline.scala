@@ -234,8 +234,14 @@ object Pipeline {
     * checkpointed survivors instead of recomputing them.
     */
   private[graft] def shinglesOf(kept: DataFrame): DataFrame =
+    // Hash-compacted BEFORE the distinct (round 19, the hashedShingles
+    // rationale): the basis exchange and aggregate carry 8 B longs, not
+    // shingle strings — minhashFrom compacts anyway, so the string form
+    // never needs to exist past the projection. Set-identical absent
+    // xxhash64 collisions (BasisFloorSpec's sentinel).
     kept.select(col("doc_id"),
-        explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
 
   /** The stage-3 dedup basis from scratch — used by the equivalence spec,

@@ -233,14 +233,43 @@ class DedupSpec extends SparkSuite {
   test("clusters: pointer doubling closes a 60-edge chain within the round cap") {
     // Simple propagation moves the min one hop per round — a 60-link
     // chain would need 60 rounds and the 25-round cap would leave wrong
-    // labels. Doubling must collapse it in O(log n).
+    // labels. Doubling must collapse it in O(log n). Ceiling 0 forces
+    // the DISTRIBUTED arm — the round-19 driver fast path would absorb
+    // this output-class fixture and the doubling step would go untested.
     import spark.implicits._
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.propagateComponents(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Dedup
+      .propagateComponentsWithRounds(chain, smallGraphCeiling = 0L)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 61)
     assert(labels.values.forall(_ == 0L),
       s"chain not fully collapsed: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("clusters: driver fast path ≡ distributed loop on planted topologies") {
+    // The round-19 small-graph arm (union-find below the broadcast
+    // ceiling) must label EXACTLY like the pointer-doubling loop — both
+    // arms on the same fixtures: a chain (deep diameter), a star with a
+    // non-minimal center (min must win over the hub), two disjoint
+    // components, and a triangle with reversed pair orientation (the
+    // undirected contract).
+    import spark.implicits._
+    val fixtures = Seq(
+      (10L until 20L).map(i => (i, i + 1)),               // chain
+      Seq((50L, 7L), (50L, 9L), (50L, 8L)),               // star, center 50
+      Seq((1L, 2L), (2L, 3L), (100L, 101L)),              // two components
+      Seq((5L, 4L), (3L, 5L), (4L, 3L))                   // triangle, mixed
+    )
+    for (fx <- fixtures) {
+      val pairs = fx.toDF("doc_a", "doc_b")
+      val (fastDf, fastRounds) = Dedup.propagateComponentsWithRounds(pairs)
+      assert(fastRounds == 0, "output-class fixture must take the fast arm")
+      val fast = fastDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val loop = Dedup.propagateComponentsWithRounds(pairs, smallGraphCeiling = 0L)
+        ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == loop,
+        s"arms diverge on $fx:\n fast-only=${fast -- loop}\n loop-only=${loop -- fast}")
+    }
   }
 
   test("substring-dup spans equal a plain-Scala sliding-window reference") {

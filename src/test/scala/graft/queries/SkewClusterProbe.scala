@@ -91,7 +91,10 @@ object SkewClusterProbe {
       spark.sparkContext.setJobGroup("skew-propagate",
         "dd_clusters pointer-doubled propagation (skew probe window)")
       val (labels, rounds) =
-        try Dedup.propagateComponentsWithRounds(pairs)
+        // smallGraphCeiling = 0: the probe measures the DISTRIBUTED
+        // loop's skew/doubling behavior — the round-19 driver fast path
+        // would otherwise absorb this output-class fixture.
+        try Dedup.propagateComponentsWithRounds(pairs, smallGraphCeiling = 0L)
         finally spark.sparkContext.clearJobGroup()
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val secs = (System.nanoTime() - t0) / 1e9
