@@ -510,8 +510,26 @@ object Relational {
     * group's values gathered — at 100 TB switch to approx_percentile
     * (t-digest, mergeable) unless exactness is contractual.
     */
+  /** Exact-percentile partial aggregation buffers every (value, count)
+    * pair per task — ~600k map inserts that all land on ONE core when
+    * the table arrives as a single parquet split (JobBreakdown: a 627 ms
+    * single-stage job inside a 1.02 s wall at sf0.1). Project to the 3
+    * needed columns and hash-spread on l_orderkey first (deterministic
+    * key — no round-robin, so no sort-before-repartition and no
+    * SPARK-38388 retry hazard; the dd_substring single-split rationale).
+    * Percentile merge is a map union + one final sort per group —
+    * partitioning-independent, so output is bit-identical. At production
+    * scale splits ≫ cores and the branch never fires.
+    */
+  private def spreadIfSingleSplit(spark: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      df.repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
+    else df
+
   def q17Percentile(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    val li = spreadIfSingleSplit(spark, Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey")))
     li.groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
@@ -549,7 +567,15 @@ object Relational {
     */
   def q17bApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val sk = li.groupBy(col("l_returnflag"))
+    // Same single-split spread as q17 for the sketch pass (the GK buffer
+    // inserts are the per-row cost); the estimates stay internal — output
+    // is (flag, n, ok-booleans), and the ε-rank contract is partitioning-
+    // independent (mergeable-sketch guarantee), so the spread cannot
+    // change what the query computes.
+    val skIn = spreadIfSingleSplit(spark, li
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey")))
+    val sk = skIn.groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("a_mq"),
         expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double").as("a_p90"),

@@ -37,6 +37,44 @@ object StreamingQueries {
     finally ls.close()
   }
 
+  /** Run `start` with the bounded-replay streaming confs applied and the
+    * session values restored after the stream is CONSTRUCTED (both confs
+    * are read once at query start): 8 state partitions (every micro-batch
+    * commits a delta file PER state partition — see sessionize's note; a
+    * real deployment sizes this to key cardinality), and optionally the
+    * no-data micro-batch disabled.
+    *
+    * noDataMicroBatches (round 19, measured): after a batch advances the
+    * watermark, Spark runs a spontaneous EMPTY micro-batch so
+    * watermark-driven output/state-eviction happens promptly — for
+    * st_interval_join that empty batch plus its planning gap cost 0.7 s
+    * of a 2.3 s wall (JobBreakdown: job 10 = 372 ms + 346 ms gap) while
+    * emitting nothing: an inner interval join emits matches in the batch
+    * that processes them, dedup emits first-arrivals in-batch, and the
+    * complete-mode window aggregates re-emit the full result at every
+    * commit — none of the four AvailableNow entries' sink contents
+    * depend on the sweep (oracle-checked unchanged). st_sessionize is
+    * the one entry whose OUTPUT needs the sweep (the timeout sweep IS
+    * what closes sessions) and keeps the default.
+    */
+  private def withBoundedReplayConfs[T](spark: SparkSession,
+      noDataBatch: Boolean)(start: => T): T = {
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val savedNoData = spark.conf.getOption(noDataKey)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set(noDataKey, noDataBatch.toString)
+      start
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      savedNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
+  }
+
   /** st_window_agg — the incremental tumbling-window aggregation
     * (Streaming.windowedAgg) over the events parquet as a file stream, run
     * to completion. Complete output mode: the sink row count is the number
@@ -47,14 +85,10 @@ object StreamingQueries {
     */
   def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val sink = freshSink("st_window_agg_sink")
-    // 8 state partitions for the bounded replay — see sessionize.
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = withBoundedReplayConfs(spark, noDataBatch = false)(
       Streaming.windowedAgg(Streaming.eventsStream(spark, sfDir))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination()
     spark.table(sink)
       .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
@@ -72,13 +106,10 @@ object StreamingQueries {
     */
   def sliding(spark: SparkSession, sfDir: String): DataFrame = {
     val sink = freshSink("st_sliding_sink")
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = withBoundedReplayConfs(spark, noDataBatch = false)(
       Streaming.slidingAgg(Streaming.eventsStream(spark, sfDir))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination()
     spark.table(sink)
   }
@@ -160,13 +191,12 @@ object StreamingQueries {
     // STATE PARTITION, so a bounded replay with ~10⁳ keys pays 32 commits
     // per batch for nothing. 8 keeps the sweep batch cheap here; a real
     // cluster deployment sizes it to key cardinality, not this constant.
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // noDataBatch stays TRUE: the spontaneous post-watermark micro-batch
+    // IS the timeout sweep that closes (and emits) every session.
+    val q = withBoundedReplayConfs(spark, noDataBatch = true)(
       Streaming.sessionize(real.union(sentinels).as[Event])
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+        .outputMode("append").start())
     try {
       // Batch 0 carries the corpus plus the sentinel, so the watermark
       // lands at sentinel−1h > every real timeout when the batch commits;
@@ -208,12 +238,9 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
       .select(col("user_id"), col("event_type"), col("hour"))
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = withBoundedReplayConfs(spark, noDataBatch = false)(
       keyed.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination()
     spark.table(sink)
   }
@@ -242,16 +269,13 @@ object StreamingQueries {
     */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val sink = freshSink("st_interval_join_sink")
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = withBoundedReplayConfs(spark, noDataBatch = false)(
       Streaming.attributionJoin(Streaming.eventsStream(spark, sfDir))
         .select(col("purchase_id"), col("p_user").as("user_id"),
           col("p_ts").as("purchase_ts"), col("c_ts").as("click_ts"),
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination()
     spark.table(sink)
   }
