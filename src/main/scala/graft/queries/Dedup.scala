@@ -1758,6 +1758,28 @@ object Dedup {
   private val EmbedHiThreshold = 0.8
   private val PlantIdBase = 10000000L
 
+  /** Single-split spread for the PRODUCTION-DIMENSION corpus source
+    * (round 19, the dd_substring rationale applied at d = 768): the
+    * staged hi768 parquet arrives as ONE split, and every consumer that
+    * re-derives the corpus — the signature pass and each of
+    * cascadeVerify's broadcast attaches (sketches, norms, two embedding
+    * attaches) — re-ran the construction + its per-row 768-d vector
+    * work on one core (JobBreakdown: four concurrent ~700 ms
+    * single-task jobs inside dd_embed_hi768's 2.2 s wall; isolation
+    * 2.33 → 1.58 s with the spread). Hash-spread on vec_id:
+    * deterministic (no round-robin sort, no retry hazard), inert at
+    * production split counts. Deliberately NOT applied to the 64-d
+    * family (embedHiCorpus / dd_embed_bucketed): measured there, the
+    * added exchange per replayed branch COSTS more than the cheap 64-d
+    * per-row work it parallelizes (dd_embed_hi 1.24 → 1.96 s,
+    * dd_delta_embed_chain 1.92 → 3.48 s in the same-session A/B) — the
+    * guide §1.2 feedback loop in action.
+    */
+  private[queries] def spreadVecSource(df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    else df
+
   private[queries] def embedHiCorpus(spark: SparkSession, sfDir: String): DataFrame =
     plantNearDups(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
 
@@ -1849,7 +1871,7 @@ object Dedup {
   private def hi768Base(spark: SparkSession, sfDir: String): DataFrame = {
     val staged = new java.io.File(s"$sfDir/embeddings_hi768.parquet")
     if (new java.io.File(staged, "_SUCCESS").exists())
-      spark.read.parquet(staged.getAbsolutePath)
+      spreadVecSource(spark.read.parquet(staged.getAbsolutePath))
     else {
       // The mediaIngest staging pattern: the expansion is an INGEST
       // product (a real corpus stores its embeddings), so it is derived
@@ -1863,7 +1885,7 @@ object Dedup {
         "graft_hi768_v1", s"$sfDir/embeddings.parquet")
       if (!new java.io.File(out, "_SUCCESS").exists())
         expand768(spark, sfDir).write.mode("overwrite").parquet(out.getAbsolutePath)
-      spark.read.parquet(out.getAbsolutePath)
+      spreadVecSource(spark.read.parquet(out.getAbsolutePath))
     }
   }
 
