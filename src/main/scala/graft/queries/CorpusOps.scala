@@ -148,9 +148,20 @@ object CorpusOps {
   private[queries] val EvalGramDfCap = 1000
 
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // Hash-compacted BEFORE the distinct (round 19, the hashedShingles
+    // rationale at n = 8): the gram never reaches the output — only the
+    // per-pair count of distinct shared grams does — so the distinct,
+    // the df cap, and the bipartite join all run on 8 B longs instead
+    // of ~60 B gram strings. Identical output absent xxhash64 collisions
+    // among a corpus's distinct 8-grams (BasisFloorSpec's sentinel
+    // covers the 8-gram basis on every driver corpus; at 100 TB a
+    // collision perturbs one pair's count by 1 — the hashCompact
+    // exactness argument, an order below the 3-gram case since 8-grams
+    // are near-unique).
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("gram"))
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
       .distinct()
     // Hot on either side → capped BEFORE splitting (per-key join output
     // is df_eval · df_train, so the cap must see the combined df).

@@ -150,8 +150,13 @@ object Pipeline {
     // output anti-join base) — without it the whole stage-0–3 chain
     // would replay per consumer (the exactKept lesson, round 5).
     val surv = cleanSurvivorsFrom(rawDocs).localCheckpoint()
+    // 8-grams hash-compacted before the distinct (the dd_decontaminate
+    // rationale): grams are internal — only overlap membership reaches
+    // the output — so df cap, anti-joins, and the bipartite semi-join
+    // run on 8 B longs.
     val gram8 = (df: DataFrame) => df.select(col("doc_id"),
-        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("gram"))
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
       .distinct()
     val evalGrams = gram8(
       rawDocs.filter(col("doc_id") % CorpusOps.EvalModulus === 0)

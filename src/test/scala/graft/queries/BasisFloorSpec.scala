@@ -114,16 +114,19 @@ class BasisFloorSpec extends SparkSuite {
     // collision count is ~n²/2⁶⁵ merged df pairs — analyzed on
     // hashCompact; this gate is about the driver-verified corpora.)
     import org.apache.spark.sql.functions.countDistinct
+    // n = 3: the signature families' basis; n = 8: the decontamination
+    // gram basis (dd_decontaminate / pipeline_v2 stage 4 — compacted
+    // since round 19).
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+        "/root/testdata/sf0.1"); n <- Seq(3, 8)) {
       val sh = graft.Tables.documents(spark, dir)
         .select(col("doc_id"),
-          explode(graft.functions.WordShingles.wordShingles(col("text"), 3))
+          explode(graft.functions.WordShingles.wordShingles(col("text"), n))
             .as("shingle"))
       val r = sh.agg(countDistinct(col("shingle")),
         countDistinct(xxhash64(col("shingle")))).head()
       assert(r.getLong(0) == r.getLong(1),
-        s"$dir has ${r.getLong(0) - r.getLong(1)} xxhash64 shingle " +
+        s"$dir has ${r.getLong(0) - r.getLong(1)} xxhash64 $n-gram " +
           "collision(s): hash-equality no longer matches the oracle's " +
           "string equality on a driver-verified corpus")
     }
