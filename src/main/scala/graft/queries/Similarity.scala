@@ -422,6 +422,12 @@ object Similarity {
     */
   private def searchCells(probed: DataFrame, assigned: DataFrame): DataFrame =
     rankTopK(
+      // Deliberately NOT spread (round 19): the assigned side is one
+      // split at test SFs, but its per-row work (one cosine per probe
+      // match) is cheap enough that the added exchange measured a NET
+      // LOSS across the five thin IVF entries (+0.1–0.2 s each in the
+      // same-session A/B) — only the PQ ADC scan, with ~100× the
+      // per-row arithmetic, clears the spread's cost (annIvfPq below).
       broadcast(probed).join(assigned, Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cs_raw", pairCosine))
@@ -1145,7 +1151,12 @@ object Similarity {
     val probed = probedCells(q, s.unit, s.ids, s.nprobe)
     // ADC scan: rank candidates from the code alone (a per-query positive
     // scale can't change a ranking, so the raw query needs no normalize).
-    val scored = broadcast(probed).join(s.codes, Seq("cell"))
+    // Codes are the stream side of the ADC join and arrive as one split
+    // (recompute arm: the single-split embeddings scan; staged arm: the
+    // postings parquet) — the whole |Q|·nprobe·postings ADC scan plus the
+    // shortlist partial top-k ran in ONE task (JobBreakdown: 881 ms of
+    // the 1.63 s wall). Same spread as searchCells.
+    val scored = broadcast(probed).join(Dedup.spreadVecSource(s.codes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", graft.functions.PqCodes.pqAdcDot(
         col("code"), col("q_emb"), s.books, PqM, s.ksub, PqSubDim))

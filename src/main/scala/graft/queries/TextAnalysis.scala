@@ -195,7 +195,20 @@ object TextAnalysis {
     */
   def winnowSets(spark: SparkSession, sfDir: String): DataFrame = {
     val K = 8; val W = 4
-    Tables.documents(spark, sfDir)
+    // Winnowing hashes one md5 per code point (the 40×-the-scan-bytes
+    // class dd_substring documents), and a test corpus arrives as ONE
+    // parquet split — without a spread every consumer of this subtree
+    // (dd_winnow's df aggregate AND its anti-join stream; ta_winnow's
+    // rollup) re-runs the fingerprint pass on one core (JobBreakdown:
+    // 316 + 432 ms single-task jobs inside dd_winnow's 1.7 s wall).
+    // Hash-spread on doc_id — deterministic, inert at production split
+    // counts (the dd_substring single-split rationale).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val spread =
+      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      else docs
+    spread
       .select(col("doc_id"),
         explode(graft.functions.WinnowFingerprints
           .winnowFingerprints(col("text"), K, W)).as("wmin"))
