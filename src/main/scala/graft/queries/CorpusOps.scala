@@ -404,7 +404,10 @@ object CorpusOps {
     // Capped over the FULL corpus basis before signing (the cap-ordering
     // invariant minhashFrom documents); checkpointed — signatures,
     // candidate semi-join, and verification sizes all branch off it.
-    val sh = Dedup.cappedShingles(spark, sfDir).localCheckpoint()
+    // Lazy (round 19): the occ-totals aggregate below is the
+    // materializing action — a single scan of this relation — so the
+    // eager checkpoint's separate job is saved (the minhashFrom note).
+    val sh = Dedup.cappedShingles(spark, sfDir).localCheckpoint(eager = false)
     // Signatures are materialized ONCE and serve twice: band keys for
     // candidate generation, and the per-pair Jaccard sketch that prunes
     // the candidate stream (round 14). At τ = 0.5 the 2-row bands are
@@ -485,7 +488,8 @@ object CorpusOps {
         // path — every oracle corpus — must not pay a materialization
         // barrier for the hot path's second consumer.
         val hotK = occ.filter(col("ne") + col("nt") > HotBucketOcc)
-          .select(col("band"), col("bh")).localCheckpoint()
+          .select(col("band"), col("bh"))
+          .localCheckpoint(eager = false) // hk's count materializes
         val hk = Dedup.attachGuard(hotK.count(), rowBytes = 16L) _
         val cold = buckets.join(hk(hotK), Seq("band", "bh"), "left_anti")
         val hot = buckets.join(hk(hotK), Seq("band", "bh"), "left_semi")
@@ -521,7 +525,8 @@ object CorpusOps {
       (if (mass > cutMinMass)
         Dedup.sketchCutPairs(candPre, sigs, sigs.count(), FuzzyTau,
           "train_doc", "eval_doc")
-      else candPre).distinct().localCheckpoint()
+      else candPre).distinct()
+        .localCheckpoint(eager = false) // pairGuard's count materializes
     val candG = Dedup.pairGuard(candidates)
     // Exact verification restricted to candidate docs; the eval/train
     // split is a pure doc_id predicate, so each side is a filter. The

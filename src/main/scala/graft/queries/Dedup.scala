@@ -683,10 +683,19 @@ object Dedup {
     // verify-side joins below all move 8 B longs instead of shingle
     // strings; signatures are bit-identical either way.
     val shC = hashCompact(shRaw)
+    // LAZY checkpoint + count (round 19, guide §1.2 "don't compute
+    // things you throw away" at the job grain): the eager form ran one
+    // job to materialize the blocks and a second to count them; the
+    // count itself is the materializing action, so the same work is one
+    // job and one barrier fewer — applied to every checkpoint whose
+    // FIRST consumer is its own count (or a single-scan job), never
+    // where the first job scans the relation from several stages at
+    // once (concurrent first-materialization would duplicate the
+    // subtree's work per stage).
     val sh = shC.join(broadcast(hotShingles(shC)), Seq("shingle"), "left_anti")
-      .localCheckpoint()
-    // Free (the checkpoint above already materialized the blocks): the
-    // corpus-count proxy every attachGuard below keys on.
+      .localCheckpoint(eager = false)
+    // The materializing action — the corpus-count proxy every
+    // attachGuard below keys on.
     val g = attachGuard(sh.count()) _
     val buckets = bandedBuckets(sh, BandRows)
     val candA = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
@@ -699,7 +708,7 @@ object Dedup {
     val candidates = candA.join(candB, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // pairGuard's count materializes
     val candG = pairGuard(candidates)
     // Exact verification restricted to candidate docs only; the
     // candidate/doc-id relations are guarded attaches (each one names
@@ -2078,10 +2087,10 @@ object Dedup {
     */
   private[queries] def propagateComponentsWithRounds(pairs: DataFrame,
       smallGraphCeiling: Long = guardCeilingRows(PairRowBytes)): (DataFrame, Int) = {
-    // One orientation, checkpointed: pairs' lineage (shingle+band join)
-    // replays per consumer otherwise, and the checkpoint makes the
-    // arm decision's count a cached-block read (the pairGuard contract).
-    val p = pairs.localCheckpoint()
+    // One orientation, lazily checkpointed: pairs' lineage (shingle+band
+    // join) replays per consumer otherwise; the arm decision's count IS
+    // the materializing action (one job, not checkpoint + count).
+    val p = pairs.localCheckpoint(eager = false)
     if (p.count() <= smallGraphCeiling) {
       val sess = p.sparkSession
       val rows = p.select(col("doc_a"), col("doc_b")).collect()
@@ -2217,7 +2226,7 @@ object Dedup {
     // oracle is hash-green on this expression).
     val docs = TextAnalysis.quality(spark, sfDir)
       .select(col("doc_id"), col("quality_score"))
-    val labeled = clusters(spark, sfDir).localCheckpoint()
+    val labeled = clusters(spark, sfDir).localCheckpoint(eager = false)
     // The join attaches quality to clustered docs only (left_semi-sized:
     // |labeled| ≪ |docs| — near-dup members), then one agg per cluster.
     val best = labeled.join(docs, Seq("doc_id"))
@@ -2795,8 +2804,9 @@ object Dedup {
 
   private[queries] def deltaCandidates(newB: DataFrame, allB: DataFrame): DataFrame =
     // Two consumers (candidate-doc semi-join + final pair gate); the
-    // table is the admitted pair list — output-sized.
-    deltaCandidatesLazy(newB, allB).localCheckpoint()
+    // table is the admitted pair list — output-sized. Lazy: deltaVerify's
+    // pairGuard count is the materializing action (one job, not two).
+    deltaCandidatesLazy(newB, allB).localCheckpoint(eager = false)
 
   /** Bipartite exact verification over the candidate docs only — the
     * probe side is always the batch, so no old×old shingle-join rows
@@ -2926,7 +2936,9 @@ object Dedup {
     * cross-mode fingerprinting.
     */
   def deltaChain(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = cappedShingles(spark, sfDir).localCheckpoint()
+    // Lazy: the seed-index write is the materializing action (one scan),
+    // so the eager checkpoint's separate job is saved.
+    val sh = cappedShingles(spark, sfDir).localCheckpoint(eager = false)
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_chain")
     val m = DeltaModulus
     try {
@@ -3400,10 +3412,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= SubstrMinShared)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    // Free (the eager checkpoint materialized the blocks): the guard
-    // count for broadcasting the output-class admitted set onto the
-    // corpus-sized position streams below. Above the ceiling the
+      .localCheckpoint(eager = false)
+    // The materializing action (lazy checkpoint + count = one job): the
+    // guard count for broadcasting the output-class admitted set onto
+    // the corpus-sized position streams below. Above the ceiling the
     // semi-joins fall back to a hash build of the admitted side — the
     // streams still never sort (the jaccardPairsCapped join-physics
     // note).

@@ -67,7 +67,10 @@ object Pipeline {
     // ingest pipeline materializes between its dedup passes; PlanSpec
     // gates that the final plan reads no parquet at all and that the
     // stage-1+2 subtree scans `documents` exactly once.
-    val kept = exactKeptFrom(rawDocs).localCheckpoint()
+    // Lazy (round 19): the funnel's capped-basis count is the
+    // materializing action (a single scan of this relation) — the eager
+    // form paid a separate materialization job first.
+    val kept = exactKeptFrom(rawDocs).localCheckpoint(eager = false)
 
     // Stage 3: near-dup dedup among survivors under the keep-best policy.
     // Candidate pairs come from the dd_minhash funnel (banded LSH
@@ -91,7 +94,8 @@ object Pipeline {
     // table (computed once at stage 1 — no second documents scan).
     val pairs = Dedup.minhashFrom(shinglesOf(kept))
       .select(col("doc_a"), col("doc_b"))
-    val labeled = Dedup.propagateComponents(pairs).localCheckpoint()
+    val labeled = Dedup.propagateComponents(pairs)
+      .localCheckpoint(eager = false) // its own count below materializes
     val best = labeled
       .join(kept.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
       .groupBy(col("cluster_id"))
@@ -149,7 +153,8 @@ object Pipeline {
     // Checkpoint: stage 4 consumes the survivors TWICE (gram basis +
     // output anti-join base) — without it the whole stage-0–3 chain
     // would replay per consumer (the exactKept lesson, round 5).
-    val surv = cleanSurvivorsFrom(rawDocs).localCheckpoint()
+    // Lazy: trainSurv.count() (the stage-4 attach guard) materializes.
+    val surv = cleanSurvivorsFrom(rawDocs).localCheckpoint(eager = false)
     // 8-grams hash-compacted before the distinct (the dd_decontaminate
     // rationale): grams are internal — only overlap membership reaches
     // the output — so df cap, anti-joins, and the bipartite semi-join
