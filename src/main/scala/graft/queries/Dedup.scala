@@ -108,8 +108,18 @@ object Dedup {
     * minhashFrom does.
     */
   private[queries] def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame =
+    // Eagerly checkpointed (round 19 re-measurement of the round-2 "no
+    // checkpoint" decision): jaccardPairsCapped reads the capped basis
+    // from FOUR subtrees (sizes, both self-join sides, plus the cap's
+    // own df aggregate above the raw basis) — with the basis re-derived
+    // per consumer that was 4 replays of scan+explode+distinct; one
+    // materialization now feeds them all (dd_ngram_jaccard isolation
+    // measured below). Eager, not lazy: the first consumer is the
+    // multi-stage self-join — concurrent first-materialization would
+    // re-duplicate exactly the work the checkpoint removes.
     jaccardPairsCapped(
-      shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti"), threshold)
+      shRaw.join(broadcast(hotShingles(shRaw)), Seq("shingle"), "left_anti")
+        .localCheckpoint(), threshold)
 
   /** The self-join core, input ALREADY df-capped — callers that cap once
     * upstream (minhashFrom) come here directly instead of paying a no-op
