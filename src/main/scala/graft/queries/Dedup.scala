@@ -2823,13 +2823,17 @@ object Dedup {
     * ever materialize.
     */
   private[queries] def deltaVerify(sh: DataFrame, candidates: DataFrame,
-      isNew: Column => Column, threshold: Double): DataFrame = {
+      isNew: Column => Column, threshold: Double,
+      corpusRows: Long = -1L): DataFrame = {
     // Guarded attaches keyed on the corpus-count proxy: sh arrives
     // checkpointed from every product caller, so the count is free
-    // (spec topologies are tiny either way). The candidate PAIR set is
-    // guarded on its own count — deltaCandidates checkpoints it, so
-    // that count is free too (pairGuard contract).
-    val g = attachGuard(sh.count()) _
+    // (spec topologies are tiny either way). A caller running several
+    // steps over ONE checkpointed sh (the chain) passes the count in —
+    // the same number re-counted per step is a cached-block job each
+    // time. The candidate PAIR set is guarded on its own count —
+    // deltaCandidates checkpoints it, so that count is free too
+    // (pairGuard contract).
+    val g = attachGuard(if (corpusRows >= 0) corpusRows else sh.count()) _
     val candG = pairGuard(candidates)
     val candDocs = g(candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct())
@@ -2891,48 +2895,67 @@ object Dedup {
     */
   private[queries] val DeltaResidue2 = 7
 
-  private def chainBucketsPath(stagingDir: String): String =
-    s"$stagingDir/chain_buckets.parquet"
+  /** The banded-bucket relation's schema, stated explicitly so an ingest
+    * step's read-back never pays schema inference — and never fails on a
+    * legitimately EMPTY batch (a parquet dir holding only _SUCCESS has
+    * nothing to infer from).
+    */
+  private val BucketSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType)))
 
   /** Seed the staged bucket index with the initial corpus's banded
     * buckets — the one-time signing of everything that predates the
-    * ingest chain.
+    * ingest chain. Writes to the explicit `path` (one table per arrival
+    * under the index root — see deltaIngestStep's append-at-the-file-
+    * grain note).
     */
   private[queries] def seedDeltaIndex(sh: DataFrame, isOld: Column => Column,
-      stagingDir: String): Unit =
+      path: String): Unit =
     bandedBuckets(sh.filter(isOld(col("doc_id"))), BandRows)
-      .write.mode("overwrite").parquet(chainBucketsPath(stagingDir))
+      .write.mode("overwrite").parquet(path)
 
   /** One step of the multi-batch ingest lifecycle (round-12 verdict #2:
     * dd_delta proved ONE batch against ONE staged index and re-wrote the
     * product per call; a continuously-ingesting pipeline runs the CHAIN):
     * sign ONLY the arriving batch, probe its buckets against the staged
-    * product ∪ its own, emit the batch-touching pairs, then APPEND the
-    * batch's buckets to the staged product so the next batch dedups
-    * against old ∪ this-batch without re-signing either. Appending is
-    * sound because signatures are per-document and the bucket relation is
-    * row-wise — batch arrival is union on (doc_id, band, bh).
+    * index ∪ its own, and emit the batch-touching pairs. The batch's
+    * buckets are APPENDED to the index at the FILE grain: they are
+    * written once as their own parquet table under the index root
+    * (`batchPath`) — that write is simultaneously the batch's one
+    * signing pass, its materialization barrier, and its index
+    * publication (round 19 fusion: the previous form paid an eager
+    * localCheckpoint AND a separate append-write job for the same rows,
+    * plus an eager checkpoint of the step output to fence the directory
+    * mutation — with nothing already staged ever mutated, none of those
+    * barriers exist). Appending is sound because signatures are
+    * per-document and the bucket relation is row-wise — batch arrival is
+    * union on (doc_id, band, bh), which the next step performs by
+    * reading `indexPaths` ∪ its own table.
     *
     * `sh` is the capped shingle relation over the corpus-so-far, read
     * ONLY for (a) the batch's signatures and (b) exact verification of
     * candidate docs (a candidate-bounded semi-join — the same access
-    * pattern deltaDedup documents); the staged product is never
-    * re-derived from it, which DedupSpec pins on the candidate plan (no
-    * minhash aggregate anywhere, staged side read from parquet).
+    * pattern deltaDedup documents); the staged index is never re-derived
+    * from it, which DedupSpec pins on the candidate plan (no minhash
+    * aggregate anywhere, staged side read from parquet). `corpusRows` is
+    * the chain's hoisted attach-guard proxy (sh is checkpointed once for
+    * the whole chain; each step re-counting it was one cached-block job
+    * per step for the same number).
     */
   private[queries] def deltaIngestStep(spark: SparkSession, sh: DataFrame,
-      isBatch: Column => Column, stagingDir: String): DataFrame = {
-    val staged = chainBucketsPath(stagingDir)
-    val newB = bandedBuckets(sh.filter(isBatch(col("doc_id"))), BandRows)
-      .localCheckpoint()
-    val oldB = spark.read.parquet(staged)
-    val out = deltaVerify(sh,
-        deltaCandidates(newB, oldB.unionByName(newB)), isBatch, 0.8)
-      // Materialize BEFORE the append below mutates the directory the
-      // lazy plan reads.
-      .localCheckpoint()
-    newB.write.mode("append").parquet(staged)
-    out
+      isBatch: Column => Column, indexPaths: Seq[String], batchPath: String,
+      corpusRows: Long): DataFrame = {
+    bandedBuckets(sh.filter(isBatch(col("doc_id"))), BandRows)
+      .write.mode("overwrite").parquet(batchPath)
+    def readB(p: String): DataFrame = spark.read.schema(BucketSchema).parquet(p)
+    val newB = readB(batchPath)
+    val allB = (indexPaths.map(readB) :+ newB).reduce(_.unionByName(_))
+    deltaVerify(sh, deltaCandidates(newB, allB), isBatch, 0.8, corpusRows)
   }
 
   /** dd_delta_chain — the multi-batch lifecycle end-to-end: seed the
@@ -2952,14 +2975,27 @@ object Dedup {
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_chain")
     val m = DeltaModulus
     try {
+      val seed = s"$dir/seed.parquet"
+      val b1 = s"$dir/b1.parquet"
+      val b2 = s"$dir/b2.parquet"
       seedDeltaIndex(sh,
-        c => c % m =!= DeltaResidue && c % m =!= DeltaResidue2, dir.toString)
-      val s1 = deltaIngestStep(spark, sh, _ % m === DeltaResidue, dir.toString)
-      val s2 = deltaIngestStep(spark, sh, _ % m === DeltaResidue2, dir.toString)
-      // Steps are checkpointed, so the union reads no staged state.
+        c => c % m =!= DeltaResidue && c % m =!= DeltaResidue2, seed)
+      // One cached-block count serves both steps' attach guards (the
+      // seed write above materialized the checkpoint).
+      val nSh = sh.count()
+      val s1 = deltaIngestStep(spark, sh, _ % m === DeltaResidue,
+        Seq(seed), b1, nSh)
+      val s2 = deltaIngestStep(spark, sh, _ % m === DeltaResidue2,
+        Seq(seed, b1), b2, nSh)
+      // ONE eager materialization for the whole chain (round 19 fusion):
+      // nothing staged is ever mutated, so neither step needs its own
+      // checkpoint barrier — the union job computes both verify subtrees
+      // concurrently, and the checkpoint lands the rows before the
+      // staging dir is deleted below.
       s1.withColumn("step", lit(1))
         .unionByName(s2.withColumn("step", lit(2)))
         .select(col("step"), col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()
     } finally deleteDir(dir)
   }
 

@@ -685,15 +685,27 @@ class DedupSpec extends SparkSuite {
       explode(graft.functions.WordShingles.wordShingles(col("text"), 3)).as("shingle"))
       .distinct().localCheckpoint()
     val dir = java.nio.file.Files.createTempDirectory("graft-chain-spec").toString
-    val stagedPath = s"$dir/chain_buckets.parquet"
-    Dedup.seedDeltaIndex(sh, c => c % 10 =!= 3 && c % 10 =!= 7, dir)
-    val seedN = spark.read.parquet(stagedPath).count()
-    val s1 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 3, dir)
-    val afterB1 = spark.read.parquet(stagedPath).count()
-    val s2 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 7, dir)
-    val afterB2 = spark.read.parquet(stagedPath).count()
-    // APPEND semantics: each step adds exactly its batch's bucket rows —
-    // nothing already staged is ever re-signed or re-written.
+    val seedPath = s"$dir/seed.parquet"
+    val b1Path = s"$dir/b1.parquet"
+    val b2Path = s"$dir/b2.parquet"
+    Dedup.seedDeltaIndex(sh, c => c % 10 =!= 3 && c % 10 =!= 7, seedPath)
+    val nSh = sh.count()
+    def fileSet(p: String): Set[String] =
+      new java.io.File(p).listFiles().map(_.getName).toSet
+    val seedN = spark.read.parquet(seedPath).count()
+    val seedFiles = fileSet(seedPath)
+    val s1 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 3,
+      Seq(seedPath), b1Path, nSh)
+    val afterB1 = seedN + spark.read.parquet(b1Path).count()
+    val s2 = Dedup.deltaIngestStep(spark, sh, _ % 10 === 7,
+      Seq(seedPath, b1Path), b2Path, nSh)
+    val afterB2 = afterB1 + spark.read.parquet(b2Path).count()
+    // APPEND semantics at the file grain: each step publishes exactly its
+    // batch's bucket rows as its OWN table under the index root — nothing
+    // already staged is ever re-signed or re-written (the seed table's
+    // files are bit-level untouched across both ingests).
+    assert(fileSet(seedPath) == seedFiles,
+      "an ingest step must never rewrite the staged index's existing files")
     val b1Buckets = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 3),
       Dedup.BandRows).count()
     val b2Buckets = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 7),
@@ -723,11 +735,12 @@ class DedupSpec extends SparkSuite {
     val newB3 = Dedup.bandedBuckets(sh.filter(col("doc_id") % 10 === 1),
       Dedup.BandRows).localCheckpoint()
     val candPlan = Dedup.deltaCandidatesLazy(newB3,
-        spark.read.parquet(stagedPath).unionByName(newB3))
+        spark.read.parquet(seedPath).unionByName(spark.read.parquet(b1Path))
+          .unionByName(spark.read.parquet(b2Path)).unionByName(newB3))
       .queryExecution.executedPlan.toString
     assert(!candPlan.toLowerCase.contains("minhash"),
       s"ingest must not re-sign the staged product:\n$candPlan")
-    assert(candPlan.contains("chain_buckets"),
+    assert(candPlan.contains("seed.parquet") && candPlan.contains("b1.parquet"),
       s"staged product must be read as parquet:\n$candPlan")
   }
 
