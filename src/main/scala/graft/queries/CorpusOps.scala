@@ -503,11 +503,17 @@ object CorpusOps {
             hotM.join(coarse, Seq("doc_id", "cband")), Seq("cband", "bh")))
       }
     // Guarded attaches: per-doc size and doc-id relations key on the
-    // free corpus-count proxy (the Dedup.attachGuard note — a true
-    // upper bound for corpus-bounded relations), while the candidate
-    // PAIR set — not corpus-bounded — is checkpointed (two consumers:
-    // the candidate-doc semi-join and the final pair gate) and guarded
-    // on its OWN count (Dedup.pairGuard).
+    // SIGNED-DOC count as their proxy (round 19: nSigned rides the occ
+    // totals above for free — Σ(ne+nt) is exactly NumPerms/FuzzyBandRows
+    // band rows per signed doc — where the previous sh.count() was one
+    // more serial cached-block job per entry for a LOOSER bound). It is
+    // a true upper bound for everything g attaches: candidates derive
+    // from floored-signature buckets, so candidate docs ⊆ signed docs,
+    // and both guarded relations (the candidate-doc-id set and the
+    // per-candidate-doc sizes) are doc-granularity over candidate docs.
+    // The candidate PAIR set — not corpus-bounded — is checkpointed (two
+    // consumers: the candidate-doc semi-join and the final pair gate)
+    // and guarded on its OWN count (Dedup.pairGuard).
     // Round 16: in the cut regime the distinct runs AFTER the sketch cut
     // — on the ~10⁻⁴ survivor volume, not the full candidate stream (the
     // dd_embed cascade's exact lesson, now applied to the Jaccard
@@ -520,10 +526,12 @@ object CorpusOps {
     // Nothing of candidate volume is ever stored: join → sig attaches →
     // agreement filter → distinct(survivors) → checkpoint (60 rows at
     // 100×).
-    val g = Dedup.attachGuard(sh.count()) _
+    val g = Dedup.attachGuard(nSigned) _
     val candidates =
       (if (mass > cutMinMass)
-        Dedup.sketchCutPairs(candPre, sigs, sigs.count(), FuzzyTau,
+        // nSigned IS sigs.count() (one band-row group per signed doc) —
+        // read from the totals job instead of one more count job.
+        Dedup.sketchCutPairs(candPre, sigs, nSigned, FuzzyTau,
           "train_doc", "eval_doc")
       else candPre).distinct()
         .localCheckpoint(eager = false) // pairGuard's count materializes
