@@ -1620,30 +1620,52 @@ object Dedup {
     * `sketchBroadcastMax` is spec-injectable so DedupSpec can force the
     * fallback regime on a small fixture (the CapBindingSpec pattern).
     */
+  /** The cascade's sketch-agreement cut for a threshold — and, via
+    * comparison with the floor, whether the cascade engages at all.
+    * Split out so a multi-step caller (the embed chain) can decide to
+    * hoist the verify-sketch relation with the SAME arithmetic the
+    * cascade itself runs.
+    */
+  private[queries] def cascadeCutFor(threshold: Double): Double = {
+    val pThresh = 1.0 - math.acos(threshold) / math.Pi
+    pThresh - 4.0 * math.sqrt(
+      pThresh * (1.0 - pThresh) / (VerifyTables * VerifyBits))
+  }
+
+  /** The per-vector verify-sketch relation — (vec_id, 4-int vsig),
+    * checkpointed (the two-consumer duplication note in cascadeVerify).
+    * Exposed so a multi-step caller over ONE corpus signs the verify
+    * sketches once instead of once per step.
+    */
+  private[queries] def verifySketchesOf(corpus: DataFrame, dim: Int): DataFrame = {
+    val vflat = graft.functions.HyperplaneSigs.flatten(
+      verifyPlanesFor(dim), VerifyTables, VerifyBits, dim)
+    corpus.select(col("vec_id"),
+      graft.functions.HyperplaneSigs.sigs(col("embedding"), vflat,
+        VerifyTables, VerifyBits, dim).as("vsig"))
+      .localCheckpoint()
+  }
+
   private[queries] def cascadeVerify(corpus: DataFrame, cands: DataFrame,
       threshold: Double, dim: Int,
       sketchBroadcastMax: Long = CascadeSketchBroadcastMax,
-      cutFloor: Double = CascadeCutFloor): DataFrame = {
+      cutFloor: Double = CascadeCutFloor,
+      preSketches: Option[DataFrame] = None): DataFrame = {
     val e = corpus
       .select(col("vec_id"), col("embedding"),
         graft.functions.vec.l2norm(col("embedding")).as("nrm"))
-    val pThresh = 1.0 - math.acos(threshold) / math.Pi
-    val sigma = math.sqrt(pThresh * (1.0 - pThresh) / (VerifyTables * VerifyBits))
-    val cut = pThresh - 4.0 * sigma
+    val cut = cascadeCutFor(threshold)
     val candsPruned =
       if (cut <= cutFloor) cands.distinct()
       else {
-        val vflat = graft.functions.HyperplaneSigs.flatten(
-          verifyPlanesFor(dim), VerifyTables, VerifyBits, dim)
-        val vs = corpus.select(col("vec_id"),
-          graft.functions.HyperplaneSigs.sigs(col("embedding"), vflat,
-            VerifyTables, VerifyBits, dim).as("vsig"))
-          // Same two-consumer duplication as the main sigs relation (the
-          // embedBucketedWithPlan checkpoint rationale): the sketch joins
-          // onto BOTH pair sides, and without a materialization each side
-          // replays the corpus scan + the N·124·dim verify signing. The
-          // stored relation is 16 bytes + id per vector.
-          .localCheckpoint()
+        // Same two-consumer duplication as the main sigs relation (the
+        // embedBucketedWithPlan checkpoint rationale): the sketch joins
+        // onto BOTH pair sides, and without a materialization each side
+        // replays the corpus scan + the N·124·dim verify signing. The
+        // stored relation is 16 bytes + id per vector. A multi-step
+        // caller passes its hoisted relation via preSketches (MUST be
+        // verifySketchesOf of the same corpus/dim).
+        val vs = preSketches.getOrElse(verifySketchesOf(corpus, dim))
         // Nearly free: the eager checkpoint already materialized the
         // blocks — the count is one cached-block scan, the same bounded
         // guard read dd_lines' hot-set ceiling runs.
@@ -3131,7 +3153,7 @@ object Dedup {
     */
   private def deltaEmbedVerify(corpus: DataFrame, keyedAll: DataFrame,
       sigsNew: DataFrame, plan: LshPlan, threshold: Double,
-      dim: Int): DataFrame = {
+      dim: Int, preSketches: Option[DataFrame] = None): DataFrame = {
     val probesNew = sigsNew.select(col("vec_id").as("vec_a"),
       explode(graft.functions.HyperplaneSigs.probeBuckets(
         col("sig"), plan.tables, plan.bits, depth = 1, directional = false))
@@ -3148,7 +3170,7 @@ object Dedup {
       .filter(col("vec_a") =!= col("vec_b"))
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
-    cascadeVerify(corpus, cands, threshold, dim)
+    cascadeVerify(corpus, cands, threshold, dim, preSketches = preSketches)
   }
 
   /** The staged deployment shape: the old corpus's base bucket keys are
@@ -3240,25 +3262,44 @@ object Dedup {
     (LshPlan(m("bits").toInt, m("tables").toInt, 0.0, 0.0), m("dim").toInt)
   }
 
+  /** The staged embed-signature relation's schema, explicit for the same
+    * two reasons as [[BucketSchema]]: no inference read-back, and an
+    * empty batch stays readable.
+    */
+  private val EmbedSigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))))
+
   /** One embed ingest step: read the frozen plan from the manifest, sign
     * ONLY the batch, probe (symmetric depth-1 multiprobe, the deltaEmbed
     * coverage argument) against staged ∪ own base keys, cascade + exact
-    * verify, then APPEND the batch's signatures to the staged relation —
-    * nothing already staged is re-signed or re-written.
+    * verify. The batch's signatures are APPENDED to the index at the
+    * FILE grain (the deltaIngestStep fusion, round 19): written once as
+    * their own parquet table under the index root — simultaneously the
+    * batch's one signing pass, its materialization barrier, and its
+    * index publication; nothing already staged is ever re-signed,
+    * re-written, or mutated, so neither the step output nor the batch
+    * signatures need a checkpoint fence. `preSketches` hoists the
+    * verify-sketch relation across a chain's steps (one corpus, signed
+    * once).
     */
   private[queries] def deltaEmbedIngestStep(spark: SparkSession, corpus: DataFrame,
-      isBatch: Column => Column, threshold: Double, stagingDir: String): DataFrame = {
+      isBatch: Column => Column, threshold: Double, stagingDir: String,
+      indexPaths: Seq[String], batchPath: String,
+      preSketches: Option[DataFrame] = None): DataFrame = {
     val (plan, dim) = stagedEmbedPlan(spark, stagingDir)
-    val sigsNew = computeEmbedSigs(corpus.filter(isBatch(col("vec_id"))), plan, dim)
-      .localCheckpoint()
-    val keyedAll = keyedBuckets(spark.read.parquet(embedSigsPath(stagingDir)))
-      .unionByName(keyedBuckets(sigsNew))
-    // `out` materializes EAGERLY (localCheckpoint) before the append
-    // lands, so this step's probe side is exactly the pre-append index.
-    val out = deltaEmbedVerify(corpus, keyedAll, sigsNew, plan, threshold, dim)
-      .localCheckpoint()
-    sigsNew.write.mode("append").parquet(embedSigsPath(stagingDir))
-    out
+    computeEmbedSigs(corpus.filter(isBatch(col("vec_id"))), plan, dim)
+      .write.mode("overwrite").parquet(batchPath)
+    def readSigs(p: String): DataFrame =
+      spark.read.schema(EmbedSigSchema).parquet(p)
+    val sigsNew = readSigs(batchPath)
+    val keyedAll = (indexPaths.map(readSigs) :+ sigsNew)
+      .map(keyedBuckets).reduce(_.unionByName(_))
+    deltaEmbedVerify(corpus, keyedAll, sigsNew, plan, threshold, dim,
+      preSketches)
   }
 
   /** The chain's batch split: the even-base plants (deltaEmbedIsNew's
@@ -3294,13 +3335,29 @@ object Dedup {
     try {
       seedEmbedDeltaIndex(spark, corpus,
         c => !(embedChainB1(c) || embedChainB2(c)), plan, EmbedDim, dir.toString)
+      val seed = embedSigsPath(dir.toString)
+      val b1 = s"$dir/b1_sigs.parquet"
+      val b2 = s"$dir/b2_sigs.parquet"
+      // ONE verify-sketch signing for both steps (the corpus is the same
+      // relation in each): hoisted iff the cascade engages at this
+      // threshold — otherwise the checkpoint would materialize a
+      // relation no step reads.
+      val pre =
+        if (cascadeCutFor(EmbedHiThreshold) > CascadeCutFloor)
+          Some(verifySketchesOf(corpus, EmbedDim))
+        else None
       val s1 = deltaEmbedIngestStep(spark, corpus, embedChainB1,
-        EmbedHiThreshold, dir.toString)
+        EmbedHiThreshold, dir.toString, Seq(seed), b1, pre)
       val s2 = deltaEmbedIngestStep(spark, corpus, embedChainB2,
-        EmbedHiThreshold, dir.toString)
+        EmbedHiThreshold, dir.toString, Seq(seed, b1), b2, pre)
+      // ONE eager materialization for the whole chain (the deltaChain
+      // fusion note): nothing staged is mutated, both verify subtrees
+      // compute in the union job, and the rows land before the staging
+      // dir is deleted below.
       s1.withColumn("step", lit(1))
         .unionByName(s2.withColumn("step", lit(2)))
         .select(col("step"), col("vec_a"), col("vec_b"), col("cs"))
+        .localCheckpoint()
     } finally deleteDir(dir)
   }
 
