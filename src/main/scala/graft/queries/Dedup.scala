@@ -3493,10 +3493,24 @@ object Dedup {
     // window repeats INSIDE it, and pair admission counts distinct shared
     // substrings, exactly as in round 5.
     val docGrams = gramsPos.select(col("doc_id"), col("g")).distinct()
+    // Lazy checkpoint (round 19, second pass): the hot set is consumed by
+    // TWO actions — the admission count below and the returned tail — and
+    // each rebuilt it from scratch (a full docGrams distinct + df
+    // aggregate per action; exchange reuse never crosses an action
+    // boundary). The admission job's broadcast build materializes the
+    // blocks (one consumer at a time — no concurrent-first-compute
+    // hazard), and the tail's two anti-join builds read them.
     val hot = docGrams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap)
       .select(col("g"))
+      .localCheckpoint(eager = false)
+    // Eager checkpoint (round 19, second pass): coolDoc feeds the
+    // admission self-join (both sides) AND the tail's doc_b window set —
+    // two actions, so without a barrier the docGrams distinct + anti-join
+    // ran once per action. Eager, not lazy: the admission self-join would
+    // otherwise first-materialize it from two stages at once.
     val coolDoc = docGrams.join(broadcast(hot), Seq("g"), "left_anti")
+      .localCheckpoint()
     val coolPos = gramsPos.join(broadcast(hot), Seq("g"), "left_anti")
     // Three consumers below (two doc-id prefilters + the final pair
     // gate): checkpointed so the admission join runs once. The table is
