@@ -744,6 +744,40 @@ class DedupSpec extends SparkSuite {
       s"staged product must be read as parquet:\n$candPlan")
   }
 
+  test("embed ingest step publishes the batch's signatures at the file grain, seed untouched") {
+    // The deltaEmbedIngestStep fusion contract (round 19): the batch's
+    // one parquet write IS its signing pass and its index publication —
+    // exactly one signature row per batch vector lands in the step's own
+    // table, and nothing already staged is rewritten.
+    val sess = spark
+    import sess.implicits._
+    val a = Array(1f, 0f, 0f, 0f)
+    val corpus = Seq(
+      (1L, a), (2L, a), (5L, Array(0f, 1f, 0f, 0f)),
+      (101L, a), (102L, a)
+    ).toDF("vec_id", "embedding").localCheckpoint()
+    val plan = Dedup.LshPlan(bits = 6, tables = 8, work = 0, candFraction = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-embed-step").toString
+    Dedup.seedEmbedDeltaIndex(spark, corpus, c => c < 100L, plan, 4, dir)
+    val seedPath = Dedup.embedSigsPath(dir)
+    def fileSet(p: String): Set[String] =
+      new java.io.File(p).listFiles().map(_.getName).toSet
+    val seedFiles = fileSet(seedPath)
+    assert(spark.read.parquet(seedPath).count() == 3L,
+      "seed must hold one signature row per old vector")
+    val b1Path = s"$dir/b1_sigs.parquet"
+    val out = Dedup.deltaEmbedIngestStep(spark, corpus, c => c >= 100L,
+        0.8, dir, Seq(seedPath), b1Path)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.read.parquet(b1Path).count() == 2L,
+      "the step's table must hold exactly the batch's signature rows")
+    assert(fileSet(seedPath) == seedFiles,
+      "an ingest step must never rewrite the staged index's existing files")
+    assert(out == Set((1L, 101L), (2L, 101L), (1L, 102L), (2L, 102L),
+      (101L, 102L)), s"got $out")
+  }
+
   test("dd_delta_embed_chain: per-step pairs equal the bipartite exact form; index appended") {
     // Exact reference: brute-force cosine over the collected hi corpus
     // (sf0.001 — bounded), split by the chain's batch predicates.
